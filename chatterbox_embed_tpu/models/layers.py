@@ -1,0 +1,225 @@
+"""Minimal functional NN toolkit.
+
+Models in this package are pure functions over explicit parameter pytrees
+(nested dicts of jnp arrays). Compared to a module framework this keeps
+- checkpoint conversion trivial (the tree layout *is* the torch name map),
+- jit/pjit/sharding boundaries explicit,
+- weight-norm folding and dtype policy a plain tree_map.
+
+Conventions:
+- Linear:   {"w": (in, out), "b": (out,)?}           y = x @ w + b
+- Conv1d:   {"w": (width, in/groups, out), "b": (out,)?}  NWC layout
+- Norms:    {"scale": (c,), "bias": (c,)}
+- Embedding:{"w": (vocab, dim)}
+All matmul-bearing ops accept a `dtype` for the compute precision (bf16 on
+TPU); parameters are stored fp32 and cast at use (XLA fuses the cast).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cast(p, dtype):
+    return p.astype(dtype) if dtype is not None and p.dtype != dtype else p
+
+
+# ---------------------------------------------------------------------------
+# initialisers
+# ---------------------------------------------------------------------------
+
+def uniform_(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def linear_init(key, d_in, d_out, bias=True):
+    """torch.nn.Linear default init (kaiming uniform fan_in, bias 1/sqrt(fan))."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": uniform_(k1, (d_in, d_out), math.sqrt(3.0) * bound)}
+    if bias:
+        p["b"] = uniform_(k2, (d_out,), bound)
+    return p
+
+
+def linear(p, x, dtype=None):
+    y = x.astype(dtype or x.dtype) @ _cast(p["w"], dtype or x.dtype)
+    if "b" in p:
+        y = y + _cast(p["b"], y.dtype)
+    return y
+
+
+def embedding_init(key, vocab, dim, std=1.0):
+    return {"w": jax.random.normal(key, (vocab, dim), jnp.float32) * std}
+
+
+def embedding(p, ids, dtype=None):
+    w = _cast(p["w"], dtype) if dtype else p["w"]
+    return jnp.take(w, ids, axis=0)
+
+
+def layer_norm_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def rms_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * p["scale"]).astype(x.dtype)
+
+
+def group_norm_init(dim):
+    return layer_norm_init(dim)
+
+
+def group_norm(p, x, num_groups, eps=1e-5):
+    """x: (..., T, C) channel-last. Matches torch GroupNorm over (C/G, T)."""
+    *lead, t, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(*lead, t, g, c // g)
+    mu = jnp.mean(xf, axis=(-3, -1), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(-3, -1), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(*lead, t, c)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def batch_norm_init(dim):
+    """Inference-mode batch norm: running stats are folded at load time."""
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32),
+            "mean": jnp.zeros((dim,), jnp.float32), "var": jnp.ones((dim,), jnp.float32)}
+
+
+def batch_norm(p, x, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps) * p["scale"]
+    return ((x.astype(jnp.float32) - p["mean"]) * inv + p["bias"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# convolutions (channel-last NWC: TPU-native layout)
+# ---------------------------------------------------------------------------
+
+def conv1d_init(key, width, d_in, d_out, bias=True, groups=1):
+    k1, k2 = jax.random.split(key)
+    fan_in = d_in // groups * width
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": uniform_(k1, (width, d_in // groups, d_out), math.sqrt(3.0) * bound)}
+    if bias:
+        p["b"] = uniform_(k2, (d_out,), bound)
+    return p
+
+
+def conv1d(p, x, stride=1, padding="SAME", dilation=1, groups=1, dtype=None):
+    """x: (B, T, C_in) -> (B, T', C_out). padding: 'SAME'|'VALID'|int|(lo,hi)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    elif isinstance(padding, tuple):
+        padding = [padding]
+    d = dtype or x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(d), _cast(p["w"], d),
+        window_strides=(stride,), padding=padding,
+        rhs_dilation=(dilation,), feature_group_count=groups,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if "b" in p:
+        y = y + _cast(p["b"], y.dtype)
+    return y
+
+
+def conv_transpose1d(p, x, stride, padding, dtype=None, out_padding=0):
+    """torch ConvTranspose1d semantics. p["w"]: (width, out, in) stored WOI.
+
+    x: (B, T, C_in) -> (B, (T-1)*stride - 2*padding + width + out_padding, C_out)
+    """
+    d = dtype or x.dtype
+    width = p["w"].shape[0]
+    pad_lo = width - 1 - padding
+    pad_hi = width - 1 - padding + out_padding
+    y = jax.lax.conv_general_dilated(
+        x.astype(d), _cast(p["w"], d)[::-1],  # flip taps: transpose == correlation with flipped kernel
+        window_strides=(1,), padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WOI", "NWC"),
+    )
+    if "b" in p:
+        y = y + _cast(p["b"], y.dtype)
+    return y
+
+
+def conv2d_init(key, kh, kw, d_in, d_out, bias=True):
+    k1, k2 = jax.random.split(key)
+    fan_in = d_in * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": uniform_(k1, (kh, kw, d_in, d_out), math.sqrt(3.0) * bound)}
+    if bias:
+        p["b"] = uniform_(k2, (d_out,), bound)
+    return p
+
+
+def conv2d(p, x, stride=(1, 1), padding="SAME", dtype=None):
+    """x: (B, H, W, C)."""
+    d = dtype or x.dtype
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x.astype(d), _cast(p["w"], d), window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + _cast(p["b"], y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# attention (plain XLA; the Pallas decode kernel lives in kernels/)
+# ---------------------------------------------------------------------------
+
+def mha(q, k, v, mask=None, bias=None, scale=None):
+    """q: (B, Tq, H, D); k, v: (B, Tk, H, D); mask: bool (..., Tq, Tk) or bias.
+
+    Softmax in fp32 regardless of input dtype.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e10))
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v)
+    return out
+
+
+def split_heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def merge_heads(x):
+    b, t, h, d = x.shape
+    return x.reshape(b, t, h * d)
+
+
+# activations
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def snake(x, alpha):
+    """Snake activation x + sin^2(alpha x)/alpha (reference: hifigan.py:34-84)."""
+    a = alpha.astype(x.dtype)
+    return x + jnp.square(jnp.sin(x * a)) / (a + 1e-9)
