@@ -1,0 +1,153 @@
+"""CFM estimator: a causal 1-D U-Net predicting the flow velocity field
+(reference: models/s3gen/decoder.py:100-317, matcha/decoder.py:14-158,
+matcha/transformer.py:138-316; config s3gen.py:76-87).
+
+Shape: channels=[256] means no temporal down/up-sampling — the network is
+1 down-stage + 12 mid-stages + 1 up-stage, each a causal resnet followed by
+4 self-attention transformer blocks, all at full mel rate with 256 channels.
+This is the hot inner graph of mel generation: it runs 2 (CFG) x 10 (Euler)
+times per utterance, so everything is channel-last, bf16-friendly, and a
+single fused XLA graph.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FlowDecoderConfig
+from . import layers as L
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: FlowDecoderConfig = FlowDecoderConfig()):
+    keys = iter(jax.random.split(key, 4096))
+    nk = lambda: next(keys)
+    c = cfg.channels
+    inner = cfg.num_heads * cfg.attention_head_dim          # 512
+
+    def causal_block(d_in, d_out):
+        return {"conv": L.conv1d_init(nk(), 3, d_in, d_out), "ln": L.layer_norm_init(d_out)}
+
+    def resnet(d_in, d_out):
+        return {
+            "mlp": L.linear_init(nk(), cfg.time_embed_dim, d_out),
+            "block1": causal_block(d_in, d_out),
+            "block2": causal_block(d_out, d_out),
+            "res_conv": L.conv1d_init(nk(), 1, d_in, d_out),
+        }
+
+    def tblock():
+        return {
+            "ln1": L.layer_norm_init(c),
+            "q": L.linear_init(nk(), c, inner, bias=False),
+            "k": L.linear_init(nk(), c, inner, bias=False),
+            "v": L.linear_init(nk(), c, inner, bias=False),
+            "o": L.linear_init(nk(), inner, c),
+            "ln3": L.layer_norm_init(c),
+            "ff1": L.linear_init(nk(), c, 4 * c),
+            "ff2": L.linear_init(nk(), 4 * c, c),
+        }
+
+    def stage(d_in, d_out):
+        return {"resnet": resnet(d_in, d_out),
+                "tblocks": [tblock() for _ in range(cfg.n_blocks)]}
+
+    return {
+        "time_mlp": {"lin1": L.linear_init(nk(), cfg.in_channels, cfg.time_embed_dim),
+                     "lin2": L.linear_init(nk(), cfg.time_embed_dim, cfg.time_embed_dim)},
+        "down": {**stage(cfg.in_channels, c), "downsample": L.conv1d_init(nk(), 3, c, c)},
+        "mid": [stage(c, c) for _ in range(cfg.num_mid_blocks)],
+        "up": {**stage(2 * c, c), "upsample": L.conv1d_init(nk(), 3, c, c)},
+        "final_block": causal_block(c, c),
+        "final_proj": L.conv1d_init(nk(), 1, c, cfg.out_channels),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _sinusoidal_t(t, dim, scale=1000.0):
+    """(B,) diffusion timestep -> (B, dim) embedding (matcha/decoder.py:14-29)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10_000) * jnp.arange(half, dtype=jnp.float32) / (half - 1))
+    ang = scale * t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _causal_block(p, x, mask, dtype):
+    """causal conv(k3) -> LayerNorm -> Mish, masked (decoder.py:48-61)."""
+    h = L.conv1d(p["conv"], x * mask, padding=(2, 0), dtype=dtype)
+    h = L.layer_norm(p["ln"], h)
+    return L.mish(h) * mask
+
+
+def _resnet(p, x, mask, t_emb, dtype):
+    h = _causal_block(p["block1"], x, mask, dtype)
+    h = h + L.linear(p["mlp"], L.mish(t_emb), dtype)[:, None, :]
+    h = _causal_block(p["block2"], h, mask, dtype)
+    return h + L.conv1d(p["res_conv"], x * mask, dtype=dtype)
+
+
+def _tblock(p, x, n_heads, dtype):
+    h = L.layer_norm(p["ln1"], x)
+    q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
+    k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
+    v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
+    x = x + L.linear(p["o"], L.merge_heads(L.mha(q, k, v)), dtype)
+    h = L.layer_norm(p["ln3"], x)
+    h = L.linear(p["ff2"], jax.nn.gelu(L.linear(p["ff1"], h, dtype), approximate=False), dtype)
+    return x + h
+
+
+def _stage(p, x, mask, t_emb, n_heads, dtype):
+    x = _resnet(p["resnet"], x, mask, t_emb, dtype)
+    for tb in p["tblocks"]:
+        x = _tblock(tb, x, n_heads, dtype)
+    return x
+
+
+def forward(params, x, mu, t, spks, cond, mask=None,
+            cfg: FlowDecoderConfig = FlowDecoderConfig(), dtype=jnp.float32):
+    """Velocity estimate.
+
+    Args (all channel-last, unlike the torch reference's (B, C, T)):
+      x:    (B, T, 80) noisy mel
+      mu:   (B, T, 80) encoder output
+      t:    (B,) diffusion time
+      spks: (B, 80) speaker embedding
+      cond: (B, T, 80) prompt-mel conditioning
+      mask: (B, T, 1) or None
+    Returns (B, T, 80).
+    """
+    b, tlen, _ = x.shape
+    if mask is None:
+        mask = jnp.ones((b, tlen, 1), x.dtype)
+    t_emb = _sinusoidal_t(t, cfg.in_channels)
+    t_emb = L.linear(params["time_mlp"]["lin2"],
+                     jax.nn.silu(L.linear(params["time_mlp"]["lin1"], t_emb)))
+
+    h = jnp.concatenate(
+        [x, mu, jnp.broadcast_to(spks[:, None, :], (b, tlen, spks.shape[-1])), cond],
+        axis=-1).astype(dtype)
+
+    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype)
+    skip = h
+    h = L.conv1d(params["down"]["downsample"], h * mask, padding=(2, 0), dtype=dtype)
+
+    for st in params["mid"]:
+        h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype)
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype)
+    h = L.conv1d(params["up"]["upsample"], h * mask, padding=(2, 0), dtype=dtype)
+
+    h = _causal_block(params["final_block"], h, mask, dtype)
+    out = L.conv1d(params["final_proj"], h * mask, dtype=dtype)
+    return (out * mask).astype(jnp.float32)

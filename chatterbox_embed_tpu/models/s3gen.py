@@ -1,0 +1,228 @@
+"""S3Gen: S3 speech tokens -> mel (CFM) -> waveform (HiFT-GAN), plus the
+voice-reference embedding path and the `.npy` VoiceProfile format
+(reference: models/s3gen/s3gen.py:47-470, flow.py:175-282).
+
+TPU design: `token_to_wav` is ONE jittable graph — token embed, conformer,
+CFM scan, vocoder — traced per (token-bucket) shape. Reference audio
+embedding (mel + CAMPPlus + tokenizer) is likewise a single jitted function.
+Host code only does numpy I/O and bucket padding.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (S3GenConfig, S3_SR, S3GEN_SR, SPEECH_VOCAB_SIZE)
+from ..ops import mel as mel_ops
+from ..ops import resample as resample_ops
+from . import layers as L
+from . import conformer, flow_decoder, cfm, hifigan, xvector, s3tokenizer
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: S3GenConfig = S3GenConfig()):
+    k = jax.random.split(key, 8)
+    flow = {
+        "input_embedding": L.embedding_init(k[0], cfg.flow.vocab_size, cfg.flow.input_size,
+                                            std=0.02),
+        "spk_embed_affine": L.linear_init(k[1], cfg.flow.spk_embed_dim, cfg.flow.output_size),
+        "encoder": conformer.init(k[2], cfg.flow.encoder),
+        "encoder_proj": L.linear_init(k[3], cfg.flow.encoder.output_size, cfg.flow.output_size),
+        "decoder": flow_decoder.init(k[4], cfg.flow.decoder),
+    }
+    return {
+        "flow": flow,
+        "hift": hifigan.init(k[5], cfg.hift),
+        "speaker_encoder": xvector.init(k[6], cfg.campplus),
+        "tokenizer": s3tokenizer.init(k[7], cfg.tokenizer),
+    }
+
+
+# ---------------------------------------------------------------------------
+# flow inference: tokens -> mel
+# ---------------------------------------------------------------------------
+
+def flow_to_mel(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
+                prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
+                embedding: jnp.ndarray, finalize: bool = True,
+                cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+    """CausalMaskedDiffWithXvec.inference (reference: flow.py:236-282).
+
+    Args:
+      tokens:        (B, T_tok) target speech tokens (prompt already removed)
+      token_len:     (B,) valid lengths of [prompt; target]
+      prompt_tokens: (B, T_p) reference speech tokens
+      prompt_feat:   (B, T_mel_p, 80) reference mel (mel-rate = 2 x token-rate)
+      embedding:     (B, 192) CAMPPlus x-vector
+    Returns (B, 2*T_tok(-lookahead), 80) fp32 mel for the generated part only.
+    """
+    fl = params["flow"]
+    # xvec projection on L2-normalised embedding (flow.py:251-253)
+    emb = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
+    spks = L.linear(fl["spk_embed_affine"], emb.astype(jnp.float32))
+
+    full = jnp.concatenate([prompt_tokens, tokens], axis=1)
+    t = full.shape[1]
+    mask = (jnp.arange(t)[None] < token_len[:, None])
+    x = L.embedding(fl["input_embedding"], jnp.clip(full, 0, None))
+    x = x * mask[..., None].astype(x.dtype)
+
+    h = conformer.forward(fl["encoder"], x, token_len, cfg.flow.encoder, dtype)
+    if not finalize:
+        h = h[:, : -cfg.flow.pre_lookahead_len * cfg.flow.token_mel_ratio]
+    mel_len1 = prompt_feat.shape[1]
+    mel_len2 = h.shape[1] - mel_len1
+    h = L.linear(fl["encoder_proj"], h.astype(jnp.float32))
+
+    conds = jnp.zeros((h.shape[0], h.shape[1], cfg.flow.output_size), h.dtype)
+    conds = conds.at[:, :mel_len1].set(prompt_feat)
+
+    mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=None,
+                           cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder, dtype=dtype)
+    return mel[:, mel_len1:]
+
+
+# ---------------------------------------------------------------------------
+# full graph: tokens -> wav
+# ---------------------------------------------------------------------------
+
+def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
+    """20 ms silence + 20 ms cosine fade-in (reference: s3gen.py:283-287)."""
+    n = sr // 50
+    fade = np.zeros(2 * n, np.float32)
+    fade[n:] = (np.cos(np.linspace(np.pi, 0.0, n)) + 1.0) / 2.0
+    return fade
+
+
+def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
+                 embedding, key=None, finalize: bool = True,
+                 cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
+                 apply_fade: bool = True):
+    """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav)."""
+    mel = flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
+                      embedding, finalize, cfg, dtype)
+    wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
+    if apply_fade:
+        fade = jnp.asarray(trim_fade())
+        wav = wav.at[:, : fade.shape[0]].multiply(fade)
+    return wav
+
+
+# ---------------------------------------------------------------------------
+# reference embedding (host-orchestrated, device-computed)
+# ---------------------------------------------------------------------------
+
+def embed_ref(params, ref_wav: np.ndarray, ref_sr: int,
+              cfg: S3GenConfig = S3GenConfig()) -> Dict[str, np.ndarray]:
+    """Build the reference dict for voice cloning (reference: s3gen.py:155-208).
+
+    Returns numpy arrays shaped exactly like the reference's ref_dict so the
+    `.npy` VoiceProfile format round-trips bit-for-bit.
+    """
+    ref_wav = np.asarray(ref_wav, np.float32).reshape(1, -1)
+    wav24 = ref_wav if ref_sr == S3GEN_SR else np.asarray(
+        resample_ops.resample(jnp.asarray(ref_wav), ref_sr, S3GEN_SR))
+    # pad to a whole mel hop so mel frames == 2 * tokens
+    hop = cfg.mel_hop
+    if wav24.shape[1] % hop:
+        wav24 = np.pad(wav24, ((0, 0), (0, hop - wav24.shape[1] % hop)))
+    mel24 = np.asarray(mel_ops.mel_spectrogram_24k(jnp.asarray(wav24)))
+    mel24 = np.swapaxes(mel24, 1, 2)                     # (1, T_mel, 80)
+
+    wav16 = ref_wav if ref_sr == S3_SR else np.asarray(
+        resample_ops.resample(jnp.asarray(ref_wav), ref_sr, S3_SR))
+    x_vector = np.asarray(xvector.inference(params["speaker_encoder"], jnp.asarray(wav16),
+                                            cfg.campplus))
+    wav16p = s3tokenizer.pad_to_token_multiple(wav16)
+    tokens, tok_lens = s3tokenizer.tokenize_wave(params["tokenizer"], jnp.asarray(wav16p),
+                                                 cfg=cfg.tokenizer)
+    tokens, tok_lens = np.asarray(tokens), np.asarray(tok_lens)
+    if mel24.shape[1] != 2 * tokens.shape[1]:            # (s3gen.py:192-200)
+        n = mel24.shape[1] // 2
+        tokens = tokens[:, :n]
+        tok_lens = np.minimum(tok_lens, n)
+    return dict(
+        prompt_token=tokens.astype(np.int64),
+        prompt_token_len=tok_lens.astype(np.int64),
+        prompt_feat=mel24.astype(np.float32),
+        prompt_feat_len=None,
+        embedding=x_vector.astype(np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VoiceProfile (.npy) — byte-compatible with the reference
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class VoiceProfile:
+    """Dict-in-npy voice profile (reference: s3gen.py:427-470; the fork adds
+    ve_embedding — tts.py:510-549)."""
+    embedding: np.ndarray
+    prompt_feat: Optional[np.ndarray] = None
+    prompt_feat_len: Optional[int] = None
+    prompt_token: Optional[np.ndarray] = None
+    prompt_token_len: Optional[np.ndarray] = None
+    ve_embedding: Optional[np.ndarray] = None
+
+    def save(self, path: str):
+        data = {"embedding": np.asarray(self.embedding)}
+        if self.prompt_feat is not None:
+            data["prompt_feat"] = np.asarray(self.prompt_feat)
+        if self.prompt_feat_len is not None:
+            data["prompt_feat_len"] = self.prompt_feat_len
+        if self.prompt_token is not None:
+            data["prompt_token"] = np.asarray(self.prompt_token)
+        if self.prompt_token_len is not None:
+            data["prompt_token_len"] = np.asarray(self.prompt_token_len)
+        if self.ve_embedding is not None:
+            data["ve_embedding"] = np.asarray(self.ve_embedding)
+        np.save(path, data)
+
+    @classmethod
+    def load(cls, path: str) -> "VoiceProfile":
+        data = np.load(path, allow_pickle=True).item()
+        return cls(
+            embedding=data["embedding"],
+            prompt_feat=data.get("prompt_feat"),
+            prompt_feat_len=data.get("prompt_feat_len"),
+            prompt_token=data.get("prompt_token"),
+            prompt_token_len=data.get("prompt_token_len"),
+            ve_embedding=data.get("ve_embedding"),
+        )
+
+
+def save_voice_clone(params, ref_wav: np.ndarray, ref_sr: int, save_path: str,
+                     cfg: S3GenConfig = S3GenConfig()):
+    """192-d CAMPPlus embedding -> .npy (reference: s3gen.py:108-119)."""
+    wav = np.asarray(ref_wav, np.float32).reshape(1, -1)
+    wav16 = wav if ref_sr == S3_SR else np.asarray(
+        resample_ops.resample(jnp.asarray(wav), ref_sr, S3_SR))
+    emb = np.asarray(xvector.inference(params["speaker_encoder"], jnp.asarray(wav16),
+                                       cfg.campplus))
+    np.save(save_path, emb)
+    return emb
+
+
+def save_voice_profile(params, ref_wav: np.ndarray, ref_sr: int, save_path: str,
+                       cfg: S3GenConfig = S3GenConfig()):
+    """Full profile -> .npy (reference: s3gen.py:121-143)."""
+    rd = embed_ref(params, ref_wav, ref_sr, cfg)
+    VoiceProfile(
+        embedding=rd["embedding"], prompt_feat=rd["prompt_feat"],
+        prompt_feat_len=rd["prompt_feat_len"], prompt_token=rd["prompt_token"],
+        prompt_token_len=rd["prompt_token_len"],
+    ).save(save_path)
+
+
+def drop_invalid_tokens(x: np.ndarray) -> np.ndarray:
+    """Keep only real speech codes < 6561 (reference: s3gen.py:36-38)."""
+    x = np.asarray(x).reshape(-1)
+    return x[x < SPEECH_VOCAB_SIZE]

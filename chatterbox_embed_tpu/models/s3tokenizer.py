@@ -1,0 +1,150 @@
+"""S3 speech tokenizer v2 (25 Hz): 16 kHz wav -> discrete speech tokens.
+
+The reference delegates to the external `s3tokenizer` pip package
+(models/s3tokenizer/s3tokenizer.py:1-12 wraps S3TokenizerV2
+"speech_tokenizer_v2_25hz"; quantize() called at s3tokenizer.py:122).
+This is a from-scratch JAX implementation of that architecture:
+whisper-large-shaped encoder (1280-d, 20 heads, pre-LN, GELU MLP) over
+128-bin log-mels, conv front-end downsampling 100 Hz mel -> 25 Hz, and a
+finite-scalar-quantization head with 3**8 = 6561 codes.
+
+TPU design: the transformer runs in bf16 with fp32 softmax/LN; the FSQ
+rounding is a pure vector op. All shapes static — callers pad waveforms to
+40 ms multiples exactly like the reference's `pad()` helper.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import S3TokenizerConfig, S3_SR, S3_TOKEN_RATE, SPEECH_VOCAB_SIZE
+from ..ops import mel as mel_ops
+from . import layers as L
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: S3TokenizerConfig = S3TokenizerConfig()):
+    keys = iter(jax.random.split(key, 16 + 16 * cfg.n_layers))
+    nk = lambda: next(keys)
+    d = cfg.n_state
+    params = {
+        "conv1": L.conv1d_init(nk(), 3, cfg.n_mels, d),
+        "conv2": L.conv1d_init(nk(), 3, d, d),
+        "blocks": [],
+        "ln_post": L.layer_norm_init(d),
+        "fsq_proj": L.linear_init(nk(), d, cfg.fsq_dim),
+    }
+    for _ in range(cfg.n_layers):
+        params["blocks"].append({
+            "ln1": L.layer_norm_init(d),
+            "q": L.linear_init(nk(), d, d),
+            "k": L.linear_init(nk(), d, d, bias=False),
+            "v": L.linear_init(nk(), d, d),
+            "o": L.linear_init(nk(), d, d),
+            "ln2": L.layer_norm_init(d),
+            "fc1": L.linear_init(nk(), d, 4 * d),
+            "fc2": L.linear_init(nk(), 4 * d, d),
+        })
+    return params
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper-style sinusoidal positions."""
+    log_timescale = math.log(10_000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _block(p, x, mask, n_heads, dtype):
+    h = L.layer_norm(p["ln1"], x)
+    q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
+    k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
+    v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
+    att = L.merge_heads(L.mha(q, k, v, mask=mask))
+    x = x + L.linear(p["o"], att, dtype)
+    h = L.layer_norm(p["ln2"], x)
+    return x + L.linear(p["fc2"], jax.nn.gelu(L.linear(p["fc1"], h, dtype), approximate=False), dtype)
+
+
+def encode(params, mels: jnp.ndarray, mel_lens: jnp.ndarray,
+           cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
+    """mels (B, n_mels, T@100Hz) -> hidden (B, T//4, n_state), token lens."""
+    x = jnp.swapaxes(mels, 1, 2).astype(dtype)             # (B, T, 128)
+    x = jax.nn.gelu(L.conv1d(params["conv1"], x, stride=2, padding=1, dtype=dtype))
+    x = jax.nn.gelu(L.conv1d(params["conv2"], x, stride=2, padding=1, dtype=dtype))
+    t = x.shape[1]
+    x = x + jnp.asarray(_sinusoids(t, cfg.n_state), dtype)
+    tok_lens = (mel_lens + 3) // 4
+    pad_mask = (jnp.arange(t)[None, :] < tok_lens[:, None])  # (B, T)
+    attn_mask = pad_mask[:, None, None, :]                   # (B, 1, 1, Tk)
+    for blk in params["blocks"]:
+        x = _block(blk, x, attn_mask, cfg.n_heads, dtype)
+    x = L.layer_norm(params["ln_post"], x)
+    return x, tok_lens
+
+
+def fsq_quantize(params, h: jnp.ndarray, cfg: S3TokenizerConfig = S3TokenizerConfig()):
+    """Finite scalar quantization: (B, T, n_state) -> int32 token ids (B, T).
+
+    8 dims x 3 levels: z -> round(tanh-bounded scalar) in {-1, 0, 1},
+    index = sum_i (digit_i + 1) * 3^i.
+    """
+    z = L.linear(params["fsq_proj"], h.astype(jnp.float32))
+    half = (cfg.fsq_levels - 1) / 2.0                        # 1.0 for 3 levels
+    bounded = jnp.tanh(z) * half
+    digits = jnp.round(bounded).astype(jnp.int32) + int(half)
+    basis = (cfg.fsq_levels ** np.arange(cfg.fsq_dim)).astype(np.int32)
+    return jnp.sum(digits * jnp.asarray(basis), axis=-1)
+
+
+def quantize(params, mels: jnp.ndarray, mel_lens: jnp.ndarray,
+             cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
+    """Public API mirroring the package's quantize(): mels -> (tokens, lens)."""
+    h, tok_lens = encode(params, mels, mel_lens, cfg, dtype)
+    return fsq_quantize(params, h, cfg), tok_lens
+
+
+# ---------------------------------------------------------------------------
+# waveform-level convenience (reference forward(): s3tokenizer.py:90-126)
+# ---------------------------------------------------------------------------
+
+def pad_to_token_multiple(wav: np.ndarray, sr: int = S3_SR) -> np.ndarray:
+    """Zero-pad so duration is a whole number of 40 ms tokens
+    (reference: s3tokenizer.py:54-76)."""
+    n_tokens = int(np.ceil(wav.shape[-1] / sr * S3_TOKEN_RATE))
+    target = int(n_tokens * (sr / S3_TOKEN_RATE))
+    if target > wav.shape[-1]:
+        pad = [(0, 0)] * (wav.ndim - 1) + [(0, target - wav.shape[-1])]
+        wav = np.pad(wav, pad)
+    return wav
+
+
+def tokenize_wave(params, wav_16k: jnp.ndarray, max_len: int | None = None,
+                  cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
+    """wav_16k (B, T) -> (tokens (B, T_tok), lens (B,)). Mel frames are
+    truncated to 4*max_len when a token cap is given (reference:
+    s3tokenizer.py:108-115)."""
+    mels = mel_ops.log_mel_s3tokenizer(wav_16k, n_fft=cfg.n_fft, hop=cfg.hop,
+                                       n_mels=cfg.n_mels)
+    if max_len is not None:
+        mels = mels[..., : max_len * 4]
+    mel_lens = jnp.full((mels.shape[0],), mels.shape[-1], jnp.int32)
+    return quantize(params, mels, mel_lens, cfg, dtype)
+
+
+def drop_invalid_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Strip SOS/EOS markers from a 1-D id sequence
+    (reference: models/s3tokenizer/__init__.py:16-30)."""
+    tokens = np.asarray(tokens).reshape(-1)
+    sos_idx = np.nonzero(tokens == SPEECH_VOCAB_SIZE)[0]
+    eos_idx = np.nonzero(tokens == SPEECH_VOCAB_SIZE + 1)[0]
+    start = int(sos_idx[0]) + 1 if sos_idx.size else 0
+    end = int(eos_idx[0]) if eos_idx.size else tokens.shape[0]
+    return tokens[start:end]

@@ -1,0 +1,180 @@
+"""S3Gen stack: tokenizer, conformer, CFM, vocoder, end-to-end VC slice."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from chatterbox_embed_tpu.config import (S3GenConfig, S3TokenizerConfig,
+                                         ConformerConfig, FlowDecoderConfig, CFMConfig,
+                                         HiFTConfig, replace)
+from chatterbox_embed_tpu.models import (s3tokenizer as tok, conformer, flow_decoder,
+                                         cfm, hifigan, s3gen)
+
+# tiny configs: architecture identical, dims shrunk for CPU test speed
+TINY_TOK = S3TokenizerConfig(n_state=64, n_heads=4, n_layers=2)
+TINY_CONF = ConformerConfig(input_size=32, output_size=32, attention_heads=4,
+                            linear_units=64, num_blocks=2, num_up_blocks=1)
+TINY_DEC = FlowDecoderConfig(in_channels=32, out_channels=8, channels=16,
+                             attention_head_dim=8, num_heads=2, n_blocks=1,
+                             num_mid_blocks=2, time_embed_dim=64)
+TINY_HIFT = HiFTConfig(in_channels=8, base_channels=32, f0_cond_channels=16)
+
+
+def test_s3tokenizer_tokens(rng):
+    params = tok.init(jax.random.PRNGKey(0), TINY_TOK)
+    wav = tok.pad_to_token_multiple((rng.standard_normal(16_000) * 0.1).astype(np.float32))
+    tokens, lens = tok.tokenize_wave(params, jnp.asarray(wav)[None], cfg=TINY_TOK)
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    assert tokens.shape == (1, 25)          # 1 s -> 25 tokens
+    assert int(lens[0]) == 25
+    assert tokens.min() >= 0 and tokens.max() < 6561
+
+
+def test_s3tokenizer_max_len(rng):
+    params = tok.init(jax.random.PRNGKey(0), TINY_TOK)
+    wav = tok.pad_to_token_multiple((rng.standard_normal(32_000) * 0.1).astype(np.float32))
+    tokens, lens = tok.tokenize_wave(params, jnp.asarray(wav)[None], max_len=30, cfg=TINY_TOK)
+    assert np.asarray(tokens).shape[1] == 30
+
+
+def test_drop_invalid_tokens():
+    x = np.array([6561, 5, 7, 9, 6562, 3])
+    np.testing.assert_array_equal(tok.drop_invalid_tokens(x), [5, 7, 9])
+    x = np.array([5, 7, 9])
+    np.testing.assert_array_equal(tok.drop_invalid_tokens(x), [5, 7, 9])
+
+
+def test_conformer_upsamples_2x(rng):
+    params = conformer.init(jax.random.PRNGKey(0), TINY_CONF)
+    x = jnp.asarray(rng.standard_normal((2, 12, 32)).astype(np.float32))
+    lens = jnp.asarray([12, 9])
+    y = conformer.forward(params, x, lens, TINY_CONF)
+    assert y.shape == (2, 24, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_conformer_padding_invariance(rng):
+    """Output at valid positions must not depend on pad content."""
+    params = conformer.init(jax.random.PRNGKey(0), TINY_CONF)
+    x = rng.standard_normal((1, 10, 32)).astype(np.float32)
+    x_padded = np.concatenate([x, 37.0 * np.ones((1, 4, 32), np.float32)], axis=1)
+    lens = jnp.asarray([10])
+    y1 = np.asarray(conformer.forward(params, jnp.asarray(x), lens, TINY_CONF))
+    y2 = np.asarray(conformer.forward(params, jnp.asarray(x_padded), lens, TINY_CONF))
+    np.testing.assert_allclose(y1[0, :20], y2[0, :20], atol=2e-4)
+
+
+def test_flow_decoder_shapes(rng):
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    b, t = 2, 16
+    x = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((b, 8)).astype(np.float32))
+    cond = jnp.zeros((b, t, 8))
+    tt = jnp.asarray([0.1, 0.5])
+    v = flow_decoder.forward(params, x, mu, tt, spks, cond, cfg=TINY_DEC)
+    assert v.shape == (b, t, 8)
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_cfm_deterministic(rng):
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    cond = jnp.zeros((1, 16, 8))
+    m1 = cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC)
+    m2 = cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert m1.shape == (1, 16, 8)
+
+
+def test_cfm_loss_finite(rng):
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    x1 = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    cond = jnp.zeros((2, 16, 8))
+    mask = jnp.ones((2, 16, 1))
+    loss = cfm.compute_loss(params, jax.random.PRNGKey(1), x1, mu, spks, cond, mask,
+                            dec_cfg=TINY_DEC)
+    assert np.isfinite(float(loss))
+
+
+def test_hift_vocoder_output(rng):
+    params = hifigan.init(jax.random.PRNGKey(0), TINY_HIFT)
+    mel = jnp.asarray(rng.standard_normal((1, 10, 8)).astype(np.float32))
+    wav, src = hifigan.inference(params, mel, key=jax.random.PRNGKey(3), cfg=TINY_HIFT)
+    assert wav.shape == (1, 10 * 480)
+    assert src.shape == (1, 10 * 480)
+    w = np.asarray(wav)
+    assert np.isfinite(w).all() and np.abs(w).max() <= 0.99 + 1e-6
+    # same key -> bit-identical waveform
+    wav2, _ = hifigan.inference(params, mel, key=jax.random.PRNGKey(3), cfg=TINY_HIFT)
+    np.testing.assert_array_equal(w, np.asarray(wav2))
+
+
+def test_trim_fade():
+    f = s3gen.trim_fade()
+    assert f.shape == (960,)
+    assert f[:480].max() == 0.0 and abs(f[-1] - 1.0) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_s3gen():
+    cfg = S3GenConfig(
+        flow=replace(S3GenConfig().flow, encoder=TINY_CONF, decoder=TINY_DEC,
+                     input_size=32, output_size=8, spk_embed_dim=16, vocab_size=100),
+        hift=TINY_HIFT,
+        tokenizer=TINY_TOK,
+    )
+    key = jax.random.PRNGKey(0)
+    k = jax.random.split(key, 8)
+    from chatterbox_embed_tpu.models import layers as L
+    params = {
+        "flow": {
+            "input_embedding": L.embedding_init(k[0], cfg.flow.vocab_size, cfg.flow.input_size, 0.02),
+            "spk_embed_affine": L.linear_init(k[1], cfg.flow.spk_embed_dim, cfg.flow.output_size),
+            "encoder": conformer.init(k[2], cfg.flow.encoder),
+            "encoder_proj": L.linear_init(k[3], cfg.flow.encoder.output_size, cfg.flow.output_size),
+            "decoder": flow_decoder.init(k[4], cfg.flow.decoder),
+        },
+        "hift": hifigan.init(k[5], cfg.hift),
+    }
+    return params, cfg
+
+
+def test_s3gen_token_to_wav(tiny_s3gen, rng):
+    params, cfg = tiny_s3gen
+    tokens = jnp.asarray(rng.integers(0, 100, (1, 20)).astype(np.int32))
+    prompt_tokens = jnp.asarray(rng.integers(0, 100, (1, 8)).astype(np.int32))
+    prompt_feat = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32))
+    token_len = jnp.asarray([28])
+    wav = s3gen.token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
+                             emb, key=jax.random.PRNGKey(0), cfg=cfg)
+    # 20 target tokens -> 40 mel frames -> 40*480 samples
+    assert wav.shape == (1, 40 * 480)
+    assert np.isfinite(np.asarray(wav)).all()
+    # fade head applied: first 480 samples silent
+    assert np.abs(np.asarray(wav)[0, :480]).max() == 0.0
+
+
+def test_voice_profile_roundtrip(tmp_path, rng):
+    p = s3gen.VoiceProfile(
+        embedding=rng.standard_normal((1, 192)).astype(np.float32),
+        prompt_feat=rng.standard_normal((1, 10, 80)).astype(np.float32),
+        prompt_token=rng.integers(0, 6561, (1, 5)),
+        prompt_token_len=np.array([5]),
+        ve_embedding=rng.standard_normal((1, 256)).astype(np.float32),
+    )
+    path = str(tmp_path / "prof.npy")
+    p.save(path)
+    q = s3gen.VoiceProfile.load(path)
+    np.testing.assert_array_equal(p.embedding, q.embedding)
+    np.testing.assert_array_equal(p.prompt_feat, q.prompt_feat)
+    np.testing.assert_array_equal(p.prompt_token, q.prompt_token)
+    np.testing.assert_array_equal(p.ve_embedding, q.ve_embedding)
+    # format check: plain dict-in-npy, keys exactly like the reference
+    raw = np.load(path, allow_pickle=True).item()
+    assert set(raw.keys()) == {"embedding", "prompt_feat", "prompt_token",
+                               "prompt_token_len", "ve_embedding"}
