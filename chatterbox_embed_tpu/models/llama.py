@@ -1,0 +1,167 @@
+"""Llama-520M backbone for T3 (reference config: models/t3/llama_configs.py:1-33;
+the reference runs HF transformers' LlamaModel — here it is a from-scratch JAX
+implementation built for TPU decode).
+
+TPU design:
+- static KV cache (num_layers, B, L_max, H, D): prefill writes a block with
+  one dynamic_update_slice per layer; decode writes one slot. No concat, no
+  reallocation, shapes never change -> one compiled program per bucket.
+- llama3-scaled RoPE cos/sin are computed from integer position ids inside
+  the graph (fp32), so left-padded batches decode correctly.
+- attention logits/softmax in fp32, everything else in the compute dtype
+  (bf16 on TPU).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LlamaConfig
+from . import layers as L
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (layers, B, L, H, D)
+    v: jnp.ndarray
+
+
+def init(key, cfg: LlamaConfig = LlamaConfig()):
+    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 4))
+    nk = lambda: next(keys)
+    d = cfg.hidden_size
+    kv_out = cfg.num_kv_heads * cfg.head_dim
+    q_out = cfg.num_heads * cfg.head_dim
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "ln1": {"scale": jnp.ones((d,), jnp.float32)},
+            "q": L.linear_init(nk(), d, q_out, bias=False),
+            "k": L.linear_init(nk(), d, kv_out, bias=False),
+            "v": L.linear_init(nk(), d, kv_out, bias=False),
+            "o": L.linear_init(nk(), q_out, d, bias=False),
+            "ln2": {"scale": jnp.ones((d,), jnp.float32)},
+            "gate": L.linear_init(nk(), d, cfg.intermediate_size, bias=False),
+            "up": L.linear_init(nk(), d, cfg.intermediate_size, bias=False),
+            "down": L.linear_init(nk(), cfg.intermediate_size, d, bias=False),
+        })
+    return {"layers": layers, "norm": {"scale": jnp.ones((d,), jnp.float32)}}
+
+
+# ---------------------------------------------------------------------------
+# RoPE (llama3 scaling, reference config rope_scaling llama_configs.py:23-29)
+# ---------------------------------------------------------------------------
+
+def _scaled_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2, np.float64) / cfg.head_dim))
+    wavelen = 2.0 * np.pi / inv
+    low_wl = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wl = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+    scaled = np.where(wavelen > low_wl, inv / cfg.rope_scaling_factor,
+                      np.where(wavelen < high_wl, inv,
+                               (1 - smooth) * inv / cfg.rope_scaling_factor + smooth * inv))
+    return scaled.astype(np.float32)
+
+
+def rope_cos_sin(pos_ids: jnp.ndarray, cfg: LlamaConfig):
+    """pos_ids (B, T) int32 -> cos, sin (B, T, head_dim) fp32."""
+    inv = jnp.asarray(_scaled_inv_freq(cfg))
+    ang = pos_ids[..., None].astype(jnp.float32) * inv          # (B, T, D/2)
+    ang = jnp.concatenate([ang, ang], axis=-1)                   # HF half-split layout
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, T, H, D); HF rotate-half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos[:, :, None, :]
+            + rotated.astype(jnp.float32) * sin[:, :, None, :]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
+            attn_mask: Optional[jnp.ndarray] = None,
+            cache: Optional[KVCache] = None, cache_pos: int | jnp.ndarray = 0,
+            cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32):
+    """Run the transformer over a block of embeddings.
+
+    Args:
+      x: (B, T, D) input embeddings.
+      pos_ids: (B, T) RoPE positions.
+      attn_mask: bool (B, T, L) where L is the cache length (or T when no
+        cache): True = attend. Defaults to causal within the block.
+      cache: optional static KVCache; the block's K/V are written at
+        [cache_pos, cache_pos+T) and attention runs against the whole cache.
+    Returns (hidden (B, T, D) post final norm, updated cache).
+    """
+    b, t, d = x.shape
+    h = x.astype(dtype)
+    cos, sin = rope_cos_sin(pos_ids, cfg)
+
+    if attn_mask is None:
+        if cache is None:
+            attn_mask = jnp.tril(jnp.ones((t, t), bool))[None]
+        else:
+            lcache = cache.k.shape[2]
+            idx = jnp.arange(lcache)[None, :]
+            q_idx = cache_pos + jnp.arange(t)[:, None]
+            attn_mask = (idx[None] <= q_idx[None])               # (1, T, L)
+
+    ck, cv = (cache.k, cache.v) if cache is not None else (None, None)
+    for i, lp in enumerate(params["layers"]):
+        hin = L.rms_norm(lp["ln1"], h, cfg.rms_norm_eps)
+        q = L.split_heads(L.linear(lp["q"], hin, dtype), cfg.num_heads)
+        k = L.split_heads(L.linear(lp["k"], hin, dtype), cfg.num_kv_heads)
+        v = L.split_heads(L.linear(lp["v"], hin, dtype), cfg.num_kv_heads)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            # in-place slab update on the stacked cache: inside a while_loop
+            # carry XLA aliases this to a true in-place write (no copy)
+            ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype),
+                                              (i, 0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype),
+                                              (i, 0, cache_pos, 0, 0))
+            k_att, v_att = ck[i].astype(dtype), cv[i].astype(dtype)
+        else:
+            k_att, v_att = k, v
+
+        att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)
+        h = h + L.linear(lp["o"], L.merge_heads(att), dtype)
+
+        hin = L.rms_norm(lp["ln2"], h, cfg.rms_norm_eps)
+        mlp = L.linear(lp["down"],
+                       jax.nn.silu(L.linear(lp["gate"], hin, dtype)) * L.linear(lp["up"], hin, dtype),
+                       dtype)
+        h = h + mlp
+
+    h = L.rms_norm(params["norm"], h, cfg.rms_norm_eps)
+    if cache is not None:
+        cache = KVCache(ck, cv)
+    return h, cache
+
+
+def decode_step(params, x: jnp.ndarray, pos_id: jnp.ndarray, cache: KVCache,
+                cache_pos: jnp.ndarray, cfg: LlamaConfig = LlamaConfig(),
+                dtype=jnp.float32):
+    """One-token decode: x (B, 1, D), pos_id (B, 1). Attends to cache slots
+    [0, cache_pos]. Returns (hidden (B, 1, D), cache)."""
+    lcache = cache.k.shape[2]
+    mask = (jnp.arange(lcache)[None, None, :] <= cache_pos)      # (1, 1, L)
+    return forward(params, x, pos_id, mask, cache, cache_pos, cfg, dtype)

@@ -1,0 +1,89 @@
+"""Llama backbone parity vs HF transformers (the exact library the reference
+runs, t3.py:10,45-46) — random weights, converted through utils.weights."""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from chatterbox_embed_tpu.config import LlamaConfig
+from chatterbox_embed_tpu.models import llama
+from chatterbox_embed_tpu.utils import weights as W
+
+SMALL = LlamaConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                    num_heads=4, num_kv_heads=4, head_dim=16)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import LlamaModel, LlamaConfig as HFConfig
+    hf_cfg = HFConfig(
+        vocab_size=8, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+        max_position_embeddings=131072, rms_norm_eps=1e-5, rope_theta=500000.0,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        rope_scaling=dict(factor=8.0, high_freq_factor=4.0, low_freq_factor=1.0,
+                          original_max_position_embeddings=8192, rope_type="llama3"),
+        attn_implementation="sdpa",
+    )
+    torch.manual_seed(0)
+    model = LlamaModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, W.convert_llama(sd, 2))
+    return model, params
+
+
+def test_forward_matches_hf(hf_pair, rng):
+    model, params = hf_pair
+    x = rng.standard_normal((2, 10, 64)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model(inputs_embeds=torch.from_numpy(x)).last_hidden_state.numpy()
+    pos = jnp.broadcast_to(jnp.arange(10)[None], (2, 10))
+    ours, _ = llama.forward(params, jnp.asarray(x), pos, cfg=SMALL)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_kv_cache_decode_matches_full_forward(hf_pair, rng):
+    """Prefill + step-by-step decode == one full forward (self-consistency)."""
+    _, params = hf_pair
+    t_total, t_prefill = 12, 8
+    x = jnp.asarray(rng.standard_normal((1, t_total, 64)).astype(np.float32) * 0.1)
+    pos_full = jnp.arange(t_total)[None]
+    full, _ = llama.forward(params, x, pos_full, cfg=SMALL)
+
+    cache = llama.init_cache(SMALL, 1, t_total)
+    pre, cache = llama.forward(params, x[:, :t_prefill], pos_full[:, :t_prefill],
+                               cache=cache, cache_pos=0, cfg=SMALL)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :t_prefill]), atol=1e-4)
+    outs = [pre]
+    for i in range(t_prefill, t_total):
+        h, cache = llama.decode_step(params, x[:, i:i + 1], pos_full[:, i:i + 1],
+                                     cache, jnp.int32(i), cfg=SMALL)
+        outs.append(h)
+    stepped = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), atol=1e-4)
+
+
+def test_left_padding_invariance(hf_pair, rng):
+    """Left-padded prefill (bucketing) must equal exact-length prefill."""
+    _, params = hf_pair
+    t, pad = 6, 4
+    x = rng.standard_normal((1, t, 64)).astype(np.float32) * 0.1
+    pos = jnp.arange(t)[None]
+    exact, _ = llama.forward(params, jnp.asarray(x), pos, cfg=SMALL)
+
+    xp = np.concatenate([np.ones((1, pad, 64), np.float32), x], axis=1)
+    pos_p = jnp.concatenate([jnp.zeros((1, pad), jnp.int32),
+                             jnp.arange(t)[None]], axis=1)
+    tt = t + pad
+    causal = np.tril(np.ones((tt, tt), bool))
+    causal[:, :pad] = False  # nothing attends to pads
+    padded, _ = llama.forward(params, jnp.asarray(xp), pos_p,
+                              attn_mask=jnp.asarray(causal)[None], cfg=SMALL)
+    np.testing.assert_allclose(np.asarray(padded[:, pad:]), np.asarray(exact), atol=1e-4)
+
+
+def test_rope_llama3_scaling_shape():
+    inv = llama._scaled_inv_freq(LlamaConfig())
+    assert inv.shape == (32,)
+    assert (np.diff(inv) < 0).all()  # monotonically decreasing frequencies
