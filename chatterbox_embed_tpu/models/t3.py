@@ -1,0 +1,320 @@
+"""T3: token-to-token speech LM — [cond; text] -> speech tokens
+(reference: models/t3/t3.py, modules/cond_enc.py, modules/perceiver.py,
+modules/learned_pos_emb.py, inference/t3_hf_backend.py).
+
+TPU design (replaces the reference's HF-generate shim + python decode loop):
+- the WHOLE generation is one jitted function per (text-bucket, max-new)
+  pair: prefill forward + a lax.while_loop decode that early-exits on EOS.
+- CFG (cond/uncond) is a fused batch of 2 rows through prefill and decode —
+  one model pass per token, exactly like the reference's batch-2 trick
+  (t3.py:291-297) but without per-step dispatch.
+- sampling (vocab mask, temperature, repetition penalty via a scatter-add
+  count buffer, min-p, top-p) runs on-device; temperature/penalties are
+  traced scalars so adaptive per-chunk parameters never recompile.
+- text is LEFT-padded to the bucket with masked attention and pos-id 0, so
+  bucketed results equal exact-length results bit-for-bit.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import T3Config
+from ..ops import sampling
+from . import layers as L
+from . import llama
+
+
+class T3Cond(NamedTuple):
+    """Conditioning bundle (reference: cond_enc.py:11-38). A pytree."""
+    speaker_emb: jnp.ndarray                       # (B, 256)
+    cond_prompt_speech_tokens: Optional[jnp.ndarray] = None  # (B, 150)
+    emotion_adv: float | jnp.ndarray = 0.5
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: T3Config = T3Config()):
+    k = jax.random.split(key, 16)
+    d = cfg.hidden_size
+    qdim = cfg.perceiver_num_queries
+    qvar = math.sqrt(3.0) * math.sqrt(2.0 / (qdim + qdim))
+    perceiver = {
+        "query": jax.random.uniform(k[0], (1, qdim, d), jnp.float32, -qvar, qvar),
+        "norm": L.layer_norm_init(d),
+        "q": L.linear_init(k[1], d, d),
+        "k": L.linear_init(k[2], d, d),
+        "v": L.linear_init(k[3], d, d),
+        "o": L.linear_init(k[4], d, d),
+    }
+    return {
+        "llama": llama.init(k[5], cfg.llama),
+        "text_emb": L.embedding_init(k[6], cfg.text_tokens_dict_size, d, 0.02),
+        "speech_emb": L.embedding_init(k[7], cfg.speech_tokens_dict_size, d, 0.02),
+        "text_pos_emb": L.embedding_init(k[8], cfg.max_text_seq_len, d, 0.02),
+        "speech_pos_emb": L.embedding_init(k[9], cfg.max_speech_seq_len, d, 0.02),
+        "text_head": L.linear_init(k[10], d, cfg.text_tokens_dict_size, bias=False),
+        "speech_head": L.linear_init(k[11], d, cfg.speech_tokens_dict_size, bias=False),
+        "cond_enc": {
+            "spkr_enc": L.linear_init(k[12], cfg.speaker_embed_size, d),
+            "emotion_adv_fc": L.linear_init(k[13], 1, d, bias=False),
+            "perceiver": perceiver,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# conditioning
+# ---------------------------------------------------------------------------
+
+def _perceiver_attn(p, x1, x2, n_heads):
+    """Shared-parameter attention block: LN both inputs, MHA, residual on x1
+    (reference: perceiver.py:113-170)."""
+    h1 = L.layer_norm(p["norm"], x1)
+    h2 = L.layer_norm(p["norm"], x2)
+    q = L.split_heads(L.linear(p["q"], h1), n_heads)
+    kk = L.split_heads(L.linear(p["k"], h2), n_heads)
+    v = L.split_heads(L.linear(p["v"], h2), n_heads)
+    out = L.merge_heads(L.mha(q, kk, v))
+    return x1 + L.linear(p["o"], out)
+
+
+def perceiver_resample(p, h, n_heads=4):
+    """32 learned queries cross-attend then self-attend (perceiver.py:173-212)."""
+    query = jnp.broadcast_to(p["query"], (h.shape[0],) + p["query"].shape[1:])
+    pre = _perceiver_attn(p, query, h, n_heads)
+    return _perceiver_attn(p, pre, pre, n_heads)
+
+
+def cond_embeds(params, cond: T3Cond, cfg: T3Config = T3Config()) -> jnp.ndarray:
+    """T3CondEnc.forward + prompt-token embedding (reference: t3.py:72-79,
+    cond_enc.py:64-97). Returns (B, 34, D)."""
+    ce = params["cond_enc"]
+    spk = L.linear(ce["spkr_enc"], cond.speaker_emb.reshape(-1, cfg.speaker_embed_size))
+    parts = [spk[:, None, :]]
+    if cond.cond_prompt_speech_tokens is not None:
+        toks = cond.cond_prompt_speech_tokens
+        emb = (L.embedding(params["speech_emb"], toks)
+               + params["speech_pos_emb"]["w"][: toks.shape[1]][None])
+        parts.append(perceiver_resample(ce["perceiver"], emb, cfg.perceiver_num_heads))
+    emo = jnp.asarray(cond.emotion_adv, jnp.float32).reshape(-1, 1, 1)
+    emo = jnp.broadcast_to(emo, (spk.shape[0], 1, 1))
+    parts.append(L.linear(ce["emotion_adv_fc"], emo))
+    return jnp.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# training forward / loss (reference: t3.py:111-202)
+# ---------------------------------------------------------------------------
+
+def forward(params, cond: T3Cond, text_tokens, text_lens, speech_tokens, speech_lens,
+            cfg: T3Config = T3Config(), dtype=jnp.float32):
+    """Teacher-forced forward. Returns (text_logits, speech_logits)."""
+    ce = cond_embeds(params, cond, cfg)
+    b, lt = text_tokens.shape
+    ls = speech_tokens.shape[1]
+    te = (L.embedding(params["text_emb"], text_tokens)
+          + params["text_pos_emb"]["w"][:lt][None])
+    se = (L.embedding(params["speech_emb"], speech_tokens)
+          + params["speech_pos_emb"]["w"][:ls][None])
+    x = jnp.concatenate([jnp.broadcast_to(ce, (b,) + ce.shape[1:]), te, se], axis=1)
+    t = x.shape[1]
+    lc = ce.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    # causal mask + padding masks inside text/speech streams
+    idx = jnp.arange(t)
+    causal = idx[None, :] <= idx[:, None]
+    text_valid = (idx[None] < lc) | ((idx[None] >= lc) & (idx[None] < lc + text_lens[:, None])) \
+        | (idx[None] >= lc + lt)
+    speech_valid = (idx[None] < lc + lt) | (idx[None] < lc + lt + speech_lens[:, None])
+    key_valid = text_valid & speech_valid                      # (B, T)
+    mask = causal[None] & key_valid[:, None, :]
+    h, _ = llama.forward(params["llama"], x, pos, mask, cfg=cfg.llama, dtype=dtype)
+    text_latents = h[:, lc - 1: lc - 1 + lt]      # predict token t from position t-1
+    speech_latents = h[:, lc + lt - 1: lc + lt - 1 + ls]
+    text_logits = L.linear(params["text_head"], text_latents, dtype)
+    speech_logits = L.linear(params["speech_head"], speech_latents, dtype)
+    return text_logits, speech_logits
+
+
+def loss(params, cond: T3Cond, text_tokens, text_lens, speech_tokens, speech_lens,
+         cfg: T3Config = T3Config(), dtype=jnp.float32):
+    """Masked CE over text and speech streams (reference: t3.py:168-202).
+
+    Note: the reference computes logits at the token's own position (an
+    off-by-one it inherited); we use the standard next-token shift, which is
+    the correct training objective for this decoder.
+    """
+    text_logits, speech_logits = forward(params, cond, text_tokens, text_lens,
+                                         speech_tokens, speech_lens, cfg, dtype)
+
+    def masked_ce(logits, targets, lens):
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(lsm, targets[..., None], axis=-1)[..., 0]
+        m = jnp.arange(targets.shape[1])[None] < lens[:, None]
+        return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1)
+
+    return (masked_ce(text_logits, text_tokens, text_lens),
+            masked_ce(speech_logits, speech_tokens, speech_lens))
+
+
+# ---------------------------------------------------------------------------
+# inference: fused-CFG jitted generation
+# ---------------------------------------------------------------------------
+
+class SamplingParams(NamedTuple):
+    temperature: jnp.ndarray       # ()
+    cfg_weight: jnp.ndarray        # ()
+    repetition_penalty: jnp.ndarray
+    min_p: jnp.ndarray
+
+
+def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
+                   cfg: T3Config, cfg_on: bool):
+    """Context embeddings [cond; text; BOS(; BOS)] with CFG row layout
+    (reference: t3.py:81-109, 284-297 — incl. the duplicated BOS the deployed
+    inference path feeds when cfg_weight > 0)."""
+    ce = cond_embeds(params, cond, cfg)              # (1, 34, D)
+    lt = text_tokens.shape[1]
+    te = L.embedding(params["text_emb"], text_tokens)    # (1, T, D)
+    if cfg_on:
+        te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)  # uncond: zero text
+    te = te + params["text_pos_emb"]["w"][:lt][None]
+    b = te.shape[0]
+    ce = jnp.broadcast_to(ce, (b,) + ce.shape[1:])
+    bos = (params["speech_emb"]["w"][cfg.start_speech_token]
+           + params["speech_pos_emb"]["w"][0])[None, None, :]
+    bos = jnp.broadcast_to(bos, (b, 1, bos.shape[-1]))
+    parts = [ce, te, bos]
+    if cfg_on:
+        parts.append(bos)
+    return jnp.concatenate(parts, axis=1)            # (B, P, D)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "pad_len", "cfg_on",
+                                             "use_top_p", "dtype"))
+def _generate(params, context, key, sp: SamplingParams, top_p,
+              cfg: T3Config, max_new: int, pad_len: int, cfg_on: bool,
+              use_top_p: bool, dtype=jnp.float32):
+    """Prefill + while-loop decode, all on device.
+
+    context: (B, P, D) with `pad_len` masked slots on the LEFT.
+    Returns (tokens (max_new,) int32, num_generated ()) — EOS included.
+    """
+    b, p_len, d = context.shape
+    total = p_len + max_new
+    cache = llama.init_cache(cfg.llama, b, total, dtype)
+
+    # prefill: causal mask over the FULL cache length (future slots invalid),
+    # pads excluded as keys, pos ids start at pad end
+    idx = jnp.arange(p_len)
+    kidx = jnp.arange(total)
+    causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))
+    pos = jnp.maximum(idx - pad_len, 0)[None]
+    pos = jnp.broadcast_to(pos, (b, p_len))
+    h, cache = llama.forward(params["llama"], context, pos, causal[None],
+                             cache=cache, cache_pos=0, cfg=cfg.llama, dtype=dtype)
+    logits0 = L.linear(params["speech_head"], h[:, -1], jnp.float32)
+
+    eos = cfg.stop_speech_token
+    vocab = cfg.speech_tokens_dict_size
+
+    def sample_from(logits, counts, k):
+        if cfg_on:
+            lc, lu = logits[0], logits[1]
+            lg = lc + sp.cfg_weight * (lc - lu)
+        else:
+            lg = logits[0]
+        lg = sampling.vocab_mask_logits(lg, cfg.start_speech_token, eos)
+        lg = lg / sp.temperature
+        lg = sampling.repetition_penalty(lg, counts, sp.repetition_penalty)
+        lg = sampling.min_p_filter(lg, sp.min_p)
+        if use_top_p:
+            lg = sampling.top_p_filter(lg, top_p)
+        return sampling.sample_token(k, lg)
+
+    class Carry(NamedTuple):
+        cache: llama.KVCache
+        logits: jnp.ndarray         # (B, V)
+        tokens: jnp.ndarray         # (max_new,)
+        counts: jnp.ndarray         # (V,) int32 for repetition penalty
+        i: jnp.ndarray
+        done: jnp.ndarray
+
+    counts0 = jnp.zeros((vocab,), jnp.int32).at[cfg.start_speech_token].set(1)
+
+    def cond_fn(c: Carry):
+        return (~c.done) & (c.i < max_new)
+
+    def body_fn(c: Carry):
+        k = jax.random.fold_in(key, c.i)
+        tok = sample_from(c.logits, c.counts, k)
+        tokens = c.tokens.at[c.i].set(tok.astype(jnp.int32))
+        counts = c.counts.at[tok].add(1)
+        done = tok == eos
+        # next embedding: speech_emb[tok] + speech_pos_emb[i + 1]
+        emb = (params["speech_emb"]["w"][tok] + params["speech_pos_emb"]["w"][c.i + 1])
+        emb = jnp.broadcast_to(emb[None, None, :], (b, 1, d))
+        pos_id = jnp.full((b, 1), p_len - pad_len + c.i, jnp.int32)
+        cache_pos = p_len + c.i
+        lmask = (jnp.arange(total)[None, None, :] <= cache_pos) & \
+                (jnp.arange(total)[None, None, :] >= pad_len)
+        hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id, lmask,
+                                   cache=c.cache, cache_pos=cache_pos,
+                                   cfg=cfg.llama, dtype=dtype)
+        logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
+        return Carry(cache2, logits, tokens, counts, c.i + 1, done)
+
+    init_carry = Carry(cache, logits0, jnp.zeros((max_new,), jnp.int32),
+                       counts0, jnp.int32(0), jnp.bool_(False))
+    final = jax.lax.while_loop(cond_fn, body_fn, init_carry)
+    return final.tokens, final.i
+
+
+_TEXT_BUCKETS = (48, 96, 192, 384, 768)
+
+
+def _bucket(n: int) -> int:
+    for bkt in _TEXT_BUCKETS:
+        if n <= bkt:
+            return bkt
+    return n
+
+
+def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
+             max_new_tokens: int = 1000, temperature: float = 0.8,
+             cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
+             min_p: float = 0.05, top_p: float = 1.0,
+             seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
+    """Generate speech tokens for one utterance (reference: t3.py:204-391).
+
+    text_tokens: (1, T) already wrapped in SOT/EOT. Returns the generated ids
+    INCLUDING the terminating EOS if produced (reference returns `predicted`
+    which also includes EOS).
+    """
+    text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
+    cfg_on = cfg_weight > 0.0
+    lt = text_tokens.shape[1]
+    pad = _bucket(lt) - lt
+    context = _build_context(params, cond, text_tokens, cfg, cfg_on)
+    if pad:
+        # left-pad the whole context with masked zero-slots so every text
+        # length in a bucket compiles to the same program and computes the
+        # exact same result as the unpadded sequence
+        context = jnp.concatenate(
+            [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype), context],
+            axis=1)
+    sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
+                        jnp.float32(repetition_penalty), jnp.float32(min_p))
+    tokens, n = _generate(params, context, jax.random.PRNGKey(seed), sp,
+                          jnp.float32(top_p), cfg, int(max_new_tokens), pad,
+                          cfg_on, top_p < 1.0, dtype)
+    n = int(n)
+    return np.asarray(tokens)[:n]

@@ -1,0 +1,122 @@
+"""T3 speech LM: conditioning, teacher-forced forward/loss, jitted generation."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from chatterbox_embed_tpu.config import T3Config, LlamaConfig, replace
+from chatterbox_embed_tpu.models import t3
+from chatterbox_embed_tpu.ops import sampling
+
+TINY = T3Config(
+    llama=LlamaConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=4, head_dim=16),
+    text_tokens_dict_size=50, speech_tokens_dict_size=40,
+    start_speech_token=36, stop_speech_token=37,
+    max_text_tokens=64, max_speech_tokens=128,
+    speaker_embed_size=16, speech_cond_prompt_len=6,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_t3():
+    return t3.init(jax.random.PRNGKey(0), TINY)
+
+
+def _cond(rng):
+    return t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(rng.integers(0, 36, (1, 6)).astype(np.int32)),
+        emotion_adv=0.5,
+    )
+
+
+def test_cond_embeds_shape(tiny_t3, rng):
+    ce = t3.cond_embeds(tiny_t3, _cond(rng), TINY)
+    assert ce.shape == (1, 1 + 32 + 1, 64)
+
+
+def test_forward_and_loss(tiny_t3, rng):
+    text = jnp.asarray(rng.integers(0, 50, (2, 8)).astype(np.int32))
+    speech = jnp.asarray(rng.integers(0, 36, (2, 12)).astype(np.int32))
+    cond = t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(rng.integers(0, 36, (2, 6)).astype(np.int32)),
+        emotion_adv=0.5)
+    tl, sl = t3.loss(tiny_t3, cond, text, jnp.asarray([8, 5]), speech,
+                     jnp.asarray([12, 9]), TINY)
+    assert np.isfinite(float(tl)) and np.isfinite(float(sl))
+    # CE against ~uniform vocab at init
+    assert float(sl) < np.log(40) * 3
+
+
+def test_generate_produces_tokens(tiny_t3, rng):
+    text = np.concatenate([[5], rng.integers(1, 50, 6), [0]])[None]  # SOT..EOT
+    toks = t3.generate(tiny_t3, _cond(rng), text, max_new_tokens=16,
+                       temperature=0.8, cfg_weight=0.3, seed=1, cfg=TINY)
+    assert 1 <= len(toks) <= 16
+    valid = (toks < 36) | (toks == 37)
+    assert valid.all()  # vocab mask: only real codes or EOS
+
+
+def test_generate_deterministic_same_seed(tiny_t3, rng):
+    text = np.concatenate([[5], rng.integers(1, 50, 6), [0]])[None]
+    c = _cond(rng)
+    t1 = t3.generate(tiny_t3, c, text, max_new_tokens=12, cfg_weight=0.3, seed=7, cfg=TINY)
+    t2 = t3.generate(tiny_t3, c, text, max_new_tokens=12, cfg_weight=0.3, seed=7, cfg=TINY)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_generate_bucket_invariance(tiny_t3, rng):
+    """Two text lengths in the same bucket must not contaminate each other:
+    the padded program must equal what an exact-length program computes."""
+    c = _cond(rng)
+    text = np.concatenate([[5], rng.integers(1, 50, 10), [0]])[None]
+    t_pad = t3.generate(tiny_t3, c, text, max_new_tokens=8, cfg_weight=0.5, seed=3, cfg=TINY)
+    # same text but exact bucket (len 48 would need padding; compare against
+    # a monkeypatched exact bucket)
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    orig = t3mod._TEXT_BUCKETS
+    t3mod._TEXT_BUCKETS = (len(text[0]),)
+    try:
+        t_exact = t3.generate(tiny_t3, c, text, max_new_tokens=8, cfg_weight=0.5,
+                              seed=3, cfg=TINY)
+    finally:
+        t3mod._TEXT_BUCKETS = orig
+    np.testing.assert_array_equal(t_pad, t_exact)
+
+
+def test_sampling_ops(rng):
+    logits = jnp.asarray(rng.standard_normal(20).astype(np.float32))
+    masked = sampling.vocab_mask_logits(logits, 10, 15)
+    m = np.asarray(masked)
+    assert np.isneginf(m[11]) and np.isfinite(m[15]) and np.isfinite(m[:10]).all()
+
+    counts = jnp.zeros(20, jnp.int32).at[3].set(2)
+    pen = np.asarray(sampling.repetition_penalty(logits, counts, 1.2))
+    l3 = float(logits[3])
+    assert np.isclose(pen[3], l3 / 1.2 if l3 > 0 else l3 * 1.2)
+
+    mp = np.asarray(sampling.min_p_filter(logits, 0.5))
+    probs = np.exp(np.asarray(logits)) / np.exp(np.asarray(logits)).sum()
+    keep = probs >= 0.5 * probs.max()
+    assert (np.isfinite(mp) == keep).all()
+
+
+def test_top_p_matches_hf(rng):
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+    logits = rng.standard_normal((1, 50)).astype(np.float32)
+    ours = np.asarray(sampling.top_p_filter(jnp.asarray(logits[0]), 0.7))
+    ref = TopPLogitsWarper(top_p=0.7)(None, torch.from_numpy(logits))[0].numpy()
+    np.testing.assert_array_equal(np.isfinite(ours), np.isfinite(ref))
+    np.testing.assert_allclose(ours[np.isfinite(ours)], ref[np.isfinite(ref)], atol=1e-6)
+
+
+def test_min_p_matches_hf(rng):
+    import torch
+    from transformers.generation.logits_process import MinPLogitsWarper
+    logits = rng.standard_normal((1, 50)).astype(np.float32)
+    ours = np.asarray(sampling.min_p_filter(jnp.asarray(logits[0]), 0.05))
+    ref = MinPLogitsWarper(min_p=0.05)(None, torch.from_numpy(logits))[0].numpy()
+    np.testing.assert_array_equal(np.isfinite(ours), np.isfinite(ref))
