@@ -1,0 +1,153 @@
+"""End-to-end TTS benchmark: real-time factor on the target accelerator.
+
+Measures the full synthesis path at production shapes — T3 autoregressive
+decode (fused-CFG, 30-layer Llama, on-device sampling) followed by S3Gen
+(conformer + 10-step CFM + HiFT vocoder) — with random weights (HF
+checkpoints are unreachable in this environment; FLOPs and memory traffic
+are identical to converted weights).
+
+Prints ONE JSON line:
+  {"metric": "rtf", "value": <wall_sec / audio_sec>, "unit": "wall_s/audio_s",
+   "vs_baseline": <0.1 / rtf>}
+Baseline: the BASELINE.md target RTF < 0.1 per chip; vs_baseline > 1 beats it.
+
+Usage:
+  python bench.py              # full-size model on the default device (TPU)
+  python bench.py --smoke      # tiny model on CPU (CI / correctness check)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny config on CPU")
+    ap.add_argument("--tokens", type=int, default=250,
+                    help="speech tokens per utterance (25/s; 250 = 10 s audio)")
+    ap.add_argument("--text-len", type=int, default=96, help="text tokens")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from chatterbox_embed_tpu.config import (ChatterboxConfig, T3Config, LlamaConfig,
+                                             S3GenConfig, S3TokenizerConfig,
+                                             ConformerConfig, FlowDecoderConfig,
+                                             HiFTConfig, replace)
+    from chatterbox_embed_tpu.models import t3 as t3_mod
+    from chatterbox_embed_tpu.models import s3gen as s3gen_mod
+
+    if args.smoke:
+        cfg = ChatterboxConfig(
+            t3=T3Config(llama=LlamaConfig(hidden_size=64, intermediate_size=128,
+                                          num_layers=2, num_heads=4, num_kv_heads=4,
+                                          head_dim=16),
+                        max_text_tokens=64, max_speech_tokens=128,
+                        speech_cond_prompt_len=8),
+            s3gen=S3GenConfig(
+                flow=replace(S3GenConfig().flow,
+                             encoder=ConformerConfig(input_size=32, output_size=32,
+                                                     attention_heads=4, linear_units=64,
+                                                     num_blocks=1, num_up_blocks=1),
+                             decoder=FlowDecoderConfig(in_channels=32, out_channels=8,
+                                                       channels=16, attention_head_dim=8,
+                                                       num_heads=2, n_blocks=1,
+                                                       num_mid_blocks=1, time_embed_dim=64),
+                             input_size=32, output_size=8),
+                hift=HiFTConfig(in_channels=8, base_channels=32, f0_cond_channels=16),
+                tokenizer=S3TokenizerConfig(n_state=64, n_heads=4, n_layers=1),
+                mel_num=8),
+        )
+        args.tokens = min(args.tokens, 48)
+        args.text_len = min(args.text_len, 40)
+        dtype = jnp.float32
+    else:
+        cfg = ChatterboxConfig()
+        dtype = jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    t3_params = t3_mod.init(k[0], cfg.t3)
+    s3_params = s3gen_mod.init(k[1], cfg.s3gen)
+    if dtype == jnp.bfloat16:
+        # params stay fp32 masters; compute dtype handles the casting
+        pass
+
+    cond = t3_mod.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((1, cfg.t3.speaker_embed_size)),
+                                jnp.float32),
+        cond_prompt_speech_tokens=jnp.asarray(
+            rng.integers(0, 6561, (1, cfg.t3.speech_cond_prompt_len)), jnp.int32),
+        emotion_adv=0.5)
+    text = np.concatenate([[cfg.t3.start_text_token],
+                           rng.integers(1, cfg.t3.text_tokens_dict_size,
+                                        args.text_len - 2),
+                           [cfg.t3.stop_text_token]]).astype(np.int32)[None]
+
+    n_prompt = 8 if args.smoke else 150
+    prompt_tokens = jnp.asarray(rng.integers(0, 6561, (1, n_prompt)), jnp.int32)
+    prompt_feat = jnp.asarray(rng.standard_normal((1, 2 * n_prompt, cfg.s3gen.mel_num)),
+                              jnp.float32)
+    embedding = jnp.asarray(rng.standard_normal((1, cfg.s3gen.flow.spk_embed_dim)),
+                            jnp.float32)
+
+    def synthesize(seed: int):
+        toks = t3_mod.generate(t3_params, cond, text, max_new_tokens=args.tokens,
+                               temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
+                               seed=seed, cfg=cfg.t3, dtype=dtype)
+        n = len(toks)
+        pad = np.zeros((1, args.tokens), np.int32)
+        pad[0, :n] = toks[:args.tokens]
+        token_len = jnp.asarray([n_prompt + args.tokens])
+        wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad), token_len,
+                                     prompt_tokens, prompt_feat, embedding,
+                                     key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
+                                     dtype=dtype)
+        return np.asarray(wav)
+
+    # warmup / compile
+    t0 = time.time()
+    wav = synthesize(0)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        wav = synthesize(i + 1)
+        times.append(time.time() - t0)
+
+    audio_sec = args.tokens / 25.0
+    wall = float(np.median(times))
+    rtf = wall / audio_sec
+    result = {
+        "metric": "rtf",
+        "value": round(rtf, 5),
+        "unit": "wall_s/audio_s",
+        "vs_baseline": round(0.1 / rtf, 3),
+        "detail": {
+            "audio_s": audio_sec,
+            "wall_s_median": round(wall, 4),
+            "compile_s": round(compile_s, 1),
+            "iters": args.iters,
+            "device": str(jax.devices()[0]),
+            "mode": "smoke" if args.smoke else "full",
+            "wav_samples": int(wav.size),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

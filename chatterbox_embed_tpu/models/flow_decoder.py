@@ -95,21 +95,21 @@ def _resnet(p, x, mask, t_emb, dtype):
     return h + L.conv1d(p["res_conv"], x * mask, dtype=dtype)
 
 
-def _tblock(p, x, n_heads, dtype):
+def _tblock(p, x, n_heads, dtype, key_mask=None):
     h = L.layer_norm(p["ln1"], x)
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    x = x + L.linear(p["o"], L.merge_heads(L.mha(q, k, v)), dtype)
+    x = x + L.linear(p["o"], L.merge_heads(L.mha(q, k, v, mask=key_mask)), dtype)
     h = L.layer_norm(p["ln3"], x)
     h = L.linear(p["ff2"], jax.nn.gelu(L.linear(p["ff1"], h, dtype), approximate=False), dtype)
     return x + h
 
 
-def _stage(p, x, mask, t_emb, n_heads, dtype):
+def _stage(p, x, mask, t_emb, n_heads, dtype, key_mask=None):
     x = _resnet(p["resnet"], x, mask, t_emb, dtype)
     for tb in p["tblocks"]:
-        x = _tblock(tb, x, n_heads, dtype)
+        x = _tblock(tb, x, n_heads, dtype, key_mask)
     return x
 
 
@@ -127,8 +127,12 @@ def forward(params, x, mu, t, spks, cond, mask=None,
     Returns (B, T, 80).
     """
     b, tlen, _ = x.shape
+    key_mask = None
     if mask is None:
         mask = jnp.ones((b, tlen, 1), x.dtype)
+    else:
+        # bucket-padding exactness: pad positions must not be attended to
+        key_mask = (mask[..., 0] > 0)[:, None, None, :]      # (B, 1, 1, T)
     t_emb = _sinusoidal_t(t, cfg.in_channels)
     t_emb = L.linear(params["time_mlp"]["lin2"],
                      jax.nn.silu(L.linear(params["time_mlp"]["lin1"], t_emb)))
@@ -137,15 +141,15 @@ def forward(params, x, mu, t, spks, cond, mask=None,
         [x, mu, jnp.broadcast_to(spks[:, None, :], (b, tlen, spks.shape[-1])), cond],
         axis=-1).astype(dtype)
 
-    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype)
+    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
     skip = h
     h = L.conv1d(params["down"]["downsample"], h * mask, padding=(2, 0), dtype=dtype)
 
     for st in params["mid"]:
-        h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype)
+        h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype, key_mask)
 
     h = jnp.concatenate([h, skip], axis=-1)
-    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype)
+    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
     h = L.conv1d(params["up"]["upsample"], h * mask, padding=(2, 0), dtype=dtype)
 
     h = _causal_block(params["final_block"], h, mask, dtype)

@@ -84,7 +84,14 @@ def flow_to_mel(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
     conds = jnp.zeros((h.shape[0], h.shape[1], cfg.flow.output_size), h.dtype)
     conds = conds.at[:, :mel_len1].set(prompt_feat)
 
-    mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=None,
+    # mel-rate validity mask: bucket padding must not leak into valid frames
+    mel_valid = cfg.flow.token_mel_ratio * token_len
+    if not finalize:
+        mel_valid = mel_valid - cfg.flow.pre_lookahead_len * cfg.flow.token_mel_ratio
+    mel_mask = (jnp.arange(h.shape[1])[None, :] < mel_valid[:, None])[..., None]
+    mel_mask = mel_mask.astype(h.dtype)
+
+    mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=mel_mask,
                            cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder, dtype=dtype)
     return mel[:, mel_len1:]
 
@@ -133,7 +140,10 @@ def embed_ref(params, ref_wav: np.ndarray, ref_sr: int,
     hop = cfg.mel_hop
     if wav24.shape[1] % hop:
         wav24 = np.pad(wav24, ((0, 0), (0, hop - wav24.shape[1] % hop)))
-    mel24 = np.asarray(mel_ops.mel_spectrogram_24k(jnp.asarray(wav24)))
+    mel24 = np.asarray(mel_ops.mel_spectrogram_24k(
+        jnp.asarray(wav24), n_fft=cfg.mel_n_fft, num_mels=cfg.mel_num,
+        hop_size=cfg.mel_hop, win_size=cfg.mel_win, fmin=cfg.mel_fmin,
+        fmax=cfg.mel_fmax))
     mel24 = np.swapaxes(mel24, 1, 2)                     # (1, T_mel, 80)
 
     wav16 = ref_wav if ref_sr == S3_SR else np.asarray(

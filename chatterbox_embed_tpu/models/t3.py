@@ -199,10 +199,10 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new", "pad_len", "cfg_on",
-                                             "use_top_p", "dtype"))
+                                             "use_top_p", "stop_on_eos", "dtype"))
 def _generate(params, context, key, sp: SamplingParams, top_p,
               cfg: T3Config, max_new: int, pad_len: int, cfg_on: bool,
-              use_top_p: bool, dtype=jnp.float32):
+              use_top_p: bool, stop_on_eos: bool = True, dtype=jnp.float32):
     """Prefill + while-loop decode, all on device.
 
     context: (B, P, D) with `pad_len` masked slots on the LEFT.
@@ -258,7 +258,7 @@ def _generate(params, context, key, sp: SamplingParams, top_p,
         tok = sample_from(c.logits, c.counts, k)
         tokens = c.tokens.at[c.i].set(tok.astype(jnp.int32))
         counts = c.counts.at[tok].add(1)
-        done = tok == eos
+        done = (tok == eos) if stop_on_eos else jnp.bool_(False)
         # next embedding: speech_emb[tok] + speech_pos_emb[i + 1]
         emb = (params["speech_emb"]["w"][tok] + params["speech_pos_emb"]["w"][c.i + 1])
         emb = jnp.broadcast_to(emb[None, None, :], (b, 1, d))
@@ -291,7 +291,7 @@ def _bucket(n: int) -> int:
 def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
              max_new_tokens: int = 1000, temperature: float = 0.8,
              cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
-             min_p: float = 0.05, top_p: float = 1.0,
+             min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
              seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
     """Generate speech tokens for one utterance (reference: t3.py:204-391).
 
@@ -302,7 +302,9 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
     text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
     cfg_on = cfg_weight > 0.0
     lt = text_tokens.shape[1]
-    pad = _bucket(lt) - lt
+    if lt > cfg.max_text_seq_len:
+        raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
+    pad = min(_bucket(lt), cfg.max_text_seq_len) - lt
     context = _build_context(params, cond, text_tokens, cfg, cfg_on)
     if pad:
         # left-pad the whole context with masked zero-slots so every text
@@ -315,6 +317,6 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
                         jnp.float32(repetition_penalty), jnp.float32(min_p))
     tokens, n = _generate(params, context, jax.random.PRNGKey(seed), sp,
                           jnp.float32(top_p), cfg, int(max_new_tokens), pad,
-                          cfg_on, top_p < 1.0, dtype)
+                          cfg_on, top_p < 1.0, stop_on_eos, dtype)
     n = int(n)
     return np.asarray(tokens)[:n]

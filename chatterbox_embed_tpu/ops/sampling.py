@@ -43,9 +43,8 @@ def min_p_filter(logits: jnp.ndarray, min_p: float) -> jnp.ndarray:
 
 
 def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1)."""
-    if top_p >= 1.0:
-        return logits
+    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1).
+    `top_p` may be traced; callers gate the >= 1.0 no-op case statically."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

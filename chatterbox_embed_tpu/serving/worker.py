@@ -1,0 +1,197 @@
+"""Redis Streams job worker (reference: worker_redis.py:17-175 — consumer
+groups, 5 s blocking reads, per-job status hash, dead-letter stream).
+
+redis-py is optional: when missing, an in-process queue backend with the same
+stream semantics lets the worker loop run in tests and hermetic environments.
+The distribution model is the reference's: one worker process per accelerator,
+data parallelism over requests via consumer groups (SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import uuid
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+STREAM_TTS = "runpod:jobs:tts"
+STREAM_VC = "runpod:jobs:vc"
+DLQ_STREAM = "runpod:dlq"
+
+
+class InMemoryStreams:
+    """Minimal Redis-Streams-compatible backend (xadd/xreadgroup/xack/hset)."""
+
+    def __init__(self):
+        self.streams: Dict[str, List[Tuple[str, Dict[str, str]]]] = defaultdict(list)
+        self.delivered: Dict[Tuple[str, str], set] = defaultdict(set)
+        self.acked: Dict[Tuple[str, str], set] = defaultdict(set)
+        self.hashes: Dict[str, Dict[str, str]] = defaultdict(dict)
+
+    def xadd(self, stream: str, fields: Dict[str, str]) -> str:
+        mid = f"{int(time.time() * 1000)}-{len(self.streams[stream])}"
+        self.streams[stream].append((mid, dict(fields)))
+        return mid
+
+    def xgroup_create(self, stream: str, group: str, id: str = "0", mkstream=False):
+        return True
+
+    def xreadgroup(self, group: str, consumer: str, streams: Dict[str, str],
+                   count: int = 1, block: int = 0):
+        out = []
+        for stream in streams:
+            key = (stream, group)
+            pending = [(m, f) for m, f in self.streams[stream]
+                       if m not in self.delivered[key]]
+            take = pending[:count]
+            for m, _ in take:
+                self.delivered[key].add(m)
+            if take:
+                out.append((stream, take))
+        return out
+
+    def xack(self, stream: str, group: str, mid: str):
+        self.acked[(stream, group)].add(mid)
+
+    def hset(self, name: str, mapping: Dict[str, str]):
+        self.hashes[name].update(mapping)
+
+    def hgetall(self, name: str) -> Dict[str, str]:
+        return dict(self.hashes[name])
+
+
+def _connect_redis():
+    try:
+        import redis  # type: ignore
+        return redis.Redis(
+            host=os.getenv("REDIS_HOST", "localhost"),
+            port=int(os.getenv("REDIS_PORT", "6379")),
+            password=os.getenv("REDIS_PASSWORD") or None,
+            db=int(os.getenv("REDIS_DB", "0")),
+            decode_responses=True,
+        )
+    except ImportError:
+        logger.warning("redis-py unavailable; using in-memory stream backend")
+        return InMemoryStreams()
+
+
+class RedisWorker:
+    """Consume TTS / voice-clone jobs from a stream and run them."""
+
+    def __init__(self, mode: str = "tts", client=None,
+                 tts_factory: Optional[Callable] = None,
+                 vc_factory: Optional[Callable] = None):
+        assert mode in ("tts", "vc")
+        self.mode = mode
+        self.stream = STREAM_TTS if mode == "tts" else STREAM_VC
+        self.group = os.getenv("REDIS_CONSUMER_GROUP", "workers")
+        self.consumer = os.getenv("REDIS_CONSUMER_NAME", f"worker-{uuid.uuid4().hex[:8]}")
+        self.client = client or _connect_redis()
+        self._tts_factory = tts_factory
+        self._vc_factory = vc_factory
+        self._tts = None
+        self._vc = None
+        try:
+            self.client.xgroup_create(self.stream, self.group, id="0", mkstream=True)
+        except Exception:
+            pass  # group exists
+
+    # -- job payloads: flattened payload:* fields or one JSON blob
+    @staticmethod
+    def parse_payload(fields: Dict[str, str]) -> Dict[str, Any]:
+        if "payload" in fields:
+            return json.loads(fields["payload"])
+        payload = {}
+        for k, v in fields.items():
+            if k.startswith("payload:"):
+                payload[k.split(":", 1)[1]] = v
+        return payload
+
+    def set_status(self, job_id: str, status: str, **extra):
+        self.client.hset(f"runpod:job:{job_id}",
+                         mapping={"status": status, "updated_at": str(time.time()), **extra})
+
+    def _get_tts(self):
+        if self._tts is None:
+            if self._tts_factory is None:
+                from ..tts import ChatterboxTTS
+                self._tts_factory = ChatterboxTTS.from_pretrained
+            self._tts = self._tts_factory()
+        return self._tts
+
+    def _get_vc(self):
+        if self._vc is None:
+            if self._vc_factory is None:
+                from ..vc import ChatterboxVC
+                self._vc_factory = ChatterboxVC.from_pretrained
+            self._vc = self._vc_factory()
+        return self._vc
+
+    def process_message(self, mid: str, fields: Dict[str, str]) -> bool:
+        payload = self.parse_payload(fields)
+        job_id = payload.get("job_id", mid)
+        job_type = payload.get("type", self.mode)
+        self.set_status(job_id, "processing")
+        try:
+            if job_type == "tts":
+                result = self._get_tts().generate_tts_story(**{
+                    k: payload[k] for k in
+                    ("story_id", "user_id", "text", "voice_profile_b64",
+                     "voice_profile_r2_key", "language", "version_id")
+                    if k in payload})
+            elif job_type == "vc":
+                from ..vc import clone_voice
+                result = clone_voice(self._get_vc(), **{
+                    k: payload[k] for k in
+                    ("voice_id", "voice_name", "user_id", "audio_b64", "audio_r2_key",
+                     "language")
+                    if k in payload})
+            else:
+                raise ValueError(f"unknown job type: {job_type}")
+            self.set_status(job_id, "done", result=json.dumps(result, default=str))
+            return True
+        except Exception as e:  # noqa: BLE001 — worker must survive bad jobs
+            logger.exception("job %s failed", job_id)
+            self.set_status(job_id, "error", error=str(e))
+            self.client.xadd(DLQ_STREAM, {"source": self.stream, "job_id": job_id,
+                                          "error": str(e)})
+            return False
+
+    def run_once(self) -> int:
+        """Process up to one message; returns number handled."""
+        msgs = self.client.xreadgroup(self.group, self.consumer,
+                                      {self.stream: ">"}, count=1, block=5000)
+        handled = 0
+        for _stream, entries in msgs or []:
+            for mid, fields in entries:
+                self.process_message(mid, fields)
+                self.client.xack(self.stream, self.group, mid)
+                handled += 1
+        return handled
+
+    def run_forever(self):
+        logger.info("worker %s consuming %s", self.consumer, self.stream)
+        while True:
+            try:
+                self.run_once()
+            except KeyboardInterrupt:
+                break
+            except Exception:  # noqa: BLE001
+                logger.exception("worker loop error; backing off")
+                time.sleep(1.0)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["tts", "vc"], default=os.getenv("WORKER_MODE", "tts"))
+    args = ap.parse_args()
+    RedisWorker(mode=args.mode).run_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""Deep text sanitisation for TTS input (reference behaviors:
+chunking/text_sanitizer.py — unicode normalisation, markup stripping,
+number/currency/time verbalisation, URL verbalisation, abbreviation
+expansion, story-break mapping, per-language charset validation).
+
+Implemented dependency-free (the reference leans on `inflect`; we ship our own
+number-to-words engine for English and digit-spelling fallbacks elsewhere).
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import List, Optional, Tuple
+
+STORY_BREAK_TOKEN = "<STORY_BREAK>"
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+         "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+         "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+_SCALE = [(10 ** 9, "billion"), (10 ** 6, "million"), (1000, "thousand"), (100, "hundred")]
+
+
+def number_to_words(n: int) -> str:
+    """English cardinal words for |n| < 1e12."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rem = divmod(n, 10)
+        return _TENS[tens] + (f"-{_ONES[rem]}" if rem else "")
+    for value, name in _SCALE:
+        if n >= value:
+            major, rem = divmod(n, value)
+            head = f"{number_to_words(major)} {name}"
+            return head + (f" {number_to_words(rem)}" if rem else "")
+    return str(n)
+
+
+def digits_to_words(digits: str) -> str:
+    return " ".join(_ONES[int(d)] for d in digits if d.isdigit())
+
+
+def year_to_words(year: int) -> str:
+    """Natural year reading: 1984 -> nineteen eighty-four, 2005 -> two thousand five."""
+    if 1000 <= year <= 1999 or 2100 <= year <= 9999:
+        hi, lo = divmod(year, 100)
+        if lo == 0:
+            return f"{number_to_words(hi)} hundred"
+        if lo < 10:
+            return f"{number_to_words(hi)} oh {number_to_words(lo)}"
+        return f"{number_to_words(hi)} {number_to_words(lo)}"
+    if 2000 <= year <= 2099:
+        return number_to_words(year)
+    return number_to_words(year)
+
+
+# language -> extra letters allowed beyond ASCII (reference supports
+# en/es/fr/de/it/pt/da/no/sv)
+_LANG_EXTRA = {
+    "en": "",
+    "es": "áéíóúüñÁÉÍÓÚÜÑ¿¡",
+    "fr": "àâäçéèêëîïôöùûüÿœæÀÂÄÇÉÈÊËÎÏÔÖÙÛÜŸŒÆ",
+    "de": "äöüßÄÖÜ",
+    "it": "àèéìíîòóùúÀÈÉÌÍÎÒÓÙÚ",
+    "pt": "áâãàçéêíóôõúüÁÂÃÀÇÉÊÍÓÔÕÚÜ",
+    "da": "æøåÆØÅ",
+    "no": "æøåÆØÅ",
+    "sv": "åäöÅÄÖ",
+}
+
+_ABBREVIATIONS = {
+    "mr.": "mister", "mrs.": "missus", "ms.": "miss", "dr.": "doctor",
+    "prof.": "professor", "st.": "saint", "jr.": "junior", "sr.": "senior",
+    "vs.": "versus", "etc.": "et cetera", "e.g.": "for example",
+    "i.e.": "that is", "approx.": "approximately", "dept.": "department",
+    "min.": "minutes", "max.": "maximum", "no.": "number",
+}
+
+_CURRENCY = {"$": "dollars", "€": "euros", "£": "pounds", "¥": "yen", "kr": "kroner"}
+
+
+class AdvancedTextSanitizer:
+    """Normalise arbitrary story text into a clean TTS-friendly form."""
+
+    def __init__(self, language: str = "en"):
+        self.language = language
+
+    # -- stages ------------------------------------------------------------
+
+    def normalize_unicode(self, text: str) -> str:
+        text = unicodedata.normalize("NFKC", text)
+        text = text.replace(" ", " ").replace("​", "")
+        # typographic punctuation -> plain (reference: _normalize_typographic_punctuation)
+        for old, new in [("“", '"'), ("”", '"'), ("‘", "'"),
+                         ("’", "'"), ("«", '"'), ("»", '"'),
+                         ("…", "..."), ("−", "-")]:
+            text = text.replace(old, new)
+        return text
+
+    def mark_story_breaks(self, text: str) -> str:
+        """The asterism char marks a dramatic section break (reference:
+        deep_clean maps it to <STORY_BREAK>)."""
+        text = text.replace("⁂", f"\n\n{STORY_BREAK_TOKEN}\n\n")
+        text = re.sub(r"\n\s*\*\s*\*\s*\*\s*\n", f"\n\n{STORY_BREAK_TOKEN}\n\n", text)
+        return text
+
+    def remove_markup(self, text: str) -> str:
+        text = re.sub(r"<(?!STORY_BREAK)[^>\n]{1,80}>", " ", text)      # html-ish tags
+        text = re.sub(r"\*\*([^*\n]+)\*\*", r"\1", text)  # bold
+        text = re.sub(r"(?<!\*)\*([^*\n]+)\*(?!\*)", r"\1", text)  # italics
+        text = re.sub(r"__([^_\n]+)__", r"\1", text)
+        text = re.sub(r"(?<!_)_([^_\n]+)_(?!_)", r"\1", text)
+        text = re.sub(r"^#{1,6}\s*", "", text, flags=re.M)  # headings
+        text = re.sub(r"`{1,3}([^`\n]*)`{1,3}", r"\1", text)
+        text = re.sub(r"\[([^\]\n]*)\]\([^)\n]*\)", r"\1", text)  # links
+        return text
+
+    def verbalize_urls(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            host = re.sub(r"^https?://(www\.)?", "", m.group(0)).split("/")[0]
+            host = host.replace(".", " dot ")
+            return host
+
+        return re.sub(r"https?://\S+|www\.\S+", repl, text)
+
+    def verbalize_currency(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            sym, amount = m.group(1), m.group(2).replace(",", "")
+            if "." in amount:
+                whole, cents = amount.split(".")
+                words = f"{number_to_words(int(whole))} {_CURRENCY[sym]}"
+                if int(cents or 0):
+                    words += f" and {number_to_words(int(cents))} cents"
+                return words
+            return f"{number_to_words(int(amount))} {_CURRENCY[sym]}"
+
+        return re.sub(r"([$€£¥])\s?(\d[\d,]*(?:\.\d+)?)", repl, text)
+
+    def verbalize_times(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            h, mnt = int(m.group(1)), int(m.group(2))
+            suffix = (" " + m.group(3).replace(".", "").lower()) if m.group(3) else ""
+            if mnt == 0:
+                return f"{number_to_words(h)} o'clock" if not suffix else f"{number_to_words(h)}{suffix}"
+            if mnt < 10:
+                return f"{number_to_words(h)} oh {number_to_words(mnt)}{suffix}"
+            return f"{number_to_words(h)} {number_to_words(mnt)}{suffix}"
+
+        return re.sub(r"\b(\d{1,2}):(\d{2})\s?([ap]\.?m\.?)?\b", repl, text, flags=re.I)
+
+    def verbalize_temperatures(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            unit = {"C": "celsius", "F": "fahrenheit"}[m.group(2).upper()]
+            return f"{number_to_words(int(m.group(1)))} degrees {unit}"
+
+        return re.sub(r"(-?\d+)\s?°\s?([CF])\b", repl, text)
+
+    def verbalize_percents(self, text: str) -> str:
+        return re.sub(r"(\d+(?:\.\d+)?)\s?%",
+                      lambda m: self._decimal_words(m.group(1)) + " percent", text)
+
+    def _decimal_words(self, s: str) -> str:
+        if "." in s:
+            whole, frac = s.split(".")
+            return f"{number_to_words(int(whole))} point {digits_to_words(frac)}"
+        return number_to_words(int(s))
+
+    def verbalize_ranges(self, text: str) -> str:
+        return re.sub(r"\b(\d+)\s?[-–]\s?(\d+)\b",
+                      lambda m: f"{number_to_words(int(m.group(1)))} to "
+                                f"{number_to_words(int(m.group(2)))}", text)
+
+    def verbalize_ordinals(self, text: str) -> str:
+        ord_map = {1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth",
+                   9: "ninth", 12: "twelfth"}
+
+        def repl(m: re.Match) -> str:
+            n = int(m.group(1))
+            if n in ord_map:
+                return ord_map[n]
+            w = number_to_words(n)
+            if w.endswith("y"):
+                return w[:-1] + "ieth"
+            return w + "th"
+
+        return re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", repl, text)
+
+    def normalize_numbers(self, text: str) -> str:
+        text = self.verbalize_currency(text)
+        text = self.verbalize_temperatures(text)
+        text = self.verbalize_times(text)
+        text = self.verbalize_percents(text)
+        text = self.verbalize_ordinals(text)
+        text = self.verbalize_ranges(text)
+        # years in context
+        text = re.sub(r"\b(1[0-9]{3}|20[0-9]{2})\b",
+                      lambda m: year_to_words(int(m.group(1))), text)
+        # decimals
+        text = re.sub(r"\b\d+\.\d+\b", lambda m: self._decimal_words(m.group(0)), text)
+        # plain integers (with thousands separators)
+        text = re.sub(r"\b\d[\d,]*\b",
+                      lambda m: number_to_words(int(m.group(0).replace(",", ""))), text)
+        return text
+
+    def expand_abbreviations(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            word = m.group(0)
+            expansion = _ABBREVIATIONS[word.lower()]
+            return expansion.capitalize() if word[0].isupper() else expansion
+
+        pattern = r"\b(" + "|".join(re.escape(a) for a in _ABBREVIATIONS) + r")"
+        return re.sub(pattern, repl, text, flags=re.I)
+
+    def clean_spacing(self, text: str) -> str:
+        text = re.sub(r"[ \t]+", " ", text)
+        text = re.sub(r" ([.,!?;:])", r"\1", text)
+        text = re.sub(r"([.,!?;:])(?=[A-Za-z])", r"\1 ", text)
+        text = re.sub(r"\n{3,}", "\n\n", text)
+        text = re.sub(r"([.!?]){2,}", r"\1", text)
+        return text.strip()
+
+    def validate_text_for_language(self, text: str, language: str = "en"
+                                   ) -> Tuple[bool, Optional[str], Optional[List[str]]]:
+        """Check the text only uses the language's charset (reference:
+        validate_text_for_language). Returns (ok, error, offending_chars)."""
+        if language not in _LANG_EXTRA:
+            return False, f"unsupported language: {language}", None
+        allowed_extra = _LANG_EXTRA[language]
+        bad = sorted({c for c in text
+                      if not (c.isascii() or c in allowed_extra or c in "’‘“”—–…")})
+        if bad:
+            return False, f"characters not valid for '{language}'", bad
+        return True, None, None
+
+    def deep_clean(self, text: str) -> str:
+        """Full pipeline (reference: deep_clean at text_sanitizer.py:805+)."""
+        if not text:
+            return ""
+        text = self.normalize_unicode(text)
+        text = self.mark_story_breaks(text)
+        text = self.remove_markup(text)
+        text = self.verbalize_urls(text)
+        if self.language == "en":
+            text = self.normalize_numbers(text)
+            text = self.expand_abbreviations(text)
+        return self.clean_spacing(text)

@@ -1,0 +1,590 @@
+"""ChatterboxTTS: the public text-to-speech pipeline
+(reference: tts.py — ChatterboxTTS with conditional caching, long-text
+chunk/generate/stitch orchestration, retry pyramid, QA gating, watermarking).
+
+TPU orchestration model: all host code here does is tokenize, pad to buckets,
+and shuttle numpy at the edges. Each heavy stage — T3 decode, S3Gen
+token->wav — is a cached jitted program keyed by bucket shape. Conditionals
+(voice identity) are device-resident pytrees reused across every chunk of a
+story (the fork's conditional-caching scheme, CONDITIONAL_CACHING_IMPLEMENTATION.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ChatterboxConfig, S3_SR, S3GEN_SR, SPEECH_VOCAB_SIZE
+from .conditionals import Conditionals
+from .models import s3gen as s3gen_mod
+from .models import s3tokenizer as s3tok_mod
+from .models import t3 as t3_mod
+from .models import voice_encoder as ve_mod
+from .models.s3gen import VoiceProfile
+from .models.t3 import T3Cond
+from .models.tokenizer import EnTokenizer
+from .chunking import SmartChunker, ChunkInfo
+from .text import AdvancedTextSanitizer, punc_norm
+from .text.sanitizer import STORY_BREAK_TOKEN
+from .parameters import AdaptiveParameterManager
+from .quality import ChunkQualityAnalyzer
+from .stitching import AdvancedStitcher
+from .utils import audio_io
+from .utils.watermark import get_watermarker
+from .utils import weights as weights_mod
+
+logger = logging.getLogger(__name__)
+
+CHATTERBOX_RUNTIME_VERSION = "tpu-0.1.0"
+REPO_ID = "ResembleAI/chatterbox"
+
+_TOKEN_BUCKETS = (128, 256, 512, 1024)
+
+
+def _bucket_tokens(n: int) -> int:
+    for b in _TOKEN_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _env_bool(key: str, default: bool = False) -> bool:
+    raw = os.getenv(key)
+    if raw is None:
+        return default
+    return str(raw).strip().lower() in ("1", "true", "yes", "on")
+
+
+class ChatterboxTTS:
+    ENC_COND_LEN = 6 * S3_SR
+    DEC_COND_LEN = 10 * S3GEN_SR
+
+    def __init__(self, t3_params, s3gen_params, ve_params, tokenizer: EnTokenizer,
+                 conds: Optional[Conditionals] = None,
+                 config: ChatterboxConfig = ChatterboxConfig(),
+                 dtype=jnp.float32):
+        self.sr = S3GEN_SR
+        self.cfg = config
+        self.dtype = dtype
+        self.t3_params = t3_params
+        self.s3gen_params = s3gen_params
+        self.ve_params = ve_params
+        self.tokenizer = tokenizer
+        self.conds = conds
+        self.watermarker = get_watermarker()
+
+        self.smart_chunker = SmartChunker()
+        self.param_manager = AdaptiveParameterManager()
+        self.text_sanitizer = AdvancedTextSanitizer()
+        self.quality_analyzer = ChunkQualityAnalyzer()
+        self.advanced_stitcher = AdvancedStitcher(sample_rate=self.sr)
+
+        self.prod_mode = _env_bool("CHATTERBOX_PROD_MODE")
+        self.enable_quality_analysis = (_env_bool("CHATTERBOX_ENABLE_QUALITY_ANALYSIS")
+                                        and not self.prod_mode)
+        self.experiment_config = self._init_experiment_config()
+
+        # conditional cache (reference: tts.py:95-103)
+        self._cached_conditionals: Optional[Conditionals] = None
+        self._cache_key = None
+        self._conditional_cache_hits = 0
+        self._conditional_cache_misses = 0
+
+        # perf counters
+        self.perf: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # experiment/env config (reference: tts.py:158-213)
+    # ------------------------------------------------------------------
+
+    def _init_experiment_config(self) -> Dict[str, Any]:
+        cfg = {
+            "enabled": _env_bool("CHATTERBOX_EXPERIMENT_MODE", False),
+            "name": os.getenv("CHATTERBOX_EXPERIMENT_NAME", "default"),
+            "issue_only_mode": _env_bool("CHATTERBOX_EXPERIMENT_ISSUE_ONLY_MODE", False),
+            "enable_token_guards": _env_bool("CHATTERBOX_EXPERIMENT_ENABLE_TOKEN_GUARDS", True),
+            "enable_silence_gate": _env_bool("CHATTERBOX_EXPERIMENT_ENABLE_SILENCE_GATE", True),
+            "enable_qa_regen": _env_bool("CHATTERBOX_EXPERIMENT_ENABLE_QA_REGEN", True),
+            "enable_retry_param_drift": _env_bool("CHATTERBOX_EXPERIMENT_ENABLE_RETRY_PARAM_DRIFT", True),
+            "enable_adaptive_voice_params": _env_bool("CHATTERBOX_EXPERIMENT_ENABLE_ADAPTIVE_VOICE_PARAMS", True),
+            "force_adaptive_blend": None,
+        }
+        raw = os.getenv("CHATTERBOX_EXPERIMENT_FORCE_ADAPTIVE_BLEND")
+        if raw:
+            try:
+                cfg["force_adaptive_blend"] = max(0.0, min(1.0, float(raw)))
+            except ValueError:
+                pass
+        if not cfg["enabled"]:
+            cfg.update(name="off", issue_only_mode=False, enable_token_guards=True,
+                       enable_silence_gate=True, enable_qa_regen=True,
+                       enable_retry_param_drift=True, enable_adaptive_voice_params=True,
+                       force_adaptive_blend=None)
+        elif cfg["issue_only_mode"]:
+            cfg.update(enable_retry_param_drift=False, enable_adaptive_voice_params=False,
+                       enable_qa_regen=False)
+        return cfg
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_random(cls, seed: int = 0, config: ChatterboxConfig = ChatterboxConfig(),
+                    tokenizer: Optional[EnTokenizer] = None, dtype=jnp.float32):
+        """Randomly-initialised pipeline (development / benchmarking in the
+        zero-egress environment where HF checkpoints are unreachable)."""
+        k = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return cls(t3_mod.init(k[0], config.t3), s3gen_mod.init(k[1], config.s3gen),
+                   ve_mod.init(k[2], config.voice_encoder),
+                   tokenizer or _FallbackTokenizer(config.t3), conds=None,
+                   config=config, dtype=dtype)
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device: str | None = None,
+                   config: ChatterboxConfig = ChatterboxConfig(), dtype=jnp.float32):
+        """Load converted reference checkpoints (reference: tts.py:448-500).
+        Expects ve.safetensors / t3_cfg.safetensors / s3gen.safetensors /
+        tokenizer.json / conds.pt in `ckpt_dir`. `device` accepted for
+        API-compatibility; JAX owns placement."""
+        ckpt_dir = Path(ckpt_dir)
+        ve_sd = weights_mod.load_safetensors(str(ckpt_dir / "ve.safetensors"))
+        ve_params = jax.tree.map(jnp.asarray, weights_mod.convert_voice_encoder(ve_sd))
+        t3_sd = weights_mod.load_safetensors(str(ckpt_dir / "t3_cfg.safetensors"))
+        t3_params = jax.tree.map(jnp.asarray, weights_mod.convert_t3(t3_sd))
+        s3_sd = weights_mod.load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
+        s3gen_params = jax.tree.map(jnp.asarray, weights_mod.convert_s3gen(s3_sd))
+        tokenizer = EnTokenizer(str(ckpt_dir / "tokenizer.json"))
+        conds = None
+        if (ckpt_dir / "conds.pt").exists():
+            conds = Conditionals.load(str(ckpt_dir / "conds.pt"))
+        return cls(t3_params, s3gen_params, ve_params, tokenizer, conds, config, dtype)
+
+    @classmethod
+    def from_pretrained(cls, device: str | None = None, **kw):
+        """Download + load from HF hub (reference: tts.py:588-605)."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:
+            raise RuntimeError("huggingface_hub unavailable; use from_local()") from e
+        local_path = None
+        for f in ["ve.safetensors", "t3_cfg.safetensors", "s3gen.safetensors",
+                  "tokenizer.json", "conds.pt"]:
+            local_path = hf_hub_download(repo_id=REPO_ID, filename=f)
+        return cls.from_local(Path(local_path).parent, device, **kw)
+
+    # ------------------------------------------------------------------
+    # conditional preparation + cache (reference: tts.py:215-446)
+    # ------------------------------------------------------------------
+
+    def _get_or_prepare_conditionals(self, voice_profile_path=None, saved_voice_path=None,
+                                     audio_prompt_path=None, exaggeration=0.5) -> Conditionals:
+        if voice_profile_path:
+            key = ("voice_profile", voice_profile_path, exaggeration)
+        elif saved_voice_path and audio_prompt_path:
+            key = ("saved_voice", saved_voice_path, audio_prompt_path, exaggeration)
+        elif audio_prompt_path:
+            key = ("audio_prompt", audio_prompt_path, exaggeration)
+        else:
+            raise ValueError("Must provide one of: voice_profile_path, "
+                             "(saved_voice_path + audio_prompt_path), or audio_prompt_path")
+        if self._cached_conditionals is not None and key == self._cache_key:
+            self._conditional_cache_hits += 1
+            return self._cached_conditionals
+        self._conditional_cache_misses += 1
+        if voice_profile_path:
+            self.prepare_conditionals_with_voice_profile(voice_profile_path, exaggeration)
+        elif saved_voice_path and audio_prompt_path:
+            self.prepare_conditionals_with_saved_voice(saved_voice_path, audio_prompt_path,
+                                                       exaggeration)
+        else:
+            self.prepare_conditionals_with_audio_prompt(audio_prompt_path, exaggeration)
+        self._cache_key = key
+        return self._cached_conditionals
+
+    def clear_conditional_cache(self):
+        self._cached_conditionals = None
+        self._cache_key = None
+
+    def get_conditional_cache_stats(self) -> Dict[str, Any]:
+        total = self._conditional_cache_hits + self._conditional_cache_misses
+        return {"hits": self._conditional_cache_hits,
+                "misses": self._conditional_cache_misses,
+                "total_requests": total,
+                "hit_rate_percent": 100.0 * self._conditional_cache_hits / total if total else 0.0,
+                "cache_size": 1 if self._cached_conditionals is not None else 0}
+
+    def prepare_conditionals_with_voice_profile(self, voice_profile_path: str,
+                                                exaggeration: float = 0.5):
+        """(reference: tts.py:292-325)"""
+        profile = self.load_voice_profile(voice_profile_path)
+        gen = dict(prompt_token=profile.prompt_token,
+                   prompt_token_len=profile.prompt_token_len,
+                   prompt_feat=profile.prompt_feat,
+                   prompt_feat_len=profile.prompt_feat_len,
+                   embedding=profile.embedding)
+        plen = self.cfg.t3.speech_cond_prompt_len
+        t3_tokens = np.asarray(profile.prompt_token)[:, :plen] if plen else None
+        if profile.ve_embedding is None:
+            raise ValueError("Voice profile missing ve_embedding")
+        t3c = T3Cond(speaker_emb=jnp.asarray(profile.ve_embedding, jnp.float32),
+                     cond_prompt_speech_tokens=jnp.asarray(t3_tokens, jnp.int32),
+                     emotion_adv=float(exaggeration))
+        self._set_conds(Conditionals(t3c, gen))
+
+    def prepare_conditionals_with_saved_voice(self, saved_voice_path: str,
+                                              prompt_audio_path: str, exaggeration=0.5):
+        """Pre-saved CAMPPlus embedding + fresh prompt features
+        (reference: tts.py:327-385)."""
+        saved_emb = np.load(saved_voice_path)
+        rd = self._build_ref_dict(prompt_audio_path)
+        rd["embedding"] = saved_emb
+        t3c = self._build_t3_cond(prompt_audio_path, exaggeration)
+        self._set_conds(Conditionals(t3c, rd))
+
+    def prepare_conditionals_with_audio_prompt(self, wav_fpath: str, exaggeration=0.5):
+        """(reference: tts.py:387-417)"""
+        rd = self._build_ref_dict(wav_fpath)
+        t3c = self._build_t3_cond(wav_fpath, exaggeration)
+        self._set_conds(Conditionals(t3c, rd))
+
+    def _set_conds(self, conds: Conditionals):
+        self._cached_conditionals = conds
+        self.conds = conds
+
+    def _build_ref_dict(self, audio_path: str) -> Dict[str, np.ndarray]:
+        wav24, _ = audio_io.load_audio(audio_path, sr=S3GEN_SR)
+        wav24 = wav24[: self.DEC_COND_LEN]
+        return s3gen_mod.embed_ref(self.s3gen_params, wav24, S3GEN_SR, self.cfg.s3gen)
+
+    def _build_t3_cond(self, audio_path: str, exaggeration: float) -> T3Cond:
+        wav16, _ = audio_io.load_audio(audio_path, sr=S3_SR)
+        plen = self.cfg.t3.speech_cond_prompt_len
+        prompt_tokens = None
+        if plen:
+            wavp = s3tok_mod.pad_to_token_multiple(wav16[: self.ENC_COND_LEN])
+            toks, _ = s3tok_mod.tokenize_wave(self.s3gen_params["tokenizer"],
+                                              jnp.asarray(wavp)[None], max_len=plen,
+                                              cfg=self.cfg.s3gen.tokenizer)
+            prompt_tokens = jnp.asarray(toks, jnp.int32)
+        ve_embed = ve_mod.embeds_from_wavs(self.ve_params, [wav16], S3_SR,
+                                           self.cfg.voice_encoder)
+        ve_embed = ve_embed.mean(axis=0, keepdims=True)
+        return T3Cond(speaker_emb=jnp.asarray(ve_embed, jnp.float32),
+                      cond_prompt_speech_tokens=prompt_tokens,
+                      emotion_adv=float(exaggeration))
+
+    # ------------------------------------------------------------------
+    # voice clone / profile I/O (reference: tts.py:502-586)
+    # ------------------------------------------------------------------
+
+    def save_voice_clone(self, audio_file_path: str, save_path: str):
+        wav, sr = audio_io.load_audio(audio_file_path)
+        s3gen_mod.save_voice_clone(self.s3gen_params, wav, sr, save_path, self.cfg.s3gen)
+
+    def save_voice_profile(self, audio_file_path: str, save_path: str):
+        wav, sr = audio_io.load_audio(audio_file_path)
+        rd = s3gen_mod.embed_ref(self.s3gen_params, wav, sr, self.cfg.s3gen)
+        wav16, _ = audio_io.load_audio(audio_file_path, sr=S3_SR)
+        ve_embed = ve_mod.embeds_from_wavs(self.ve_params, [wav16], S3_SR,
+                                           self.cfg.voice_encoder).mean(axis=0, keepdims=True)
+        VoiceProfile(embedding=rd["embedding"], prompt_feat=rd["prompt_feat"],
+                     prompt_feat_len=rd["prompt_feat_len"], prompt_token=rd["prompt_token"],
+                     prompt_token_len=rd["prompt_token_len"],
+                     ve_embedding=ve_embed.astype(np.float32)).save(save_path)
+
+    def load_voice_clone(self, path: str) -> np.ndarray:
+        return np.load(path)
+
+    def load_voice_profile(self, path: str) -> VoiceProfile:
+        return VoiceProfile.load(path)
+
+    # ------------------------------------------------------------------
+    # core generation (reference: tts.py:607-779)
+    # ------------------------------------------------------------------
+
+    def _run_t3(self, text: str, conds: Conditionals, *, temperature, cfg_weight,
+                repetition_penalty, min_p, top_p, max_new_tokens, seed) -> np.ndarray:
+        tok = self.tokenizer.text_to_tokens(text)[0]
+        sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
+        text_tokens = np.concatenate([[sot], tok, [eot]]).astype(np.int32)[None]
+        speech = t3_mod.generate(
+            self.t3_params, conds.t3, text_tokens, max_new_tokens=max_new_tokens,
+            temperature=temperature, cfg_weight=cfg_weight,
+            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+            seed=seed, cfg=self.cfg.t3, dtype=self.dtype)
+        speech = s3tok_mod.drop_invalid_tokens(speech)
+        return speech[speech < SPEECH_VOCAB_SIZE]
+
+    def _run_s3gen(self, speech_tokens: np.ndarray, gen: Dict[str, Any],
+                   seed: int = 0) -> np.ndarray:
+        """tokens -> wav via the bucketed jitted graph; returns (T,) float32."""
+        n = int(speech_tokens.shape[-1])
+        bkt = _bucket_tokens(n)
+        toks = np.zeros((1, bkt), np.int32)
+        toks[0, :n] = speech_tokens
+        prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
+        prompt_feat = jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32)
+        embedding = jnp.asarray(np.asarray(gen["embedding"]), jnp.float32)
+        token_len = jnp.asarray([int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0]) + n])
+        wav = s3gen_mod.token_to_wav(
+            self.s3gen_params, jnp.asarray(toks), token_len, prompt_token, prompt_feat,
+            embedding, key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype)
+        n_samples = 2 * n * 480  # mel rate 50 Hz x 480 samples/frame
+        return np.asarray(wav[0])[:n_samples]
+
+    def generate(self, text, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                 audio_prompt_path=None, saved_voice_path=None, voice_profile_path=None,
+                 exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
+                 max_new_tokens=1000, seed=0) -> np.ndarray:
+        """Single-utterance TTS (reference: tts.py:607-684). Returns (1, T)."""
+        if self.conds is None:
+            if voice_profile_path:
+                self.prepare_conditionals_with_voice_profile(voice_profile_path, exaggeration)
+            elif saved_voice_path and audio_prompt_path:
+                self.prepare_conditionals_with_saved_voice(saved_voice_path,
+                                                           audio_prompt_path, exaggeration)
+            elif audio_prompt_path:
+                self.prepare_conditionals_with_audio_prompt(audio_prompt_path, exaggeration)
+            else:
+                raise RuntimeError(
+                    "Conditionals are not prepared. Provide voice_profile_path, "
+                    "(saved_voice_path + audio_prompt_path), or audio_prompt_path.")
+        speech_tokens = self._run_t3(
+            text, self.conds, temperature=temperature, cfg_weight=cfg_weight,
+            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+            max_new_tokens=max_new_tokens, seed=seed)
+        self._guard_tokens(speech_tokens)
+        wav = self._run_s3gen(speech_tokens, self.conds.gen, seed=seed)
+        return wav[None, :]
+
+    def _guard_tokens(self, speech_tokens: np.ndarray):
+        if not self.experiment_config.get("enable_token_guards", True):
+            return
+        if speech_tokens.size == 0:
+            raise RuntimeError("T3 produced empty speech token sequence (likely early EOS)")
+        if speech_tokens.size < 8:
+            raise RuntimeError(
+                f"T3 produced too few speech tokens after filtering ({speech_tokens.size} < 8)")
+
+    def _generate_with_prepared_conditionals(self, text: str, conditionals: Conditionals,
+                                             exaggeration=None, repetition_penalty=1.2,
+                                             min_p=0.05, top_p=1.0, cfg_weight=0.3,
+                                             temperature=0.6,
+                                             max_new_tokens_override: Optional[int] = None,
+                                             return_token_count: bool = False, seed: int = 0):
+        """(reference: tts.py:686-779)"""
+        conds = conditionals
+        if exaggeration is not None:
+            conds = conds.replace_emotion(exaggeration)
+        speech_tokens = self._run_t3(
+            text, conds, temperature=temperature, cfg_weight=cfg_weight,
+            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+            max_new_tokens=max_new_tokens_override or 1000, seed=seed)
+        self._guard_tokens(speech_tokens)
+        wav = self._run_s3gen(speech_tokens, conds.gen, seed=seed)[None, :]
+        if return_token_count:
+            return wav, int(speech_tokens.size)
+        return wav
+
+    # ------------------------------------------------------------------
+    # long text: chunk -> generate -> stitch (reference: tts.py:781-1484)
+    # ------------------------------------------------------------------
+
+    def chunk_text(self, text: str, target_chars: int = 400,
+                   max_chars: int = 600) -> List[ChunkInfo]:
+        """Sanitise + smart-chunk + story-break marking (reference: tts.py:781-877)."""
+        sanitized = self.text_sanitizer.deep_clean(text)
+        has_breaks = STORY_BREAK_TOKEN in sanitized
+        clean = sanitized.replace(STORY_BREAK_TOKEN, "\n\n") if has_breaks else sanitized
+        chunks = self.smart_chunker.smart_chunk(clean, target_chars, max_chars)
+        if has_breaks:
+            # re-mark chunks that precede a story break position
+            marked = sanitized.split(STORY_BREAK_TOKEN)
+            consumed = 0
+            boundaries = []
+            for part in marked[:-1]:
+                consumed += len(part)
+                boundaries.append(consumed)
+            pos = 0
+            for ch in chunks:
+                pos += ch.char_count
+                if any(abs(pos - b) < ch.char_count for b in boundaries):
+                    ch.has_story_break = ch.paragraph_break_after
+        return chunks
+
+    def generate_chunks(self, chunk_infos: List[ChunkInfo],
+                        voice_profile_path: Optional[str] = None,
+                        saved_voice_path: Optional[str] = None,
+                        audio_prompt_path: Optional[str] = None,
+                        exaggeration=0.5, cfg_weight=0.6, temperature=0.7,
+                        adaptive_voice_param_blend: float = 0.2,
+                        max_new_tokens: int = 1000,
+                        seed: int = 0) -> Tuple[List[np.ndarray], Dict[str, Any]]:
+        """Per-chunk generation with adaptive params, retry drift, silence gate
+        and QA regen (reference: tts.py:1052-1320). Returns (segments, stats)."""
+        conds = self._get_or_prepare_conditionals(
+            voice_profile_path, saved_voice_path, audio_prompt_path, exaggeration)
+        base = dict(exaggeration=exaggeration, cfg_weight=cfg_weight,
+                    temperature=temperature, repetition_penalty=1.2, min_p=0.05, top_p=1.0)
+        blend = self.experiment_config.get("force_adaptive_blend")
+        if blend is None:
+            blend = adaptive_voice_param_blend
+        max_attempts = int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS", "4"))
+        fail_on_bad = _env_bool("CHATTERBOX_FAIL_ON_BAD_CHUNK", False)
+
+        segments: List[np.ndarray] = []
+        stats = {"chunks": [], "regenerations": 0}
+        t_start = time.time()
+        for info in chunk_infos:
+            params = dict(base)
+            if self.experiment_config.get("enable_adaptive_voice_params", True):
+                adaptive = self.param_manager.get_adaptive_parameters(info)
+                for k in ("temperature", "exaggeration", "cfg_weight",
+                          "repetition_penalty", "min_p", "top_p"):
+                    params[k] = (1 - blend) * base.get(k, adaptive[k]) + blend * adaptive[k]
+            wav, attempts = self._generate_single_chunk_with_quality(
+                info, conds, params, max_attempts, fail_on_bad, seed, max_new_tokens)
+            stats["regenerations"] += attempts - 1
+            stats["chunks"].append({"id": info.id, "attempts": attempts,
+                                    "samples": int(wav.size), "params": params})
+            segments.append(wav)
+        stats["generation_time_s"] = time.time() - t_start
+        return segments, stats
+
+    def _generate_single_chunk_with_quality(self, info: ChunkInfo, conds: Conditionals,
+                                            params: Dict[str, float], max_attempts: int,
+                                            fail_on_bad: bool, seed: int,
+                                            max_new_tokens: int = 1000) -> Tuple[np.ndarray, int]:
+        drift_on = self.experiment_config.get("enable_retry_param_drift", True)
+        silence_gate = self.experiment_config.get("enable_silence_gate", True)
+        qa_on = (self.enable_quality_analysis
+                 and self.experiment_config.get("enable_qa_regen", True))
+        last_wav = None
+        for attempt in range(max_attempts):
+            p = dict(params)
+            if drift_on and attempt > 0:
+                # retry drift (reference: tts.py:1199-1206)
+                p["temperature"] = max(0.5, p["temperature"] - 0.08 * attempt)
+                p["cfg_weight"] = min(0.8, p["cfg_weight"] + 0.08 * attempt)
+                p["exaggeration"] = max(0.1, p["exaggeration"] - 0.05 * attempt)
+            try:
+                wav = self._generate_with_prepared_conditionals(
+                    info.text, conds, exaggeration=p["exaggeration"],
+                    repetition_penalty=p["repetition_penalty"], min_p=p["min_p"],
+                    top_p=p["top_p"], cfg_weight=p["cfg_weight"],
+                    temperature=p["temperature"],
+                    max_new_tokens_override=max_new_tokens,
+                    seed=seed + attempt * 1000 + info.id)
+            except RuntimeError as e:
+                logger.warning("chunk %d attempt %d failed: %s", info.id, attempt, e)
+                continue
+            flat = wav.reshape(-1)
+            last_wav = flat
+            # hard silence gate (reference: tts.py:1114-1124, 1236-1251)
+            if silence_gate:
+                peak = float(np.abs(flat).max()) if flat.size else 0.0
+                rms = float(np.sqrt(np.mean(np.square(flat)))) if flat.size else 0.0
+                if peak < 1e-6 and rms < 1e-7:
+                    logger.warning("chunk %d attempt %d: silent output", info.id, attempt)
+                    continue
+            if qa_on:
+                q = self.quality_analyzer.analyze_chunk_quality(flat, self.sr, info)
+                if q.should_regenerate and attempt < max_attempts - 1:
+                    logger.info("chunk %d QA regen (%s)", info.id, q.issues)
+                    continue
+            return flat, attempt + 1
+        if last_wav is None:
+            if fail_on_bad:
+                raise RuntimeError(f"chunk {info.id} failed after {max_attempts} attempts")
+            last_wav = np.zeros(self.sr // 2, np.float32)
+        return last_wav, max_attempts
+
+    def stitch_and_normalize(self, segments: List[np.ndarray],
+                             chunk_infos: List[ChunkInfo],
+                             output_path: Optional[str] = None):
+        """(reference: tts.py:1380-1394)"""
+        return self.advanced_stitcher.advanced_stitch(segments, chunk_infos, output_path)
+
+    def cleanup_chunks(self, paths: List[str]):
+        for p in paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+    def generate_long_text(self, text: str, voice_profile_path: Optional[str] = None,
+                           saved_voice_path: Optional[str] = None,
+                           audio_prompt_path: Optional[str] = None,
+                           exaggeration=0.5, cfg_weight=0.6, temperature=0.7,
+                           target_chars: int = 400, max_chars: int = 600,
+                           output_path: Optional[str] = None, seed: int = 0,
+                           max_new_tokens: int = 1000,
+                           ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Production story path: chunk -> generate -> stitch -> watermark
+        (reference: tts.py:1409-1484). Returns (wav (1, T), metadata)."""
+        t0 = time.time()
+        chunks = self.chunk_text(text, target_chars, max_chars)
+        if not chunks:
+            raise ValueError("no synthesisable text after sanitisation")
+        segments, gen_stats = self.generate_chunks(
+            chunks, voice_profile_path, saved_voice_path, audio_prompt_path,
+            exaggeration, cfg_weight, temperature, max_new_tokens=max_new_tokens,
+            seed=seed)
+        wav, sr, duration = self.stitch_and_normalize(segments, chunks, output_path)
+        wav = self.watermarker.apply_watermark(wav, sample_rate=sr)
+        total = time.time() - t0
+        metadata = {
+            "runtime_version": CHATTERBOX_RUNTIME_VERSION,
+            "num_chunks": len(chunks),
+            "duration_s": duration,
+            "generation_time_s": total,
+            "audio_ratio": duration / total if total > 0 else 0.0,
+            "cache_stats": self.get_conditional_cache_stats(),
+            "chunk_stats": gen_stats,
+        }
+        return wav[None, :], metadata
+
+    # serving-path variants (reference: tts.py:910-1050)
+    def generate_long_text_with_saved_voice(self, text, saved_voice_path,
+                                            audio_prompt_path, **kw):
+        return self.generate_long_text(text, saved_voice_path=saved_voice_path,
+                                       audio_prompt_path=audio_prompt_path, **kw)
+
+    def generate_long_text_with_audio_prompt(self, text, audio_prompt_path, **kw):
+        return self.generate_long_text(text, audio_prompt_path=audio_prompt_path, **kw)
+
+    def upload_to_storage(self, data: bytes, dest_path: str, bucket: Optional[str] = None):
+        """R2 upload passthrough (reference: tts.py:1487-1518)."""
+        from .serving.storage import upload_to_r2
+        return upload_to_r2(data, dest_path, bucket)
+
+    def generate_tts_story(self, *args, **kwargs):
+        """Full serving job: delegates to serving.jobs (reference: tts.py:1520-1799)."""
+        from .serving.jobs import generate_tts_story
+        return generate_tts_story(self, *args, **kwargs)
+
+
+class _FallbackTokenizer:
+    """Hash-based tokenizer used when no tokenizer.json is available (random-
+    weight development only; real deployments load the reference vocab)."""
+
+    def __init__(self, t3_cfg):
+        self.vocab = t3_cfg.text_tokens_dict_size
+
+    def text_to_tokens(self, text: str) -> np.ndarray:
+        ids = [1 + (ord(c) * 2654435761 % (self.vocab - 260)) for c in text]
+        return np.asarray(ids, np.int32)[None, :]
+
+    def encode(self, text: str):
+        return list(self.text_to_tokens(text)[0])
+
+    def decode(self, seq):
+        return "".join("?" for _ in np.asarray(seq).reshape(-1))
