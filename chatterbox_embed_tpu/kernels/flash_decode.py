@@ -32,9 +32,8 @@ CHUNK = 256
 
 def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, sems):
     b, h, d = q_ref.shape
-    lcache = k_hbm.shape[1]
-    max_chunks = lcache // CHUNK
     pos = pos_ref[0]
+    start = pos_ref[1]               # first valid slot (left-pad exclusion)
     n_chunks = (pos + CHUNK) // CHUNK  # ceil((pos+1)/CHUNK)
     scale = 1.0 / math.sqrt(d)
 
@@ -70,17 +69,20 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, sems):
         logits = jnp.einsum("bhd,bchd->bhc", q, k,
                             preferred_element_type=jnp.float32) * scale
         idx = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, 1, CHUNK), 2)
-        logits = jnp.where(idx <= pos, logits, -jnp.inf)
+        valid = (idx <= pos) & (idx >= start)
+        # finite mask value + explicit zeroing keeps a fully-masked chunk
+        # (pads before `start`) from poisoning the streaming softmax with NaNs
+        logits = jnp.where(valid, logits, jnp.float32(-1e30))
 
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp(logits - m_new)                    # (B, H, C)
+        p = jnp.exp(logits - m_new) * valid            # (B, H, C)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha[..., None] + jnp.einsum(
             "bhc,bchd->bhd", p, v, preferred_element_type=jnp.float32)[:, :, None, :]
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((b, h, 1), -jnp.inf, jnp.float32)
+    m0 = jnp.full((b, h, 1), -1e30, jnp.float32)
     l0 = jnp.zeros((b, h, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, 1, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
@@ -89,12 +91,14 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, sems):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     cache_pos: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """q (B, H, D), k/v (B, L, H, D), cache_pos scalar int32 -> (B, H, D)."""
+                     cache_pos: jnp.ndarray, start: jnp.ndarray | int = 0,
+                     interpret: bool = False) -> jnp.ndarray:
+    """q (B, H, D), k/v (B, L, H, D) -> (B, H, D). Attends [start, cache_pos]."""
     b, h, d = q.shape
     lcache = k.shape[1]
     assert lcache % CHUNK == 0, f"cache length {lcache} must be a multiple of {CHUNK}"
-    pos = jnp.asarray(cache_pos, jnp.int32).reshape(1)
+    pos = jnp.stack([jnp.asarray(cache_pos, jnp.int32).reshape(()),
+                     jnp.asarray(start, jnp.int32).reshape(())])
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
@@ -114,10 +118,11 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(pos, q, k, v)
 
 
-def decode_attention_reference(q, k, v, cache_pos):
+def decode_attention_reference(q, k, v, cache_pos, start=0):
     """Pure-jnp reference (also the CPU fallback path)."""
     lcache = k.shape[1]
-    mask = (jnp.arange(lcache) <= cache_pos)[None, None, :]
+    idx = jnp.arange(lcache)
+    mask = ((idx <= cache_pos) & (idx >= start))[None, None, :]
     logits = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) / math.sqrt(q.shape[-1])
     logits = jnp.where(mask, logits, -jnp.inf)

@@ -97,7 +97,8 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) ->
 def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             attn_mask: Optional[jnp.ndarray] = None,
             cache: Optional[KVCache] = None, cache_pos: int | jnp.ndarray = 0,
-            cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32):
+            cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32,
+            flash_decode: bool = False, flash_start: int | jnp.ndarray = 0):
     """Run the transformer over a block of embeddings.
 
     Args:
@@ -142,7 +143,14 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         else:
             k_att, v_att = k, v
 
-        att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)
+        if flash_decode and t == 1 and cache is not None:
+            # Pallas variable-length decode kernel: only touches cache slots
+            # [flash_start, cache_pos] instead of the whole padded capacity
+            from ..kernels.flash_decode import decode_attention
+            att = decode_attention(q[:, 0], k_att, v_att, cache_pos,
+                                   start=flash_start)[:, None]
+        else:
+            att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)
         h = h + L.linear(lp["o"], L.merge_heads(att), dtype)
 
         hin = L.rms_norm(lp["ln2"], h, cfg.rms_norm_eps)

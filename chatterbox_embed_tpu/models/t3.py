@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -209,7 +210,10 @@ def _generate(params, context, key, sp: SamplingParams, top_p,
     Returns (tokens (max_new,) int32, num_generated ()) — EOS included.
     """
     b, p_len, d = context.shape
+    use_flash = _use_pallas_decode()
     total = p_len + max_new
+    if use_flash:
+        total = -(-total // 256) * 256        # flash kernel chunk alignment
     cache = llama.init_cache(cfg.llama, b, total, dtype)
 
     # prefill: causal mask over the FULL cache length (future slots invalid),
@@ -268,7 +272,8 @@ def _generate(params, context, key, sp: SamplingParams, top_p,
                 (jnp.arange(total)[None, None, :] >= pad_len)
         hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id, lmask,
                                    cache=c.cache, cache_pos=cache_pos,
-                                   cfg=cfg.llama, dtype=dtype)
+                                   cfg=cfg.llama, dtype=dtype,
+                                   flash_decode=use_flash, flash_start=pad_len)
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
         return Carry(cache2, logits, tokens, counts, c.i + 1, done)
 
@@ -276,6 +281,18 @@ def _generate(params, context, key, sp: SamplingParams, top_p,
                        counts0, jnp.int32(0), jnp.bool_(False))
     final = jax.lax.while_loop(cond_fn, body_fn, init_carry)
     return final.tokens, final.i
+
+
+def _use_pallas_decode() -> bool:
+    """Pallas decode kernel: on for TPU backends, off on CPU (no interpreter
+    in the hot path), overridable via CHATTERBOX_PALLAS=0/1."""
+    env = os.getenv("CHATTERBOX_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 _TEXT_BUCKETS = (48, 96, 192, 384, 768)
