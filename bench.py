@@ -77,13 +77,27 @@ def main():
         cfg = ChatterboxConfig()
         dtype = jnp.bfloat16
 
+    from chatterbox_embed_tpu.utils.device import init_on_cpu, to_default_device
     rng = np.random.default_rng(0)
     k = jax.random.split(jax.random.PRNGKey(0), 2)
-    t3_params = t3_mod.init(k[0], cfg.t3)
-    s3_params = s3gen_mod.init(k[1], cfg.s3gen)
-    if dtype == jnp.bfloat16:
-        # params stay fp32 masters; compute dtype handles the casting
-        pass
+
+    def cast_params(tree):
+        if dtype == jnp.float32:
+            return tree
+        # ship bf16 over the wire: halves transfer bytes; inference runs the
+        # backbone in bf16 anyway (reference torch_dtype=bfloat16)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree)
+
+    t0 = time.time()
+    t3_params = init_on_cpu(t3_mod.init, k[0], cfg.t3)
+    s3_params = init_on_cpu(s3gen_mod.init, k[1], cfg.s3gen)
+    print(f"[bench] init {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    t3_params = to_default_device(cast_params(t3_params))
+    s3_params = to_default_device(cast_params(s3_params))
+    jax.block_until_ready((t3_params, s3_params))
+    print(f"[bench] transfer {time.time() - t0:.1f}s", file=sys.stderr)
 
     cond = t3_mod.T3Cond(
         speaker_emb=jnp.asarray(rng.standard_normal((1, cfg.t3.speaker_embed_size)),
@@ -121,6 +135,7 @@ def main():
     t0 = time.time()
     wav = synthesize(0)
     compile_s = time.time() - t0
+    print(f"[bench] compile+first-run {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(args.iters):

@@ -24,7 +24,7 @@ from . import layers as L
 
 
 def init(key, cfg: ConformerConfig = ConformerConfig()):
-    keys = iter(jax.random.split(key, 64 + 16 * (cfg.num_blocks + cfg.num_up_blocks)))
+    keys = iter(L.split_keys(key, 64 + 16 * (cfg.num_blocks + cfg.num_up_blocks)))
     nk = lambda: next(keys)
     d, h = cfg.output_size, cfg.attention_heads
 
@@ -36,10 +36,8 @@ def init(key, cfg: ConformerConfig = ConformerConfig()):
             "v": L.linear_init(nk(), d, d),
             "o": L.linear_init(nk(), d, d),
             "pos": L.linear_init(nk(), d, d, bias=False),
-            "pos_bias_u": jax.random.uniform(nk(), (h, d // h), jnp.float32,
-                                             -math.sqrt(6 / (2 * d // h)), math.sqrt(6 / (2 * d // h))),
-            "pos_bias_v": jax.random.uniform(nk(), (h, d // h), jnp.float32,
-                                             -math.sqrt(6 / (2 * d // h)), math.sqrt(6 / (2 * d // h))),
+            "pos_bias_u": L.uniform_(nk(), (h, d // h), math.sqrt(6 / (2 * d // h))),
+            "pos_bias_v": L.uniform_(nk(), (h, d // h), math.sqrt(6 / (2 * d // h))),
             "norm_ff": L.layer_norm_init(d),
             "ff1": L.linear_init(nk(), d, cfg.linear_units),
             "ff2": L.linear_init(nk(), cfg.linear_units, d),

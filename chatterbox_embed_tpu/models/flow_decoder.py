@@ -26,7 +26,7 @@ from . import layers as L
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: FlowDecoderConfig = FlowDecoderConfig()):
-    keys = iter(jax.random.split(key, 4096))
+    keys = iter(L.split_keys(key, 4096))
     nk = lambda: next(keys)
     c = cfg.channels
     inner = cfg.num_heads * cfg.attention_head_dim          # 512

@@ -28,14 +28,13 @@ def _resblock_init(nk, channels, kernel, dilations):
     return {
         "convs1": [L.conv1d_init(nk(), kernel, channels, channels) for _ in dilations],
         "convs2": [L.conv1d_init(nk(), kernel, channels, channels) for _ in dilations],
-        "alpha1": [jnp.ones((channels,), jnp.float32) for _ in dilations],
-        "alpha2": [jnp.ones((channels,), jnp.float32) for _ in dilations],
-        "dilations": tuple(dilations), "kernel": kernel,
+        "alpha1": [np.ones((channels,), np.float32) for _ in dilations],
+        "alpha2": [np.ones((channels,), np.float32) for _ in dilations],
     }
 
 
 def init(key, cfg: HiFTConfig = HiFTConfig()):
-    keys = iter(jax.random.split(key, 512))
+    keys = iter(L.split_keys(key, 512))
     nk = lambda: next(keys)
     base = cfg.base_channels
     nfft = cfg.istft_n_fft
@@ -51,14 +50,12 @@ def init(key, cfg: HiFTConfig = HiFTConfig()):
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         ch_out = base // (2 ** (i + 1))
         ups.append({"w": L.conv1d_init(nk(), k, ch_out, base // (2 ** i))["w"],
-                    "b": jnp.zeros((ch_out,), jnp.float32),
-                    "stride": u, "pad": (k - u) // 2})
+                    "b": np.zeros((ch_out,), np.float32)})
         d = int(down_cum[i])
         if d == 1:
-            source_downs.append({"p": L.conv1d_init(nk(), 1, nfft + 2, ch_out), "stride": 1, "pad": 0})
+            source_downs.append(L.conv1d_init(nk(), 1, nfft + 2, ch_out))
         else:
-            source_downs.append({"p": L.conv1d_init(nk(), d * 2, nfft + 2, ch_out),
-                                 "stride": d, "pad": d // 2})
+            source_downs.append(L.conv1d_init(nk(), d * 2, nfft + 2, ch_out))
         source_resblocks.append(_resblock_init(
             nk, ch_out, cfg.source_resblock_kernel_sizes[i], cfg.source_resblock_dilation_sizes[i]))
         for kk, dd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
@@ -120,14 +117,14 @@ def source_module(params, key, f0_up: jnp.ndarray, cfg: HiFTConfig = HiFTConfig(
     return merged[..., 0]
 
 
-def _resblock(p, x, dtype):
+def _resblock(p, x, kernel, dilations, dtype):
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], p["alpha1"], p["alpha2"],
-                                 p["dilations"]):
-        pad1 = (p["kernel"] * d - d) // 2
+                                 dilations):
+        pad1 = (kernel * d - d) // 2
         h = L.snake(x, a1)
         h = L.conv1d(c1, h, padding=pad1, dilation=d, dtype=dtype)
         h = L.snake(h, a2)
-        h = L.conv1d(c2, h, padding=(p["kernel"] - 1) // 2, dtype=dtype)
+        h = L.conv1d(c2, h, padding=(kernel - 1) // 2, dtype=dtype)
         x = x + h
     return x
 
@@ -147,19 +144,27 @@ def decode(params, mel: jnp.ndarray, source: jnp.ndarray,
 
     x = L.conv1d(params["conv_pre"], mel.astype(dtype), padding=3, dtype=dtype)
     num_kernels = len(cfg.resblock_kernel_sizes)
-    for i in range(len(cfg.upsample_rates)):
+    down_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
+    down_cum = list(np.cumprod(down_rates))[::-1]
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = jax.nn.leaky_relu(x, cfg.lrelu_slope)
         up = params["ups"][i]
-        x = L.conv_transpose1d({"w": up["w"], "b": up["b"]}, x, up["stride"], up["pad"], dtype=dtype)
+        x = L.conv_transpose1d({"w": up["w"], "b": up["b"]}, x, u, (k - u) // 2, dtype=dtype)
         if i == len(cfg.upsample_rates) - 1:
             x = jnp.concatenate([x[:, 1:2], x], axis=1)  # ReflectionPad1d((1, 0))
-        sd = params["source_downs"][i]
-        si = L.conv1d(sd["p"], s_stft, stride=sd["stride"], padding=sd["pad"], dtype=dtype)
-        si = _resblock(params["source_resblocks"][i], si, dtype)
+        d = int(down_cum[i])
+        si = L.conv1d(params["source_downs"][i], s_stft,
+                      stride=d if d > 1 else 1, padding=d // 2 if d > 1 else 0,
+                      dtype=dtype)
+        si = _resblock(params["source_resblocks"][i], si,
+                       cfg.source_resblock_kernel_sizes[i],
+                       cfg.source_resblock_dilation_sizes[i], dtype)
         x = x + si
         acc = None
         for j in range(num_kernels):
-            r = _resblock(params["resblocks"][i * num_kernels + j], x, dtype)
+            r = _resblock(params["resblocks"][i * num_kernels + j], x,
+                          cfg.resblock_kernel_sizes[j],
+                          cfg.resblock_dilation_sizes[j], dtype)
             acc = r if acc is None else acc + r
         x = acc / num_kernels
     x = jax.nn.leaky_relu(x, 0.01)

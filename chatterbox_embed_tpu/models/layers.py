@@ -30,15 +30,75 @@ def _cast(p, dtype):
 
 # ---------------------------------------------------------------------------
 # initialisers
+#
+# Randomness comes from numpy Philox streams derived from the jax key data:
+# init stays OFF the accelerator and OFF the XLA compiler entirely (on
+# remote-dispatch backends every uniquely-shaped eager op costs a full
+# remote compile; a single fused init graph is equally pathological to
+# compile). Deterministic per key, like the jax equivalent.
 # ---------------------------------------------------------------------------
 
+def split_keys(key, n: int = 2):
+    """jax.random.split equivalent that never touches jax: returns
+    SeedSequence children usable as keys for uniform_/normal_/split_keys."""
+    if isinstance(key, np.random.SeedSequence):
+        return key.spawn(n)
+    data = np.asarray(jax.random.key_data(key)).astype(np.uint32).ravel()
+    return np.random.SeedSequence([int(d) for d in data]).spawn(n)
+
+
+def _np_rng(key) -> np.random.Generator:
+    if not isinstance(key, np.random.SeedSequence):
+        data = np.asarray(jax.random.key_data(key)).astype(np.uint32).ravel()
+        key = np.random.SeedSequence([int(d) for d in data])
+    return np.random.Generator(np.random.Philox(key))
+
+
+_POOL_BITS = 20
+_POOL_N = 1 << _POOL_BITS
+_pools: dict = {}
+
+
+def _pool(kind: str) -> np.ndarray:
+    """Shared random pools for large-tensor init: this environment's CPU
+    generates ~3M randoms/s, so 0.5B-parameter models would take minutes to
+    init exactly. Tensors above the pool size are filled from a rotated pool
+    (deterministic per key, correctly scaled, adequate for random-weight
+    development/benchmarking); small tensors keep exact Philox streams."""
+    if kind not in _pools:
+        g = np.random.Generator(np.random.SFC64(0xC0FFEE))
+        _pools["uniform"] = g.random(size=_POOL_N, dtype=np.float32)
+        _pools["normal"] = g.standard_normal(size=_POOL_N, dtype=np.float32)
+    return _pools[kind]
+
+
+def _key_offset(key) -> int:
+    if isinstance(key, np.random.SeedSequence):
+        return int(key.generate_state(1, np.uint32)[0]) % _POOL_N
+    data = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+    return int(data[-1]) % _POOL_N
+
+
 def uniform_(key, shape, bound):
-    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+    n = int(np.prod(shape))
+    if n <= _POOL_N:
+        r = _np_rng(key).random(size=shape, dtype=np.float32)
+    else:
+        r = np.resize(np.roll(_pool("uniform"), -_key_offset(key)), n).reshape(shape)
+    return r * np.float32(2 * bound) - np.float32(bound)
+
+
+def normal_(key, shape, std=1.0):
+    n = int(np.prod(shape))
+    if n <= _POOL_N:
+        return _np_rng(key).standard_normal(size=shape, dtype=np.float32) * np.float32(std)
+    r = np.resize(np.roll(_pool("normal"), -_key_offset(key)), n).reshape(shape)
+    return r * np.float32(std)
 
 
 def linear_init(key, d_in, d_out, bias=True):
     """torch.nn.Linear default init (kaiming uniform fan_in, bias 1/sqrt(fan))."""
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     bound = 1.0 / math.sqrt(d_in)
     p = {"w": uniform_(k1, (d_in, d_out), math.sqrt(3.0) * bound)}
     if bias:
@@ -54,7 +114,7 @@ def linear(p, x, dtype=None):
 
 
 def embedding_init(key, vocab, dim, std=1.0):
-    return {"w": jax.random.normal(key, (vocab, dim), jnp.float32) * std}
+    return {"w": normal_(key, (vocab, dim), std)}
 
 
 def embedding(p, ids, dtype=None):
@@ -63,7 +123,7 @@ def embedding(p, ids, dtype=None):
 
 
 def layer_norm_init(dim):
-    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+    return {"scale": np.ones((dim,), np.float32), "bias": np.zeros((dim,), np.float32)}
 
 
 def layer_norm(p, x, eps=1e-5):
@@ -97,8 +157,8 @@ def group_norm(p, x, num_groups, eps=1e-5):
 
 def batch_norm_init(dim):
     """Inference-mode batch norm: running stats are folded at load time."""
-    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32),
-            "mean": jnp.zeros((dim,), jnp.float32), "var": jnp.ones((dim,), jnp.float32)}
+    return {"scale": np.ones((dim,), np.float32), "bias": np.zeros((dim,), np.float32),
+            "mean": np.zeros((dim,), np.float32), "var": np.ones((dim,), np.float32)}
 
 
 def batch_norm(p, x, eps=1e-5):
@@ -111,7 +171,7 @@ def batch_norm(p, x, eps=1e-5):
 # ---------------------------------------------------------------------------
 
 def conv1d_init(key, width, d_in, d_out, bias=True, groups=1):
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     fan_in = d_in // groups * width
     bound = 1.0 / math.sqrt(fan_in)
     p = {"w": uniform_(k1, (width, d_in // groups, d_out), math.sqrt(3.0) * bound)}
@@ -159,7 +219,7 @@ def conv_transpose1d(p, x, stride, padding, dtype=None, out_padding=0):
 
 
 def conv2d_init(key, kh, kw, d_in, d_out, bias=True):
-    k1, k2 = jax.random.split(key)
+    k1, k2 = split_keys(key)
     fan_in = d_in * kh * kw
     bound = 1.0 / math.sqrt(fan_in)
     p = {"w": uniform_(k1, (kh, kw, d_in, d_out), math.sqrt(3.0) * bound)}

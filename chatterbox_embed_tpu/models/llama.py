@@ -25,12 +25,14 @@ from . import layers as L
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (layers, B, L, H, D)
+    """Sequence-major layout (layers, L, B, H, D): the flash-decode kernel
+    views each layer as a tile-aligned (L, B*H*D) slab."""
+    k: jnp.ndarray
     v: jnp.ndarray
 
 
 def init(key, cfg: LlamaConfig = LlamaConfig()):
-    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 4))
+    keys = iter(L.split_keys(key, 8 * cfg.num_layers + 4))
     nk = lambda: next(keys)
     d = cfg.hidden_size
     kv_out = cfg.num_kv_heads * cfg.head_dim
@@ -38,17 +40,17 @@ def init(key, cfg: LlamaConfig = LlamaConfig()):
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
-            "ln1": {"scale": jnp.ones((d,), jnp.float32)},
+            "ln1": {"scale": np.ones((d,), np.float32)},
             "q": L.linear_init(nk(), d, q_out, bias=False),
             "k": L.linear_init(nk(), d, kv_out, bias=False),
             "v": L.linear_init(nk(), d, kv_out, bias=False),
             "o": L.linear_init(nk(), q_out, d, bias=False),
-            "ln2": {"scale": jnp.ones((d,), jnp.float32)},
+            "ln2": {"scale": np.ones((d,), np.float32)},
             "gate": L.linear_init(nk(), d, cfg.intermediate_size, bias=False),
             "up": L.linear_init(nk(), d, cfg.intermediate_size, bias=False),
             "down": L.linear_init(nk(), cfg.intermediate_size, d, bias=False),
         })
-    return {"layers": layers, "norm": {"scale": jnp.ones((d,), jnp.float32)}}
+    return {"layers": layers, "norm": {"scale": np.ones((d,), np.float32)}}
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +92,7 @@ def apply_rope(x, cos, sin):
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -118,7 +120,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         if cache is None:
             attn_mask = jnp.tril(jnp.ones((t, t), bool))[None]
         else:
-            lcache = cache.k.shape[2]
+            lcache = cache.k.shape[1]
             idx = jnp.arange(lcache)[None, :]
             q_idx = cache_pos + jnp.arange(t)[:, None]
             attn_mask = (idx[None] <= q_idx[None])               # (1, T, L)
@@ -133,23 +135,24 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         k = apply_rope(k, cos, sin)
 
         if cache is not None:
-            # in-place slab update on the stacked cache: inside a while_loop
-            # carry XLA aliases this to a true in-place write (no copy)
-            ck = jax.lax.dynamic_update_slice(ck, k[None].astype(ck.dtype),
-                                              (i, 0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v[None].astype(cv.dtype),
-                                              (i, 0, cache_pos, 0, 0))
-            k_att, v_att = ck[i].astype(dtype), cv[i].astype(dtype)
-        else:
-            k_att, v_att = k, v
-
+            # in-place slab update on the stacked sequence-major cache: inside
+            # a while_loop carry XLA aliases this to a true in-place write
+            k_seq = jnp.swapaxes(k, 0, 1)[None].astype(ck.dtype)   # (1, T, B, H, D)
+            v_seq = jnp.swapaxes(v, 0, 1)[None].astype(cv.dtype)
+            ck = jax.lax.dynamic_update_slice(ck, k_seq, (i, cache_pos, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_seq, (i, cache_pos, 0, 0, 0))
         if flash_decode and t == 1 and cache is not None:
             # Pallas variable-length decode kernel: only touches cache slots
             # [flash_start, cache_pos] instead of the whole padded capacity
             from ..kernels.flash_decode import decode_attention
-            att = decode_attention(q[:, 0], k_att, v_att, cache_pos,
+            att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
                                    start=flash_start)[:, None]
         else:
+            if cache is not None:
+                k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)
+                v_att = jnp.swapaxes(cv[i], 0, 1).astype(dtype)
+            else:
+                k_att, v_att = k, v
             att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)
         h = h + L.linear(lp["o"], L.merge_heads(att), dtype)
 
@@ -170,6 +173,6 @@ def decode_step(params, x: jnp.ndarray, pos_id: jnp.ndarray, cache: KVCache,
                 dtype=jnp.float32):
     """One-token decode: x (B, 1, D), pos_id (B, 1). Attends to cache slots
     [0, cache_pos]. Returns (hidden (B, 1, D), cache)."""
-    lcache = cache.k.shape[2]
+    lcache = cache.k.shape[1]
     mask = (jnp.arange(lcache)[None, None, :] <= cache_pos)      # (1, 1, L)
     return forward(params, x, pos_id, mask, cache, cache_pos, cfg, dtype)

@@ -28,7 +28,7 @@ from . import conformer, flow_decoder, cfm, hifigan, xvector, s3tokenizer
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: S3GenConfig = S3GenConfig()):
-    k = jax.random.split(key, 8)
+    k = L.split_keys(key, 8)
     flow = {
         "input_embedding": L.embedding_init(k[0], cfg.flow.vocab_size, cfg.flow.input_size,
                                             std=0.02),
@@ -108,11 +108,9 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
     return fade
 
 
-def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
-                 embedding, key=None, finalize: bool = True,
-                 cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                 apply_fade: bool = True):
-    """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav)."""
+def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
+                       embedding, key, finalize: bool,
+                       cfg: S3GenConfig, dtype, apply_fade: bool):
     mel = flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
                       embedding, finalize, cfg, dtype)
     wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
@@ -120,6 +118,24 @@ def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
         fade = jnp.asarray(trim_fade())
         wav = wav.at[:, : fade.shape[0]].multiply(fade)
     return wav
+
+
+_token_to_wav_jit = jax.jit(_token_to_wav_impl,
+                            static_argnames=("finalize", "cfg", "dtype", "apply_fade"))
+
+
+def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
+                 embedding, key=None, finalize: bool = True,
+                 cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
+                 apply_fade: bool = True):
+    """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav).
+
+    ONE jitted program per (token-bucket, prompt) shape: on remote-dispatch
+    backends an un-jitted trace costs hundreds of host round-trips."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _token_to_wav_jit(params, tokens, token_len, prompt_tokens, prompt_feat,
+                             embedding, key, finalize, cfg, dtype, apply_fade)
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from . import layers as L
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: S3TokenizerConfig = S3TokenizerConfig()):
-    keys = iter(jax.random.split(key, 16 + 16 * cfg.n_layers))
+    keys = iter(L.split_keys(key, 16 + 16 * cfg.n_layers))
     nk = lambda: next(keys)
     d = cfg.n_state
     params = {
@@ -104,11 +104,19 @@ def fsq_quantize(params, h: jnp.ndarray, cfg: S3TokenizerConfig = S3TokenizerCon
     return jnp.sum(digits * jnp.asarray(basis), axis=-1)
 
 
-def quantize(params, mels: jnp.ndarray, mel_lens: jnp.ndarray,
-             cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
-    """Public API mirroring the package's quantize(): mels -> (tokens, lens)."""
+def _quantize_impl(params, mels, mel_lens, cfg: S3TokenizerConfig, dtype):
     h, tok_lens = encode(params, mels, mel_lens, cfg, dtype)
     return fsq_quantize(params, h, cfg), tok_lens
+
+
+_quantize_jit = jax.jit(_quantize_impl, static_argnames=("cfg", "dtype"))
+
+
+def quantize(params, mels: jnp.ndarray, mel_lens: jnp.ndarray,
+             cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
+    """Public API mirroring the package's quantize(): mels -> (tokens, lens).
+    Jitted end-to-end (one program per mel-length bucket)."""
+    return _quantize_jit(params, mels, mel_lens, cfg, dtype)
 
 
 # ---------------------------------------------------------------------------

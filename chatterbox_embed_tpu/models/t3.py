@@ -43,12 +43,12 @@ class T3Cond(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: T3Config = T3Config()):
-    k = jax.random.split(key, 16)
+    k = L.split_keys(key, 16)
     d = cfg.hidden_size
     qdim = cfg.perceiver_num_queries
     qvar = math.sqrt(3.0) * math.sqrt(2.0 / (qdim + qdim))
     perceiver = {
-        "query": jax.random.uniform(k[0], (1, qdim, d), jnp.float32, -qvar, qvar),
+        "query": L.uniform_(k[0], (1, qdim, d), qvar),
         "norm": L.layer_norm_init(d),
         "q": L.linear_init(k[1], d, d),
         "k": L.linear_init(k[2], d, d),

@@ -9,6 +9,7 @@ embeds every window of the utterance at once.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Tuple
 
@@ -23,12 +24,12 @@ from . import layers as L
 
 
 def init(key, cfg: VoiceEncConfig = VoiceEncConfig()):
-    keys = jax.random.split(key, 8)
+    keys = L.split_keys(key, 8)
     params = {"lstm": [], "proj": L.linear_init(keys[0], cfg.ve_hidden_size,
                                                 cfg.speaker_embed_size)}
     d_in = cfg.num_mels
     for i in range(3):
-        k1, k2, k3, k4 = jax.random.split(keys[i + 1], 4)
+        k1, k2, k3, k4 = L.split_keys(keys[i + 1], 4)
         h = cfg.ve_hidden_size
         bound = 1.0 / math.sqrt(h)
         params["lstm"].append({
@@ -64,8 +65,10 @@ def _lstm_layer(p, x):
     return jnp.swapaxes(hs, 0, 1), h_final
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def forward(params, mels: jnp.ndarray, cfg: VoiceEncConfig = VoiceEncConfig()):
-    """mels: (B, T=160, M=40) unscaled mel partials -> (B, 256) L2-normed."""
+    """mels: (B, T=160, M=40) unscaled mel partials -> (B, 256) L2-normed.
+    Jitted: the scan + projections compile to one program per partial count."""
     x = mels.astype(jnp.float32)
     h_last = None
     for layer in params["lstm"]:

@@ -27,7 +27,7 @@ def _bn_relu_init(c):
 
 
 def init(key, cfg: CAMPPlusConfig = CAMPPlusConfig()):
-    keys = iter(jax.random.split(key, 512))
+    keys = iter(L.split_keys(key, 512))
     nk = lambda: next(keys)
     m = cfg.m_channels
 
@@ -72,7 +72,7 @@ def init(key, cfg: CAMPPlusConfig = CAMPPlusConfig()):
                 "cam_l1": L.conv1d_init(nk(), 1, bn_ch, bn_ch // 2),
                 "cam_l2": L.conv1d_init(nk(), 1, bn_ch // 2, cfg.growth_rate),
             })
-        blocks.append({"layers": layers, "kernel": ksz, "dilation": dil})
+        blocks.append({"layers": layers})
         channels += num_layers * cfg.growth_rate
         transits.append({"bn": L.batch_norm_init(channels),
                          "conv": L.conv1d_init(nk(), 1, channels, channels // 2, bias=False)})
@@ -144,9 +144,10 @@ def forward(params, feats: jnp.ndarray, cfg: CAMPPlusConfig = CAMPPlusConfig()):
     x = _fcm(params["fcm"], feats.astype(jnp.float32))
     x = jax.nn.relu(L.batch_norm(params["tdnn"]["bn"],
                                  L.conv1d(params["tdnn"]["conv"], x, stride=2, padding=2)))
-    for block, transit in zip(params["blocks"], params["transits"]):
+    for bi, (block, transit) in enumerate(zip(params["blocks"], params["transits"])):
+        ksz, dil = cfg.block_kernels[bi], cfg.block_dilations[bi]
         for layer in block["layers"]:
-            y = _dense_layer(layer, x, block["kernel"], block["dilation"])
+            y = _dense_layer(layer, x, ksz, dil)
             x = jnp.concatenate([x, y], axis=-1)
         x = L.conv1d(transit["conv"], jax.nn.relu(L.batch_norm(transit["bn"], x)))
     x = jax.nn.relu(L.batch_norm(params["head"]["out_bn"], x))
@@ -159,9 +160,16 @@ def forward(params, feats: jnp.ndarray, cfg: CAMPPlusConfig = CAMPPlusConfig()):
     return emb[:, 0, :]
 
 
-def inference(params, wav_16k: jnp.ndarray, cfg: CAMPPlusConfig = CAMPPlusConfig()):
-    """wav_16k: (B, T) -> (B, 192). Includes the kaldi-fbank + CMN front-end
-    (reference: xvector.py:45-58, 425-428)."""
+def _inference_impl(params, wav_16k: jnp.ndarray, cfg: CAMPPlusConfig):
     feats = fbank_ops.kaldi_fbank(wav_16k)            # (B, F, 80)
     feats = feats - jnp.mean(feats, axis=1, keepdims=True)
     return forward(params, feats, cfg)
+
+
+_inference_jit = jax.jit(_inference_impl, static_argnames=("cfg",))
+
+
+def inference(params, wav_16k: jnp.ndarray, cfg: CAMPPlusConfig = CAMPPlusConfig()):
+    """wav_16k: (B, T) -> (B, 192). Includes the kaldi-fbank + CMN front-end
+    (reference: xvector.py:45-58, 425-428). Jitted end-to-end."""
+    return _inference_jit(params, wav_16k, cfg)

@@ -141,9 +141,12 @@ class ChatterboxTTS:
                     tokenizer: Optional[EnTokenizer] = None, dtype=jnp.float32):
         """Randomly-initialised pipeline (development / benchmarking in the
         zero-egress environment where HF checkpoints are unreachable)."""
+        from .utils.device import init_on_cpu, to_default_device
         k = jax.random.split(jax.random.PRNGKey(seed), 3)
-        return cls(t3_mod.init(k[0], config.t3), s3gen_mod.init(k[1], config.s3gen),
-                   ve_mod.init(k[2], config.voice_encoder),
+        t3p = to_default_device(init_on_cpu(t3_mod.init, k[0], config.t3))
+        s3p = to_default_device(init_on_cpu(s3gen_mod.init, k[1], config.s3gen))
+        vep = to_default_device(init_on_cpu(ve_mod.init, k[2], config.voice_encoder))
+        return cls(t3p, s3p, vep,
                    tokenizer or _FallbackTokenizer(config.t3), conds=None,
                    config=config, dtype=dtype)
 

@@ -241,7 +241,6 @@ def _hift_resblock(sd: StateDict, p: str, kernel: int, dilations) -> dict:
         "convs2": [_conv1d_wn(sd, f"{p}convs2.{i}") for i in range(n)],
         "alpha1": [sd[f"{p}activations1.{i}.alpha"] for i in range(n)],
         "alpha2": [sd[f"{p}activations2.{i}.alpha"] for i in range(n)],
-        "dilations": tuple(dilations), "kernel": kernel,
     }
 
 
@@ -255,11 +254,9 @@ def convert_hift(sd: StateDict, prefix: str = "mel2wav.", cfg=None) -> dict:
     ups, sdowns, sres, res = [], [], [], []
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         cp = _convt1d_wn(sd, f"{prefix}ups.{i}")
-        ups.append({"w": cp["w"], "b": cp.get("b", np.zeros(cp["w"].shape[1], np.float32)),
-                    "stride": u, "pad": (k - u) // 2})
+        ups.append({"w": cp["w"], "b": cp.get("b", np.zeros(cp["w"].shape[1], np.float32))})
         d = int(down_cum[i])
-        sdowns.append({"p": _conv1d(sd, f"{prefix}source_downs.{i}"),
-                       "stride": d if d > 1 else 1, "pad": d // 2 if d > 1 else 0})
+        sdowns.append(_conv1d(sd, f"{prefix}source_downs.{i}"))
         sres.append(_hift_resblock(sd, f"{prefix}source_resblocks.{i}.",
                                    cfg.source_resblock_kernel_sizes[i],
                                    cfg.source_resblock_dilation_sizes[i]))
@@ -312,7 +309,7 @@ def convert_campplus(sd: StateDict, prefix: str = "speaker_encoder.") -> dict:
                 "cam_l1": _conv1d(sd, p + "cam_layer.linear1"),
                 "cam_l2": _conv1d(sd, p + "cam_layer.linear2"),
             })
-        blocks.append({"layers": layers, "kernel": ksz, "dilation": dil})
+        blocks.append({"layers": layers})
         transits.append({"bn": _bn(sd, f"{xv}transit{bi}.nonlinear.batchnorm"),
                          "conv": _conv1d(sd, f"{xv}transit{bi}.linear")})
     head = {"out_bn": _bn(sd, xv + "out_nonlinear.batchnorm"),

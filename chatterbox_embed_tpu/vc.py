@@ -71,9 +71,11 @@ class ChatterboxVC:
                     dtype=jnp.float32):
         k = jax.random.split(jax.random.PRNGKey(seed), 3)
         from .tts import _FallbackTokenizer
-        return cls(s3gen_mod.init(k[0], config.s3gen), t3_mod.init(k[1], config.t3),
-                   ve_mod.init(k[2], config.voice_encoder),
-                   _FallbackTokenizer(config.t3), config=config, dtype=dtype)
+        from .utils.device import init_on_cpu, to_default_device
+        s3p = to_default_device(init_on_cpu(s3gen_mod.init, k[0], config.s3gen))
+        t3p = to_default_device(init_on_cpu(t3_mod.init, k[1], config.t3))
+        vep = to_default_device(init_on_cpu(ve_mod.init, k[2], config.voice_encoder))
+        return cls(s3p, t3p, vep, _FallbackTokenizer(config.t3), config=config, dtype=dtype)
 
     @classmethod
     def from_local(cls, ckpt_dir, device=None, config: ChatterboxConfig = ChatterboxConfig(),
