@@ -24,11 +24,11 @@ def fixed_noise(n_feats: int = 80, frames: int = 50 * 300) -> np.ndarray:
     """Deterministic noise buffer (1, frames, n_feats), fp32.
 
     The reference draws torch.randn at module construction
-    (flow_matching.py:191) — deterministic within a process. We derive ours
-    from a fixed PRNG key so it is bit-stable across processes too.
-    """
-    key = jax.random.PRNGKey(54321)
-    return np.asarray(jax.random.normal(key, (1, frames, n_feats), jnp.float32))
+    (flow_matching.py:191) — deterministic within a process. Ours is a fixed
+    numpy Philox stream: bit-stable across processes AND safe to call inside
+    a jit trace (no jax ops)."""
+    g = np.random.Generator(np.random.Philox(54321))
+    return g.standard_normal(size=(1, frames, n_feats), dtype=np.float32)
 
 
 def t_span_cosine(n_timesteps: int) -> np.ndarray:

@@ -56,6 +56,7 @@ def _np_rng(key) -> np.random.Generator:
 
 _POOL_BITS = 20
 _POOL_N = 1 << _POOL_BITS
+_POOL_THRESHOLD = 1 << 16   # tensors above this use the pool
 _pools: dict = {}
 
 
@@ -81,7 +82,7 @@ def _key_offset(key) -> int:
 
 def uniform_(key, shape, bound):
     n = int(np.prod(shape))
-    if n <= _POOL_N:
+    if n <= _POOL_THRESHOLD:
         r = _np_rng(key).random(size=shape, dtype=np.float32)
     else:
         r = np.resize(np.roll(_pool("uniform"), -_key_offset(key)), n).reshape(shape)
@@ -90,7 +91,7 @@ def uniform_(key, shape, bound):
 
 def normal_(key, shape, std=1.0):
     n = int(np.prod(shape))
-    if n <= _POOL_N:
+    if n <= _POOL_THRESHOLD:
         return _np_rng(key).standard_normal(size=shape, dtype=np.float32) * np.float32(std)
     r = np.resize(np.roll(_pool("normal"), -_key_offset(key)), n).reshape(shape)
     return r * np.float32(std)

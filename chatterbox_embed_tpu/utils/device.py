@@ -31,6 +31,53 @@ def init_on_cpu(init_fn, *args, **kwargs):
 
 
 def to_default_device(tree):
-    """Move a pytree to the default (accelerator) device."""
+    """Move a pytree to the default (accelerator) device with ONE transfer
+    per dtype.
+
+    Naive jax.device_put(tree) issues one transfer per leaf; over a
+    high-latency tunnel ~1800 leaves take minutes. Instead we pack the leaves
+    into one flat buffer per dtype on the host, ship those, and carve them
+    back up on-device inside one jitted program of static slices + reshapes
+    (free for XLA; no byte-level bitcasts, which tile catastrophically).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
     dev = jax.devices()[0]
-    return jax.device_put(tree, dev)
+    leaves, treedef = jax.tree.flatten(tree)
+    if len(leaves) <= 8:
+        return jax.device_put(tree, dev)
+
+    canon = {np.dtype(np.float64): np.dtype(np.float32),
+             np.dtype(np.int64): np.dtype(np.int32),
+             np.dtype(np.uint64): np.dtype(np.uint32)}
+    arrays = []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.dtype in canon:  # match jax's x64-disabled canonicalisation
+            arr = arr.astype(canon[arr.dtype])
+        arrays.append(arr)
+
+    order = {}     # dtype -> list of (leaf_idx, offset, shape)
+    chunks = {}    # dtype -> list of flat arrays
+    offsets = {}
+    for i, arr in enumerate(arrays):
+        dt = arr.dtype
+        off = offsets.get(dt, 0)
+        order.setdefault(dt, []).append((i, off, arr.shape))
+        chunks.setdefault(dt, []).append(np.ascontiguousarray(arr).reshape(-1))
+        offsets[dt] = off + arr.size
+    bufs = {str(dt): np.concatenate(ch) for dt, ch in chunks.items()}
+
+    def unpack(bufs):
+        out = [None] * len(arrays)
+        for dt, entries in order.items():
+            buf = bufs[str(dt)]
+            for i, off, shape in entries:
+                n = int(np.prod(shape, dtype=np.int64))
+                out[i] = jax.lax.slice(buf, (off,), (off + n,)).reshape(shape)
+        return out
+
+    bufs_dev = jax.device_put(bufs, dev)
+    leaves_dev = jax.jit(unpack)(bufs_dev)
+    return jax.tree.unflatten(treedef, leaves_dev)
