@@ -181,10 +181,14 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
                    cfg: T3Config, cfg_on: bool):
     """Context embeddings [cond; text; BOS(; BOS)] with CFG row layout
     (reference: t3.py:81-109, 284-297 — incl. the duplicated BOS the deployed
-    inference path feeds when cfg_weight > 0)."""
+    inference path feeds when cfg_weight > 0).
+
+    text_tokens: (U, T) — U utterances sharing one conditioning voice. Row
+    layout: [cond rows 0..U-1; uncond rows 0..U-1] when CFG is on.
+    """
     ce = cond_embeds(params, cond, cfg)              # (1, 34, D)
-    lt = text_tokens.shape[1]
-    te = L.embedding(params["text_emb"], text_tokens)    # (1, T, D)
+    u, lt = text_tokens.shape
+    te = L.embedding(params["text_emb"], text_tokens)    # (U, T, D)
     if cfg_on:
         te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)  # uncond: zero text
     te = te + params["text_pos_emb"]["w"][:lt][None]
@@ -199,88 +203,110 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
     return jnp.concatenate(parts, axis=1)            # (B, P, D)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "pad_len", "cfg_on",
-                                             "use_top_p", "stop_on_eos", "dtype"))
-def _generate(params, context, key, sp: SamplingParams, top_p,
-              cfg: T3Config, max_new: int, pad_len: int, cfg_on: bool,
-              use_top_p: bool, stop_on_eos: bool = True, dtype=jnp.float32):
-    """Prefill + while-loop decode, all on device.
+class DecodeState(NamedTuple):
+    """Resumable decode state: lives on device between blocks, enabling both
+    streaming emission and one compiled block-program for all output lengths."""
+    cache: llama.KVCache
+    logits: jnp.ndarray         # (B, V) logits at the current position
+    counts: jnp.ndarray         # (V,) int32 repetition-penalty counts
+    i: jnp.ndarray              # () tokens generated so far
+    done: jnp.ndarray           # () bool
 
-    context: (B, P, D) with `pad_len` masked slots on the LEFT.
-    Returns (tokens (max_new,) int32, num_generated ()) — EOS included.
+
+@functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len", "cfg_on",
+                                             "dtype"))
+def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
+            cfg_on: bool = True, dtype=jnp.float32) -> DecodeState:
+    """Full-context forward filling the static cache (capacity `total`).
+
+    context: (B, P, D) with `pad_len` masked zero-slots on the LEFT.
     """
     b, p_len, d = context.shape
-    use_flash = _use_pallas_decode()
-    total = p_len + max_new
-    if use_flash:
-        total = -(-total // 256) * 256        # flash kernel chunk alignment
     cache = llama.init_cache(cfg.llama, b, total, dtype)
-
-    # prefill: causal mask over the FULL cache length (future slots invalid),
-    # pads excluded as keys, pos ids start at pad end
     idx = jnp.arange(p_len)
     kidx = jnp.arange(total)
     causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))
-    pos = jnp.maximum(idx - pad_len, 0)[None]
-    pos = jnp.broadcast_to(pos, (b, p_len))
+    pos = jnp.broadcast_to(jnp.maximum(idx - pad_len, 0)[None], (b, p_len))
     h, cache = llama.forward(params["llama"], context, pos, causal[None],
                              cache=cache, cache_pos=0, cfg=cfg.llama, dtype=dtype)
     logits0 = L.linear(params["speech_head"], h[:, -1], jnp.float32)
+    n_utt = b // 2 if cfg_on else b
+    counts0 = jnp.zeros((n_utt, cfg.speech_tokens_dict_size), jnp.int32
+                        ).at[:, cfg.start_speech_token].set(1)
+    return DecodeState(cache, logits0, counts0,
+                       jnp.int32(0), jnp.zeros((n_utt,), jnp.bool_))
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "block", "p_len", "pad_len", "cfg_on",
+                                    "use_top_p", "stop_on_eos", "use_flash", "dtype"),
+                   donate_argnames=("state",))
+def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
+                 cfg: T3Config, block: int, p_len: int, pad_len: int, cfg_on: bool,
+                 use_top_p: bool, stop_on_eos: bool, use_flash: bool,
+                 dtype=jnp.float32):
+    """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
+
+    Returns (state, tokens (block,) int32, n_new ()). One compiled program per
+    (bucket, block) pair serves every requested output length.
+    """
+    total = state.cache.k.shape[1]
+    b = state.logits.shape[0]
+    n_utt = state.done.shape[0]
+    d = params["speech_emb"]["w"].shape[1]
     eos = cfg.stop_speech_token
-    vocab = cfg.speech_tokens_dict_size
 
     def sample_from(logits, counts, k):
         if cfg_on:
-            lc, lu = logits[0], logits[1]
-            lg = lc + sp.cfg_weight * (lc - lu)
+            lc, lu = logits[:n_utt], logits[n_utt:]
+            lg = lc + sp.cfg_weight * (lc - lu)          # (U, V)
         else:
-            lg = logits[0]
+            lg = logits
         lg = sampling.vocab_mask_logits(lg, cfg.start_speech_token, eos)
         lg = lg / sp.temperature
         lg = sampling.repetition_penalty(lg, counts, sp.repetition_penalty)
         lg = sampling.min_p_filter(lg, sp.min_p)
         if use_top_p:
             lg = sampling.top_p_filter(lg, top_p)
-        return sampling.sample_token(k, lg)
+        return sampling.sample_token(k, lg)              # (U,)
 
     class Carry(NamedTuple):
-        cache: llama.KVCache
-        logits: jnp.ndarray         # (B, V)
-        tokens: jnp.ndarray         # (max_new,)
-        counts: jnp.ndarray         # (V,) int32 for repetition penalty
-        i: jnp.ndarray
-        done: jnp.ndarray
-
-    counts0 = jnp.zeros((vocab,), jnp.int32).at[cfg.start_speech_token].set(1)
+        state: DecodeState
+        tokens: jnp.ndarray          # (block, U)
+        j: jnp.ndarray
 
     def cond_fn(c: Carry):
-        return (~c.done) & (c.i < max_new)
+        return (~jnp.all(c.state.done)) & (c.j < block) & (c.state.i < limit)
 
     def body_fn(c: Carry):
-        k = jax.random.fold_in(key, c.i)
-        tok = sample_from(c.logits, c.counts, k)
-        tokens = c.tokens.at[c.i].set(tok.astype(jnp.int32))
-        counts = c.counts.at[tok].add(1)
-        done = (tok == eos) if stop_on_eos else jnp.bool_(False)
-        # next embedding: speech_emb[tok] + speech_pos_emb[i + 1]
-        emb = (params["speech_emb"]["w"][tok] + params["speech_pos_emb"]["w"][c.i + 1])
-        emb = jnp.broadcast_to(emb[None, None, :], (b, 1, d))
-        pos_id = jnp.full((b, 1), p_len - pad_len + c.i, jnp.int32)
-        cache_pos = p_len + c.i
+        s = c.state
+        k = jax.random.fold_in(key, s.i)
+        tok = sample_from(s.logits, s.counts, k)         # (U,)
+        # rows already finished keep emitting EOS (masked out by callers)
+        tok = jnp.where(s.done, eos, tok)
+        tokens = c.tokens.at[c.j].set(tok.astype(jnp.int32))
+        counts = s.counts.at[jnp.arange(n_utt), tok].add(1)
+        done = s.done | ((tok == eos) if stop_on_eos else False)
+        emb = (L.embedding(params["speech_emb"], tok)
+               + params["speech_pos_emb"]["w"][s.i + 1][None])   # (U, D)
+        if cfg_on:
+            emb = jnp.concatenate([emb, emb], axis=0)
+        emb = emb[:, None, :]
+        pos_id = jnp.full((b, 1), p_len - pad_len + s.i, jnp.int32)
+        cache_pos = p_len + s.i
         lmask = (jnp.arange(total)[None, None, :] <= cache_pos) & \
                 (jnp.arange(total)[None, None, :] >= pad_len)
         hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id, lmask,
-                                   cache=c.cache, cache_pos=cache_pos,
+                                   cache=s.cache, cache_pos=cache_pos,
                                    cfg=cfg.llama, dtype=dtype,
                                    flash_decode=use_flash, flash_start=pad_len)
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
-        return Carry(cache2, logits, tokens, counts, c.i + 1, done)
+        return Carry(DecodeState(cache2, logits, counts, s.i + 1, done),
+                     tokens, c.j + 1)
 
-    init_carry = Carry(cache, logits0, jnp.zeros((max_new,), jnp.int32),
-                       counts0, jnp.int32(0), jnp.bool_(False))
-    final = jax.lax.while_loop(cond_fn, body_fn, init_carry)
-    return final.tokens, final.i
+    init = Carry(state, jnp.zeros((block, n_utt), jnp.int32), jnp.int32(0))
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+    return final.state, final.tokens, final.j
 
 
 def _use_pallas_decode() -> bool:
@@ -305,17 +331,14 @@ def _bucket(n: int) -> int:
     return n
 
 
-def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
-             max_new_tokens: int = 1000, temperature: float = 0.8,
-             cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
-             min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
-             seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
-    """Generate speech tokens for one utterance (reference: t3.py:204-391).
+DECODE_BLOCK = 64   # tokens per compiled decode block (2.56 s of audio)
 
-    text_tokens: (1, T) already wrapped in SOT/EOT. Returns the generated ids
-    INCLUDING the terminating EOS if produced (reference returns `predicted`
-    which also includes EOS).
-    """
+
+def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
+                     cfg_weight: float, max_new_tokens: int,
+                     cfg: T3Config = T3Config(), dtype=jnp.float32):
+    """Build context, left-pad to the text bucket, prefill. Returns
+    (state, static_info) for decode_block calls."""
     text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
     cfg_on = cfg_weight > 0.0
     lt = text_tokens.shape[1]
@@ -330,10 +353,100 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
         context = jnp.concatenate(
             [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype), context],
             axis=1)
+    p_len = context.shape[1]
+    n_utt = text_tokens.shape[0]
+    # cache capacity: fixed per bucket so one block program serves all lengths
+    cap = p_len + max(max_new_tokens, DECODE_BLOCK)
+    # the Pallas kernel's VMEM chunk buffers fit the single-utterance CFG pair;
+    # batched decode uses the XLA path
+    use_flash = _use_pallas_decode() and n_utt == 1
+    total = -(-cap // 256) * 256 if use_flash else cap
+    state = prefill(params, context, cfg, total, pad, cfg_on, dtype)
+    info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash)
+    return state, info
+
+
+def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
+                    max_new_tokens: int = 1000, temperature: float = 0.8,
+                    cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
+                    min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
+                    seed: int = 0, block: int = DECODE_BLOCK,
+                    cfg: T3Config = T3Config(), dtype=jnp.float32):
+    """Yield numpy blocks of generated speech-token ids as they decode.
+
+    The final block includes the terminating EOS when produced (the reference
+    also returns EOS in `predicted`, t3.py:389-391).
+    """
+    state, info = start_generation(params, cond, text_tokens,
+                                   cfg_weight=cfg_weight,
+                                   max_new_tokens=max_new_tokens, cfg=cfg, dtype=dtype)
     sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                         jnp.float32(repetition_penalty), jnp.float32(min_p))
-    tokens, n = _generate(params, context, jax.random.PRNGKey(seed), sp,
-                          jnp.float32(top_p), cfg, int(max_new_tokens), pad,
-                          cfg_on, top_p < 1.0, stop_on_eos, dtype)
-    n = int(n)
-    return np.asarray(tokens)[:n]
+    key = jax.random.PRNGKey(seed)
+    limit = jnp.int32(max_new_tokens)
+    single = np.atleast_2d(text_tokens).shape[0] == 1
+    produced = 0
+    while produced < max_new_tokens:
+        state, tokens, n_new = decode_block(
+            params, state, key, sp, jnp.float32(top_p), limit, cfg, int(block),
+            info["p_len"], info["pad"], info["cfg_on"], top_p < 1.0, stop_on_eos,
+            info["use_flash"], dtype)
+        n = int(n_new)
+        if n > 0:
+            out = np.asarray(tokens)[:n]
+            yield out[:, 0] if single else out
+        produced += n
+        if n == 0 or bool(np.all(np.asarray(state.done))):
+            break
+
+
+def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
+                   max_new_tokens: int = 1000, temperature: float = 0.8,
+                   cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
+                   min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
+                   seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32):
+    """Batched generation: U utterances sharing one voice, decoded in lock-step
+    with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
+
+    This is the throughput path for the "batch of sentences, one cached
+    voice" serving config (the reference is hard-limited to batch 1 —
+    SURVEY.md §2.6); on TPU the fused 2U-row decode amortises the 0.5B
+    weight streaming across the whole batch.
+    """
+    blocks = list(generate_stream(
+        params, cond, text_tokens, max_new_tokens=max_new_tokens,
+        temperature=temperature, cfg_weight=cfg_weight,
+        repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+        stop_on_eos=stop_on_eos, seed=seed, cfg=cfg, dtype=dtype))
+    u = np.atleast_2d(text_tokens).shape[0]
+    if not blocks:
+        return [np.zeros((0,), np.int32)] * u
+    all_tok = np.concatenate(blocks, axis=0)        # (n, U)
+    outs = []
+    for col in range(u):
+        seq = all_tok[:, col]
+        eos_pos = np.nonzero(seq == cfg.stop_speech_token)[0]
+        end = int(eos_pos[0]) + 1 if eos_pos.size else seq.shape[0]
+        outs.append(seq[:end])
+    return outs
+
+
+def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
+             max_new_tokens: int = 1000, temperature: float = 0.8,
+             cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
+             min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
+             seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
+    """Generate speech tokens for one utterance (reference: t3.py:204-391).
+
+    text_tokens: (1, T) already wrapped in SOT/EOT. Returns the generated ids
+    INCLUDING the terminating EOS if produced (reference returns `predicted`
+    which also includes EOS).
+    """
+    blocks = list(generate_stream(
+        params, cond, text_tokens, max_new_tokens=max_new_tokens,
+        temperature=temperature, cfg_weight=cfg_weight,
+        repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+        stop_on_eos=stop_on_eos, seed=seed, cfg=cfg, dtype=dtype))
+    if not blocks:
+        return np.zeros((0,), np.int32)
+    return np.concatenate(blocks)

@@ -377,6 +377,142 @@ class ChatterboxTTS:
             raise RuntimeError(
                 f"T3 produced too few speech tokens after filtering ({speech_tokens.size} < 8)")
 
+    def generate_batch(self, texts, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                       exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
+                       max_new_tokens=1000, seed=0):
+        """Batched TTS: many sentences, one cached voice (the BASELINE "batch:
+        32 sentences" config). Returns a list of (T_i,) float32 waveforms.
+
+        T3 decodes all utterances in lock-step (weights stream once per step
+        for the whole batch); S3Gen runs the mel/vocoder graph over the padded
+        batch with per-row masks.
+        """
+        assert self.conds is not None, "prepare conditionals first"
+        sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
+        rows = [np.concatenate([[sot], self.tokenizer.text_to_tokens(t)[0], [eot]])
+                for t in texts]
+        lt = max(len(r) for r in rows)
+        text_tokens = np.full((len(rows), lt), eot, np.int32)
+        for i, r in enumerate(rows):
+            # right-pad with EOT: positions beyond the real EOT only dilute
+            # text attention marginally; per-row text lens masking is a
+            # follow-up optimisation
+            text_tokens[i, :len(r)] = r
+        token_lists = t3_mod.generate_batch(
+            self.t3_params, self.conds.t3, text_tokens, max_new_tokens=max_new_tokens,
+            temperature=temperature, cfg_weight=cfg_weight,
+            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+            seed=seed, cfg=self.cfg.t3, dtype=self.dtype)
+
+        gen = self.conds.gen
+        u = len(texts)
+        lens = []
+        max_n = 1
+        for i, toks in enumerate(token_lists):
+            toks = s3tok_mod.drop_invalid_tokens(toks)
+            toks = toks[toks < SPEECH_VOCAB_SIZE]
+            token_lists[i] = toks
+            lens.append(len(toks))
+            max_n = max(max_n, len(toks))
+        bkt = _bucket_tokens(max_n)
+        toks_arr = np.zeros((u, bkt), np.int32)
+        for i, toks in enumerate(token_lists):
+            toks_arr[i, :len(toks)] = toks
+        n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
+        prompt_token = jnp.asarray(
+            np.broadcast_to(np.asarray(gen["prompt_token"]), (u,) + np.asarray(gen["prompt_token"]).shape[1:]), jnp.int32)
+        prompt_feat = jnp.asarray(
+            np.broadcast_to(np.asarray(gen["prompt_feat"]), (u,) + np.asarray(gen["prompt_feat"]).shape[1:]), jnp.float32)
+        embedding = jnp.asarray(
+            np.broadcast_to(np.asarray(gen["embedding"]), (u,) + np.asarray(gen["embedding"]).shape[1:]), jnp.float32)
+        token_len = jnp.asarray([n_prompt + n for n in lens])
+        wav = s3gen_mod.token_to_wav(
+            self.s3gen_params, jnp.asarray(toks_arr), token_len, prompt_token,
+            prompt_feat, embedding, key=jax.random.PRNGKey(seed),
+            cfg=self.cfg.s3gen, dtype=self.dtype)
+        wav = np.asarray(wav)
+        return [wav[i, : 2 * lens[i] * 480] for i in range(u)]
+
+    # ------------------------------------------------------------------
+    # streaming synthesis (sub-200 ms TTFA path; reference has the hooks but
+    # never exercises them — SURVEY.md §5 long-context notes: finalize=False
+    # lookahead drop flow.py:262-263, vocoder cache_source hifigan.py:470-472)
+    # ------------------------------------------------------------------
+
+    def stream_generate(self, text, *, block_tokens: int = 25,
+                        repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                        exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
+                        max_new_tokens=1000, seed=0):
+        """Yield waveform chunks (np.float32 @ 24 kHz) as tokens decode.
+
+        Each T3 block triggers an incremental S3Gen pass: the flow runs on all
+        tokens so far with finalize=False (dropping the 3-token lookahead),
+        the vocoder re-synthesises with the cached harmonic source so phase
+        stays continuous, and only new samples are emitted.
+        """
+        assert self.conds is not None, "prepare conditionals first"
+        from .models import hifigan as hift_mod
+
+        gen = self.conds.gen
+        prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
+        prompt_feat = jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32)
+        embedding = jnp.asarray(np.asarray(gen["embedding"]), jnp.float32)
+        n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
+
+        tok = self.tokenizer.text_to_tokens(text)[0]
+        sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
+        text_tokens = np.concatenate([[sot], tok, [eot]]).astype(np.int32)[None]
+
+        token_stream = t3_mod.generate_stream(
+            self.t3_params, self.conds.t3, text_tokens, max_new_tokens=max_new_tokens,
+            temperature=temperature, cfg_weight=cfg_weight,
+            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+            seed=seed, block=block_tokens, cfg=self.cfg.t3, dtype=self.dtype)
+
+        all_tokens = np.zeros((0,), np.int32)
+        emitted = 0
+        cache_source = None
+
+        def synthesize(tokens: np.ndarray, final: bool):
+            nonlocal emitted, cache_source
+            n = int(tokens.shape[0])
+            if n == 0:
+                return None
+            bkt = -(-n // block_tokens) * block_tokens
+            padded = np.zeros((1, bkt), np.int32)
+            padded[0, :n] = tokens
+            mel = s3gen_mod.flow_to_mel(
+                self.s3gen_params, jnp.asarray(padded), jnp.asarray([n_prompt + n]),
+                prompt_token, prompt_feat, embedding, finalize=final,
+                cfg=self.cfg.s3gen, dtype=self.dtype)
+            valid = 2 * n if final else max(2 * n - 2 * self.cfg.s3gen.flow.pre_lookahead_len, 0)
+            if valid <= emitted // 480:
+                return None
+            mel = mel[:, :valid]
+            wav, src = hift_mod.inference(self.s3gen_params["hift"], mel,
+                                          key=jax.random.PRNGKey(seed),
+                                          cache_source=cache_source,
+                                          cfg=self.cfg.s3gen.hift, dtype=self.dtype)
+            cache_source = src
+            wav = np.asarray(wav[0]).copy()
+            if emitted == 0:
+                fade = s3gen_mod.trim_fade()
+                wav[: fade.shape[0]] *= fade
+            chunk = wav[emitted:]
+            emitted = wav.shape[0]
+            return chunk
+
+        for block in token_stream:
+            block = block[block < SPEECH_VOCAB_SIZE]
+            all_tokens = np.concatenate([all_tokens, block])
+            chunk = synthesize(all_tokens, final=False)
+            if chunk is not None and chunk.size:
+                yield chunk
+        # final pass with lookahead included
+        chunk = synthesize(all_tokens, final=True)
+        if chunk is not None and chunk.size:
+            yield chunk
+
     def _generate_with_prepared_conditionals(self, text: str, conditionals: Conditionals,
                                              exaggeration=None, repetition_penalty=1.2,
                                              min_p=0.05, top_p=1.0, cfg_weight=0.3,

@@ -246,3 +246,31 @@ def test_worker_dlq(tmp_path):
     worker.run_once()
     assert client.hgetall("runpod:job:j2")["status"] == "error"
     assert len(client.streams[DLQ_STREAM]) == 1
+
+
+def test_stream_generate(tts, ref_voice_wav, tmp_path):
+    prof = str(tmp_path / "voice_stream.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    tts.prepare_conditionals_with_voice_profile(prof, exaggeration=0.5)
+    chunks = list(tts.stream_generate("Hello there, streaming world.",
+                                      block_tokens=8, max_new_tokens=16,
+                                      cfg_weight=0.3, seed=2))
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all()
+    # stream emits strictly increasing audio; total length = 2*480*n_tokens
+    assert total.size % 480 == 0 and total.size > 0
+    # head fade: first 480 samples silent (trim_fade)
+    assert np.abs(total[:480]).max() == 0.0
+
+
+def test_generate_batch(tts, ref_voice_wav, tmp_path):
+    prof = str(tmp_path / "voice_batch.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    tts.prepare_conditionals_with_voice_profile(prof, exaggeration=0.5)
+    wavs = tts.generate_batch(["Hello there friend.", "A second sentence now."],
+                              max_new_tokens=16, cfg_weight=0.3, seed=3)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()
+        assert w.size % 960 == 0  # 2 mel frames * 480 samples per token
