@@ -117,19 +117,26 @@ def main():
     embedding = jnp.asarray(rng.standard_normal((1, cfg.s3gen.flow.spk_embed_dim)),
                             jnp.float32)
 
+    stage = {"t3": 0.0, "s3gen": 0.0}
+
     def synthesize(seed: int):
+        t_a = time.time()
         toks = t3_mod.generate(t3_params, cond, text, max_new_tokens=args.tokens,
                                temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
                                seed=seed, cfg=cfg.t3, dtype=dtype)
+        stage["t3"] = time.time() - t_a
         n = len(toks)
         pad = np.zeros((1, args.tokens), np.int32)
         pad[0, :n] = toks[:args.tokens]
         token_len = jnp.asarray([n_prompt + args.tokens])
+        t_a = time.time()
         wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad), token_len,
                                      prompt_tokens, prompt_feat, embedding,
                                      key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
                                      dtype=dtype)
-        return np.asarray(wav)
+        wav = np.asarray(wav)
+        stage["s3gen"] = time.time() - t_a
+        return wav
 
     # warmup / compile
     t0 = time.time()
@@ -159,6 +166,8 @@ def main():
             "device": str(jax.devices()[0]),
             "mode": "smoke" if args.smoke else "full",
             "wav_samples": int(wav.size),
+            "t3_s": round(stage["t3"], 4),
+            "s3gen_s": round(stage["s3gen"], 4),
         },
     }
     print(json.dumps(result))
