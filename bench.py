@@ -123,7 +123,7 @@ def main():
         t_a = time.time()
         toks = t3_mod.generate(t3_params, cond, text, max_new_tokens=args.tokens,
                                temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
-                               seed=seed, cfg=cfg.t3, dtype=dtype)
+                               seed=seed, block=args.tokens, cfg=cfg.t3, dtype=dtype)
         stage["t3"] = time.time() - t_a
         n = len(toks)
         pad = np.zeros((1, args.tokens), np.int32)

@@ -216,18 +216,23 @@ class DecodeState(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len", "cfg_on",
                                              "dtype"))
 def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
-            cfg_on: bool = True, dtype=jnp.float32) -> DecodeState:
+            cfg_on: bool = True, dtype=jnp.float32,
+            key_valid=None) -> DecodeState:
     """Full-context forward filling the static cache (capacity `total`).
 
     context: (B, P, D) with `pad_len` masked zero-slots on the LEFT.
+    key_valid: optional (B, total) bool excluding per-row pad keys (batched
+    right-padded text).
     """
     b, p_len, d = context.shape
     cache = llama.init_cache(cfg.llama, b, total, dtype)
     idx = jnp.arange(p_len)
     kidx = jnp.arange(total)
-    causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))
+    causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))[None]
+    if key_valid is not None:
+        causal = causal & key_valid[:, None, :]
     pos = jnp.broadcast_to(jnp.maximum(idx - pad_len, 0)[None], (b, p_len))
-    h, cache = llama.forward(params["llama"], context, pos, causal[None],
+    h, cache = llama.forward(params["llama"], context, pos, causal,
                              cache=cache, cache_pos=0, cfg=cfg.llama, dtype=dtype)
     logits0 = L.linear(params["speech_head"], h[:, -1], jnp.float32)
     n_utt = b // 2 if cfg_on else b
@@ -244,7 +249,7 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
                  cfg: T3Config, block: int, p_len: int, pad_len: int, cfg_on: bool,
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, key_valid=None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
@@ -296,6 +301,8 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
         cache_pos = p_len + s.i
         lmask = (jnp.arange(total)[None, None, :] <= cache_pos) & \
                 (jnp.arange(total)[None, None, :] >= pad_len)
+        if key_valid is not None:
+            lmask = lmask & key_valid[:, None, :]
         hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id, lmask,
                                    cache=s.cache, cache_pos=cache_pos,
                                    cfg=cfg.llama, dtype=dtype,
@@ -336,12 +343,17 @@ DECODE_BLOCK = 64   # tokens per compiled decode block (2.56 s of audio)
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
                      cfg_weight: float, max_new_tokens: int,
+                     text_lens: np.ndarray | None = None,
                      cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Build context, left-pad to the text bucket, prefill. Returns
-    (state, static_info) for decode_block calls."""
+    (state, static_info) for decode_block calls.
+
+    text_lens: per-utterance valid text lengths for the batched path (rows are
+    right-padded to a common length; pad positions are masked out as attention
+    keys for every subsequent step)."""
     text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
     cfg_on = cfg_weight > 0.0
-    lt = text_tokens.shape[1]
+    u, lt = text_tokens.shape
     if lt > cfg.max_text_seq_len:
         raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
     pad = min(_bucket(lt), cfg.max_text_seq_len) - lt
@@ -354,15 +366,29 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype), context],
             axis=1)
     p_len = context.shape[1]
-    n_utt = text_tokens.shape[0]
+    n_utt = u
     # cache capacity: fixed per bucket so one block program serves all lengths
     cap = p_len + max(max_new_tokens, DECODE_BLOCK)
     # the Pallas kernel's VMEM chunk buffers fit the single-utterance CFG pair;
     # batched decode uses the XLA path
     use_flash = _use_pallas_decode() and n_utt == 1
     total = -(-cap // 256) * 256 if use_flash else cap
-    state = prefill(params, context, cfg, total, pad, cfg_on, dtype)
-    info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash)
+
+    key_valid = None
+    if text_lens is not None and (np.asarray(text_lens) < lt).any():
+        lens = jnp.asarray(np.asarray(text_lens), jnp.int32)
+        if cfg_on:
+            lens = jnp.concatenate([lens, lens])
+        kidx = jnp.arange(total)
+        text_start = pad + cfg.cond_len
+        in_text_pad = ((kidx[None, :] >= text_start + lens[:, None])
+                       & (kidx[None, :] < text_start + lt))
+        key_valid = ~in_text_pad
+        use_flash = False  # row masks need the XLA attention path
+
+    state = prefill(params, context, cfg, total, pad, cfg_on, dtype, key_valid)
+    info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
+                key_valid=key_valid)
     return state, info
 
 
@@ -371,6 +397,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
                     cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                     min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
                     seed: int = 0, block: int = DECODE_BLOCK,
+                    text_lens: np.ndarray | None = None,
                     cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Yield numpy blocks of generated speech-token ids as they decode.
 
@@ -378,7 +405,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
     also returns EOS in `predicted`, t3.py:389-391).
     """
     state, info = start_generation(params, cond, text_tokens,
-                                   cfg_weight=cfg_weight,
+                                   cfg_weight=cfg_weight, text_lens=text_lens,
                                    max_new_tokens=max_new_tokens, cfg=cfg, dtype=dtype)
     sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                         jnp.float32(repetition_penalty), jnp.float32(min_p))
@@ -390,7 +417,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
         state, tokens, n_new = decode_block(
             params, state, key, sp, jnp.float32(top_p), limit, cfg, int(block),
             info["p_len"], info["pad"], info["cfg_on"], top_p < 1.0, stop_on_eos,
-            info["use_flash"], dtype)
+            info["use_flash"], dtype, info["key_valid"])
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]
@@ -404,7 +431,8 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                    max_new_tokens: int = 1000, temperature: float = 0.8,
                    cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                    min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
-                   seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32):
+                   seed: int = 0, text_lens: np.ndarray | None = None,
+                   cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Batched generation: U utterances sharing one voice, decoded in lock-step
     with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
 
@@ -417,7 +445,7 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-        stop_on_eos=stop_on_eos, seed=seed, cfg=cfg, dtype=dtype))
+        stop_on_eos=stop_on_eos, seed=seed, text_lens=text_lens, cfg=cfg, dtype=dtype))
     u = np.atleast_2d(text_tokens).shape[0]
     if not blocks:
         return [np.zeros((0,), np.int32)] * u
@@ -435,18 +463,22 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
              max_new_tokens: int = 1000, temperature: float = 0.8,
              cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
              min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
-             seed: int = 0, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
+             seed: int = 0, block: int | None = None,
+             cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
     """Generate speech tokens for one utterance (reference: t3.py:204-391).
 
     text_tokens: (1, T) already wrapped in SOT/EOT. Returns the generated ids
     INCLUDING the terminating EOS if produced (reference returns `predicted`
-    which also includes EOS).
+    which also includes EOS). `block` tunes the decode-block size: larger
+    blocks mean fewer host round-trips (use max_new_tokens when latency to
+    the device is high), smaller blocks stop closer to EOS.
     """
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-        stop_on_eos=stop_on_eos, seed=seed, cfg=cfg, dtype=dtype))
+        stop_on_eos=stop_on_eos, seed=seed, block=block or DECODE_BLOCK,
+        cfg=cfg, dtype=dtype))
     if not blocks:
         return np.zeros((0,), np.int32)
     return np.concatenate(blocks)

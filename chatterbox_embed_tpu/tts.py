@@ -393,16 +393,14 @@ class ChatterboxTTS:
                 for t in texts]
         lt = max(len(r) for r in rows)
         text_tokens = np.full((len(rows), lt), eot, np.int32)
+        text_lens = np.asarray([len(r) for r in rows], np.int32)
         for i, r in enumerate(rows):
-            # right-pad with EOT: positions beyond the real EOT only dilute
-            # text attention marginally; per-row text lens masking is a
-            # follow-up optimisation
             text_tokens[i, :len(r)] = r
         token_lists = t3_mod.generate_batch(
             self.t3_params, self.conds.t3, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-            seed=seed, cfg=self.cfg.t3, dtype=self.dtype)
+            seed=seed, text_lens=text_lens, cfg=self.cfg.t3, dtype=self.dtype)
 
         gen = self.conds.gen
         u = len(texts)
