@@ -698,6 +698,20 @@ class ChatterboxTTS:
     def generate_long_text_with_audio_prompt(self, text, audio_prompt_path, **kw):
         return self.generate_long_text(text, audio_prompt_path=audio_prompt_path, **kw)
 
+    def generate_chunks_with_saved_voice(self, chunk_infos, saved_voice_path,
+                                         audio_prompt_path, **kw):
+        return self.generate_chunks(chunk_infos, saved_voice_path=saved_voice_path,
+                                    audio_prompt_path=audio_prompt_path, **kw)
+
+    def generate_chunks_with_audio_prompt(self, chunk_infos, audio_prompt_path, **kw):
+        return self.generate_chunks(chunk_infos, audio_prompt_path=audio_prompt_path, **kw)
+
+    def generate_chunks_parallel(self, chunk_infos, **kw):
+        """The reference ships a ThreadPool chunk pool permanently disabled
+        (workers=1, tts.py:76-77,1019-1050). Real chunk parallelism here is
+        `generate_batch` (fused batched decode); this alias keeps the API."""
+        return self.generate_chunks(chunk_infos, **kw)
+
     def upload_to_storage(self, data: bytes, dest_path: str, bucket: Optional[str] = None):
         """R2 upload passthrough (reference: tts.py:1487-1518)."""
         from .serving.storage import upload_to_r2
