@@ -32,6 +32,8 @@ def main():
                     help="speech tokens per utterance (25/s; 250 = 10 s audio)")
     ap.add_argument("--text-len", type=int, default=96, help="text tokens")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="utterances decoded in lock-step (throughput mode)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -119,19 +121,27 @@ def main():
 
     stage = {"t3": 0.0, "s3gen": 0.0}
 
+    u = args.batch
+    text_b = np.broadcast_to(text, (u, text.shape[1])).copy()
+
     def synthesize(seed: int):
         t_a = time.time()
-        toks = t3_mod.generate(t3_params, cond, text, max_new_tokens=args.tokens,
-                               temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
-                               seed=seed, block=args.tokens, cfg=cfg.t3, dtype=dtype)
+        tok_lists = t3_mod.generate_batch(
+            t3_params, cond, text_b, max_new_tokens=args.tokens,
+            temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
+            seed=seed, cfg=cfg.t3, dtype=dtype)
         stage["t3"] = time.time() - t_a
-        n = len(toks)
-        pad = np.zeros((1, args.tokens), np.int32)
-        pad[0, :n] = toks[:args.tokens]
-        token_len = jnp.asarray([n_prompt + args.tokens])
+        pad = np.zeros((u, args.tokens), np.int32)
+        for i, toks in enumerate(tok_lists):
+            n = min(len(toks), args.tokens)
+            pad[i, :n] = toks[:n]
+        token_len = jnp.asarray([n_prompt + args.tokens] * u)
+        pt = jnp.broadcast_to(prompt_tokens, (u,) + prompt_tokens.shape[1:])
+        pf = jnp.broadcast_to(prompt_feat, (u,) + prompt_feat.shape[1:])
+        em = jnp.broadcast_to(embedding, (u,) + embedding.shape[1:])
         t_a = time.time()
         wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad), token_len,
-                                     prompt_tokens, prompt_feat, embedding,
+                                     pt, pf, em,
                                      key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
                                      dtype=dtype)
         wav = np.asarray(wav)
@@ -150,7 +160,7 @@ def main():
         wav = synthesize(i + 1)
         times.append(time.time() - t0)
 
-    audio_sec = args.tokens / 25.0
+    audio_sec = args.batch * args.tokens / 25.0
     wall = float(np.median(times))
     rtf = wall / audio_sec
     result = {
@@ -168,6 +178,7 @@ def main():
             "wav_samples": int(wav.size),
             "t3_s": round(stage["t3"], 4),
             "s3gen_s": round(stage["s3gen"], 4),
+            "batch": args.batch,
         },
     }
     print(json.dumps(result))

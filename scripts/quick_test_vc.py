@@ -12,6 +12,8 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -21,7 +23,23 @@ def main() -> int:
     os.environ.setdefault("CHATTERBOX_LOCAL_STORAGE", tempfile.mkdtemp(prefix="cb_store_"))
 
     from chatterbox_embed_tpu import ChatterboxVC
-    vc = ChatterboxVC.from_local(args.ckpt) if args.ckpt else ChatterboxVC.from_random()
+    if args.ckpt:
+        vc = ChatterboxVC.from_local(args.ckpt)
+    else:
+        # hermetic smoke: tiny random config exercises the identical code path
+        import os as _os
+        _os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax as _jax
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        import sys as _sys
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tests"))
+        from test_pipeline import TINY
+        import chatterbox_embed_tpu.vc as vcmod
+        vcmod._TOKEN_BUCKETS = (32, 64, 128)
+        vc = ChatterboxVC.from_random(config=TINY)
 
     # test 1: the TTS integration point exists (the reference asserts a
     # text_encoder wiring; ours is the built-in t3 path)
