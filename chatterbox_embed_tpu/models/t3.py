@@ -343,7 +343,7 @@ DECODE_BLOCK = 64   # tokens per compiled decode block (2.56 s of audio)
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
                      cfg_weight: float, max_new_tokens: int,
-                     text_lens: np.ndarray | None = None,
+                     text_lens: np.ndarray | None = None, mesh=None,
                      cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Build context, left-pad to the text bucket, prefill. Returns
     (state, static_info) for decode_block calls.
@@ -386,6 +386,13 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         key_valid = ~in_text_pad
         use_flash = False  # row masks need the XLA attention path
 
+    if mesh is not None:
+        # multi-chip serving: rows across dp, weights replicated; GSPMD
+        # propagates through prefill + the decode while-loop (no collectives
+        # in the hot loop)
+        from ..parallel.serve import shard_generation_inputs
+        context, key_valid = shard_generation_inputs(mesh, context, key_valid)
+        use_flash = False  # the Pallas kernel is single-chip only
     state = prefill(params, context, cfg, total, pad, cfg_on, dtype, key_valid)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid)
@@ -397,7 +404,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
                     cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                     min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
                     seed: int = 0, block: int = DECODE_BLOCK,
-                    text_lens: np.ndarray | None = None,
+                    text_lens: np.ndarray | None = None, mesh=None,
                     cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Yield numpy blocks of generated speech-token ids as they decode.
 
@@ -406,7 +413,8 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
     """
     state, info = start_generation(params, cond, text_tokens,
                                    cfg_weight=cfg_weight, text_lens=text_lens,
-                                   max_new_tokens=max_new_tokens, cfg=cfg, dtype=dtype)
+                                   mesh=mesh, max_new_tokens=max_new_tokens,
+                                   cfg=cfg, dtype=dtype)
     sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                         jnp.float32(repetition_penalty), jnp.float32(min_p))
     key = jax.random.PRNGKey(seed)
@@ -431,7 +439,7 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                    max_new_tokens: int = 1000, temperature: float = 0.8,
                    cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                    min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
-                   seed: int = 0, text_lens: np.ndarray | None = None,
+                   seed: int = 0, text_lens: np.ndarray | None = None, mesh=None,
                    cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Batched generation: U utterances sharing one voice, decoded in lock-step
     with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
@@ -445,7 +453,8 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-        stop_on_eos=stop_on_eos, seed=seed, text_lens=text_lens, cfg=cfg, dtype=dtype))
+        stop_on_eos=stop_on_eos, seed=seed, text_lens=text_lens, mesh=mesh,
+        cfg=cfg, dtype=dtype))
     u = np.atleast_2d(text_tokens).shape[0]
     if not blocks:
         return [np.zeros((0,), np.int32)] * u

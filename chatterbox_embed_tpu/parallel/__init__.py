@@ -1,1 +1,2 @@
 from .mesh import make_mesh, t3_param_spec, flow_param_spec, MeshAxes
+from .serve import make_dp_mesh, shard_generation_inputs, replicate
