@@ -7,7 +7,7 @@ to numpy/jnp immediately; nothing torch touches the compute path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax.numpy as jnp

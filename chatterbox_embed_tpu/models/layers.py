@@ -17,8 +17,6 @@ TPU); parameters are stored fp32 and cast at use (XLA fuses the cast).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ TPU design:
 """
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

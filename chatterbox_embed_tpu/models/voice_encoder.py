@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -136,7 +136,6 @@ class AdvancedStitcher:
 
 def write_wav(path: str, audio: np.ndarray, sr: int):
     """Minimal 16-bit PCM wav writer (no soundfile/torchaudio dependency)."""
-    import struct
     import wave
     pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
     pcm16 = (pcm * 32767.0).astype("<i2")

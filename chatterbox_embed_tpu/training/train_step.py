@@ -9,7 +9,6 @@ collectives GSPMD inserts over ICI.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple
 
 import jax

@@ -10,7 +10,6 @@ story (the fork's conditional-caching scheme, CONDITIONAL_CACHING_IMPLEMENTATION
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 import time
@@ -31,7 +30,7 @@ from .models.s3gen import VoiceProfile
 from .models.t3 import T3Cond
 from .models.tokenizer import EnTokenizer
 from .chunking import SmartChunker, ChunkInfo
-from .text import AdvancedTextSanitizer, punc_norm
+from .text import AdvancedTextSanitizer
 from .text.sanitizer import STORY_BREAK_TOKEN
 from .parameters import AdaptiveParameterManager
 from .quality import ChunkQualityAnalyzer

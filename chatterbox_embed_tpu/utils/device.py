@@ -41,7 +41,6 @@ def to_default_device(tree):
     (free for XLA; no byte-level bitcasts, which tile catastrophically).
     """
     import numpy as np
-    import jax.numpy as jnp
 
     dev = jax.devices()[0]
     leaves, treedef = jax.tree.flatten(tree)
