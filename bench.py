@@ -135,16 +135,23 @@ def main():
         for i, toks in enumerate(tok_lists):
             n = min(len(toks), args.tokens)
             pad[i, :n] = toks[:n]
-        token_len = jnp.asarray([n_prompt + args.tokens] * u)
-        pt = jnp.broadcast_to(prompt_tokens, (u,) + prompt_tokens.shape[1:])
-        pf = jnp.broadcast_to(prompt_feat, (u,) + prompt_feat.shape[1:])
-        em = jnp.broadcast_to(embedding, (u,) + embedding.shape[1:])
+        token_len = jnp.asarray([n_prompt + args.tokens])
         t_a = time.time()
-        wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad), token_len,
-                                     pt, pf, em,
-                                     key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
-                                     dtype=dtype)
-        wav = np.asarray(wav)
+        # s3gen sub-batched at 8 (CFM attention memory; see tts.generate_batch)
+        sub = 8
+        wavs = []
+        for s0 in range(0, u, sub):
+            b = min(sub, u - s0)
+            pt = jnp.broadcast_to(prompt_tokens, (b,) + prompt_tokens.shape[1:])
+            pf = jnp.broadcast_to(prompt_feat, (b,) + prompt_feat.shape[1:])
+            em = jnp.broadcast_to(embedding, (b,) + embedding.shape[1:])
+            tl = jnp.broadcast_to(token_len, (b,))
+            wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad[s0:s0 + b]), tl,
+                                         pt, pf, em,
+                                         key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
+                                         dtype=dtype)
+            wavs.append(np.asarray(wav))
+        wav = np.concatenate(wavs, axis=0)
         stage["s3gen"] = time.time() - t_a
         return wav
 

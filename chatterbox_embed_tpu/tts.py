@@ -422,13 +422,21 @@ class ChatterboxTTS:
             np.broadcast_to(np.asarray(gen["prompt_feat"]), (u,) + np.asarray(gen["prompt_feat"]).shape[1:]), jnp.float32)
         embedding = jnp.asarray(
             np.broadcast_to(np.asarray(gen["embedding"]), (u,) + np.asarray(gen["embedding"]).shape[1:]), jnp.float32)
-        token_len = jnp.asarray([n_prompt + n for n in lens])
-        wav = s3gen_mod.token_to_wav(
-            self.s3gen_params, jnp.asarray(toks_arr), token_len, prompt_token,
-            prompt_feat, embedding, key=jax.random.PRNGKey(seed),
-            cfg=self.cfg.s3gen, dtype=self.dtype)
-        wav = np.asarray(wav)
-        return [wav[i, : 2 * lens[i] * 480] for i in range(u)]
+        token_len_all = np.asarray([n_prompt + n for n in lens])
+        # S3Gen sub-batches: the CFM estimator's full attention materialises
+        # (2B, H, T, T) logits — cap the live batch so long utterances fit HBM
+        sub = max(1, int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")))
+        outs = []
+        for s0 in range(0, u, sub):
+            s1 = min(u, s0 + sub)
+            wav = s3gen_mod.token_to_wav(
+                self.s3gen_params, jnp.asarray(toks_arr[s0:s1]),
+                jnp.asarray(token_len_all[s0:s1]), prompt_token[:s1 - s0],
+                prompt_feat[:s1 - s0], embedding[:s1 - s0],
+                key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype)
+            wav = np.asarray(wav)
+            outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
+        return outs
 
     # ------------------------------------------------------------------
     # streaming synthesis (sub-200 ms TTFA path; reference has the hooks but
