@@ -458,7 +458,8 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     u = np.atleast_2d(text_tokens).shape[0]
     if not blocks:
         return [np.zeros((0,), np.int32)] * u
-    all_tok = np.concatenate(blocks, axis=0)        # (n, U)
+    # generate_stream squeezes the utterance axis for U=1; restore it
+    all_tok = np.concatenate([b.reshape(b.shape[0], -1) for b in blocks], axis=0)
     outs = []
     for col in range(u):
         seq = all_tok[:, col]

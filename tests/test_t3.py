@@ -120,3 +120,12 @@ def test_min_p_matches_hf(rng):
     ours = np.asarray(sampling.min_p_filter(jnp.asarray(logits[0]), 0.05))
     ref = MinPLogitsWarper(min_p=0.05)(None, torch.from_numpy(logits))[0].numpy()
     np.testing.assert_array_equal(np.isfinite(ours), np.isfinite(ref))
+
+
+def test_generate_batch_of_one(tiny_t3, rng):
+    """Regression: U=1 through generate_batch (stream squeezes the axis)."""
+    from chatterbox_embed_tpu.models import t3 as t3m
+    text = np.concatenate([[5], rng.integers(1, 50, 6), [0]])[None]
+    out = t3m.generate_batch(tiny_t3, _cond(rng), text, max_new_tokens=8,
+                             cfg_weight=0.3, seed=1, cfg=TINY)
+    assert len(out) == 1 and out[0].ndim == 1 and 1 <= out[0].size <= 8
