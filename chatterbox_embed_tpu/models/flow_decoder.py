@@ -100,7 +100,11 @@ def _tblock(p, x, n_heads, dtype, key_mask=None):
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    x = x + L.linear(p["o"], L.merge_heads(L.mha(q, k, v, mask=key_mask)), dtype)
+    # long batched mels: chunk queries so logits stay O(B*H*chunk*T)
+    big = x.shape[0] * x.shape[1] * x.shape[1] * n_heads > (1 << 27)
+    attn = (L.mha_chunked(q, k, v, mask=key_mask) if big
+            else L.mha(q, k, v, mask=key_mask))
+    x = x + L.linear(p["o"], L.merge_heads(attn), dtype)
     h = L.layer_norm(p["ln3"], x)
     h = L.linear(p["ff2"], jax.nn.gelu(L.linear(p["ff1"], h, dtype), approximate=False), dtype)
     return x + h

@@ -263,6 +263,28 @@ def mha(q, k, v, mask=None, bias=None, scale=None):
     return out
 
 
+def mha_chunked(q, k, v, mask=None, q_chunk: int = 256):
+    """Query-chunked attention: peak memory (B, H, q_chunk, Tk) instead of
+    (B, H, Tq, Tk). Same semantics as mha(); used where Tq*Tk logits would
+    blow HBM (the CFM estimator at batch x long mel).
+
+    mask: bool (B, 1, 1, Tk) key mask or None.
+    """
+    b, tq, h, d = q.shape
+    pad = (-tq) % q_chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = q.shape[1] // q_chunk
+    qc = q.reshape(b, n_chunks, q_chunk, h, d)
+
+    def one(qi):
+        return mha(qi, k, v, mask=mask)
+
+    out = jax.lax.map(one, jnp.moveaxis(qc, 1, 0))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, n_chunks * q_chunk, h, d)
+    return out[:, :tq]
+
+
 def split_heads(x, n_heads):
     b, t, d = x.shape
     return x.reshape(b, t, n_heads, d // n_heads)

@@ -122,3 +122,16 @@ def test_lstm_matches_torch(rng):
         out, (hn, cn) = ref_lstm(_t(x))
     np.testing.assert_allclose(np.asarray(h), out.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_last), hn[-1].numpy(), atol=1e-5)
+
+
+def test_mha_chunked_matches_mha(rng):
+    from chatterbox_embed_tpu.models import layers as L2
+    import jax.numpy as jnp2
+    b, t, h, d = 2, 70, 4, 16
+    q = jnp2.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp2.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp2.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    mask = jnp2.asarray(rng.random((b, 1, 1, t)) > 0.2)
+    ref = L2.mha(q, k, v, mask=mask)
+    out = L2.mha_chunked(q, k, v, mask=mask, q_chunk=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
