@@ -100,8 +100,10 @@ def _tblock(p, x, n_heads, dtype, key_mask=None):
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    # long batched mels: chunk queries so logits stay O(B*H*chunk*T)
-    big = x.shape[0] * x.shape[1] * x.shape[1] * n_heads > (1 << 27)
+    # long batched mels: chunk queries so logits stay O(B*H*chunk*T);
+    # threshold ~1 GB of fp32 logits — below that the single fused attention
+    # beats the sequential lax.map chunks
+    big = x.shape[0] * x.shape[1] * x.shape[1] * n_heads > (1 << 28)
     attn = (L.mha_chunked(q, k, v, mask=key_mask) if big
             else L.mha(q, k, v, mask=key_mask))
     x = x + L.linear(p["o"], L.merge_heads(attn), dtype)
