@@ -146,6 +146,18 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             from ..kernels.flash_decode import decode_attention
             att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
                                    start=flash_start)[:, None]
+        elif t == 1 and cache is not None:
+            # XLA decode on the sequence-major cache WITHOUT transposing it:
+            # a (B, L, H, D) transpose per layer per step churns gigabytes at
+            # large batch (the batch-32 worker-crash culprit)
+            kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)      # (L, B, H, D)
+            logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
+                                preferred_element_type=jnp.float32)
+            logits = logits / np.sqrt(cfg.head_dim)
+            km = attn_mask[:, 0]                                   # (B|1, L) key mask
+            logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
+            w = jax.nn.softmax(logits, axis=-1)
+            att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
         else:
             if cache is not None:
                 k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)
