@@ -339,6 +339,7 @@ def _bucket(n: int) -> int:
 
 
 DECODE_BLOCK = 64   # tokens per compiled decode block (2.56 s of audio)
+MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
@@ -448,7 +449,25 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     voice" serving config (the reference is hard-limited to batch 1 —
     SURVEY.md §2.6); on TPU the fused 2U-row decode amortises the 0.5B
     weight streaming across the whole batch.
+
+    Single-chip decode is capped at MAX_DECODE_UTTERANCES per fused program
+    (v5e falls over beyond 2*16 CFG rows — PERF_NOTES.md §4); larger batches
+    are processed in sequential sub-batches. For true large-batch scaling use
+    `mesh=` (dp sharding across chips).
     """
+    tt = np.atleast_2d(text_tokens)
+    if mesh is None and tt.shape[0] > MAX_DECODE_UTTERANCES:
+        outs = []
+        for s0 in range(0, tt.shape[0], MAX_DECODE_UTTERANCES):
+            s1 = min(tt.shape[0], s0 + MAX_DECODE_UTTERANCES)
+            outs.extend(generate_batch(
+                params, cond, tt[s0:s1], max_new_tokens=max_new_tokens,
+                temperature=temperature, cfg_weight=cfg_weight,
+                repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+                stop_on_eos=stop_on_eos, seed=seed + s0,
+                text_lens=None if text_lens is None else np.asarray(text_lens)[s0:s1],
+                cfg=cfg, dtype=dtype))
+        return outs
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
