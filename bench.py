@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
                     help="utterances decoded in lock-step (throughput mode)")
+    ap.add_argument("--stream", action="store_true",
+                    help="measure time-to-first-audio via the streaming path")
     args = ap.parse_args()
 
     if args.smoke:
@@ -155,6 +157,10 @@ def main():
         stage["s3gen"] = time.time() - t_a
         return wav
 
+    if args.stream:
+        return bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
+                            n_prompt, prompt_tokens, prompt_feat, embedding)
+
     # warmup / compile
     t0 = time.time()
     wav = synthesize(0)
@@ -189,6 +195,53 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
+                 n_prompt, prompt_tokens, prompt_feat, embedding):
+    """p50 time-to-first-audio through the token->mel->wav streaming path
+    (BASELINE.md stretch goal: < 200 ms)."""
+    import jax
+    import jax.numpy as jnp
+    from chatterbox_embed_tpu.models import t3 as t3_mod
+    from chatterbox_embed_tpu.models import s3gen as s3gen_mod
+    from chatterbox_embed_tpu.models import hifigan as hift_mod
+
+    block = 25  # 1 s of audio per block
+
+    def first_chunk(seed):
+        stream = t3_mod.generate_stream(
+            t3_params, cond, text, max_new_tokens=block, temperature=0.7,
+            cfg_weight=0.5, stop_on_eos=False, seed=seed, block=block,
+            cfg=cfg.t3, dtype=dtype)
+        toks = next(iter(stream))
+        toks = np.asarray(toks).reshape(-1)[:block]
+        tok_pad = np.zeros((1, block), np.int32)
+        tok_pad[0, :len(toks)] = toks
+        mel = s3gen_mod.flow_to_mel(
+            s3_params, jnp.asarray(tok_pad), jnp.asarray([n_prompt + len(toks)]),
+            prompt_tokens, prompt_feat, embedding, finalize=False,
+            cfg=cfg.s3gen, dtype=dtype)
+        wav, _ = hift_mod.inference(s3_params["hift"], mel,
+                                    key=jax.random.PRNGKey(seed),
+                                    cfg=cfg.s3gen.hift, dtype=dtype)
+        return np.asarray(wav)
+
+    w = first_chunk(0)  # compile
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        w = first_chunk(i + 1)
+        times.append(time.time() - t0)
+    ttfa = float(np.median(times))
+    print(json.dumps({
+        "metric": "ttfa_p50",
+        "value": round(ttfa, 4),
+        "unit": "s",
+        "vs_baseline": round(0.2 / ttfa, 3),
+        "detail": {"block_tokens": block, "first_chunk_samples": int(w.size),
+                   "iters": args.iters, "device": str(jax.devices()[0])},
+    }))
 
 
 if __name__ == "__main__":
