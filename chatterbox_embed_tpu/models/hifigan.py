@@ -180,13 +180,8 @@ def decode(params, mel: jnp.ndarray, source: jnp.ndarray,
     return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
 
 
-def inference(params, mel: jnp.ndarray, key=None, cache_source: jnp.ndarray | None = None,
-              cfg: HiFTConfig = HiFTConfig(), dtype=jnp.float32):
-    """mel (B, T, 80) -> (wav (B, T*480), source (B, T*480))
-    (reference: hifigan.py:462-474). `cache_source` overwrites the head of the
-    regenerated excitation for glitch-free streaming (hifigan.py:470-472)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+def _inference_impl(params, mel, key, cache_source,
+                    cfg: HiFTConfig, dtype):
     f0 = f0_predict(params["f0_predictor"], mel, dtype)   # (B, T)
     f0_up = jnp.repeat(f0, cfg.total_upsample, axis=-1)   # nearest upsample x480
     s = source_module(params, key, f0_up, cfg)            # (B, T*480)
@@ -195,3 +190,22 @@ def inference(params, mel: jnp.ndarray, key=None, cache_source: jnp.ndarray | No
         s = jnp.concatenate([cache_source.astype(s.dtype), s[:, n:]], axis=1)
     wav = decode(params, mel, s, cfg, dtype)
     return wav, s
+
+
+_inference_jit = jax.jit(_inference_impl, static_argnames=("cfg", "dtype"))
+_inference_jit_nocache = jax.jit(
+    lambda params, mel, key, cfg, dtype: _inference_impl(params, mel, key, None, cfg, dtype),
+    static_argnames=("cfg", "dtype"))
+
+
+def inference(params, mel: jnp.ndarray, key=None, cache_source: jnp.ndarray | None = None,
+              cfg: HiFTConfig = HiFTConfig(), dtype=jnp.float32):
+    """mel (B, T, 80) -> (wav (B, T*480), source (B, T*480))
+    (reference: hifigan.py:462-474). `cache_source` overwrites the head of the
+    regenerated excitation for glitch-free streaming (hifigan.py:470-472).
+    Jitted end-to-end."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if cache_source is None:
+        return _inference_jit_nocache(params, mel, key, cfg, dtype)
+    return _inference_jit(params, mel, key, cache_source, cfg, dtype)

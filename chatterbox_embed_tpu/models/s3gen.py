@@ -49,10 +49,10 @@ def init(key, cfg: S3GenConfig = S3GenConfig()):
 # flow inference: tokens -> mel
 # ---------------------------------------------------------------------------
 
-def flow_to_mel(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
-                prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
-                embedding: jnp.ndarray, finalize: bool = True,
-                cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
+                      prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
+                      embedding: jnp.ndarray, finalize: bool = True,
+                      cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
     """CausalMaskedDiffWithXvec.inference (reference: flow.py:236-282).
 
     Args:
@@ -96,6 +96,19 @@ def flow_to_mel(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
     return mel[:, mel_len1:]
 
 
+_flow_to_mel_jit = jax.jit(_flow_to_mel_impl,
+                           static_argnames=("finalize", "cfg", "dtype"))
+
+
+def flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
+                embedding, finalize: bool = True,
+                cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+    """Jitted tokens->mel (one program per (bucket, prompt, finalize) shape;
+    eager tracing would cost hundreds of dispatches on remote backends)."""
+    return _flow_to_mel_jit(params, tokens, token_len, prompt_tokens,
+                            prompt_feat, embedding, finalize, cfg, dtype)
+
+
 # ---------------------------------------------------------------------------
 # full graph: tokens -> wav
 # ---------------------------------------------------------------------------
@@ -111,8 +124,8 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
 def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                        embedding, key, finalize: bool,
                        cfg: S3GenConfig, dtype, apply_fade: bool):
-    mel = flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
-                      embedding, finalize, cfg, dtype)
+    mel = _flow_to_mel_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
+                            embedding, finalize, cfg, dtype)
     wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
     if apply_fade:
         fade = jnp.asarray(trim_fade())
