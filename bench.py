@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -207,7 +208,7 @@ def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
     from chatterbox_embed_tpu.models import s3gen as s3gen_mod
     from chatterbox_embed_tpu.models import hifigan as hift_mod
 
-    block = 25  # 1 s of audio per block
+    block = int(os.getenv("CHATTERBOX_TTFA_BLOCK", "25"))  # tokens in first chunk
 
     def first_chunk(seed):
         stream = t3_mod.generate_stream(
