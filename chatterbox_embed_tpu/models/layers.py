@@ -106,10 +106,29 @@ def linear_init(key, d_in, d_out, bias=True):
 
 
 def linear(p, x, dtype=None):
-    y = x.astype(dtype or x.dtype) @ _cast(p["w"], dtype or x.dtype)
+    d = dtype or x.dtype
+    if "w_q" in p:
+        # int8 weight streaming: HBM reads halve vs bf16; dequant fuses into
+        # the dot. Per-output-channel symmetric scales.
+        w = p["w_q"].astype(d) * _cast(p["scale"], d)
+    else:
+        w = _cast(p["w"], d)
+    y = x.astype(d) @ w
     if "b" in p:
         y = y + _cast(p["b"], y.dtype)
     return y
+
+
+def quantize_linear(p, axis: int = 0):
+    """fp weight dict -> int8 dict {w_q, scale(, b)}; symmetric per-out-channel."""
+    w = np.asarray(p["w"], np.float32)
+    amax = np.max(np.abs(w), axis=axis, keepdims=True)
+    scale = (amax / 127.0 + 1e-12).astype(np.float32)
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    out = {"w_q": wq, "scale": scale}
+    if "b" in p:
+        out["b"] = np.asarray(p["b"])
+    return out
 
 
 def embedding_init(key, vocab, dim, std=1.0):

@@ -135,3 +135,17 @@ def test_mha_chunked_matches_mha(rng):
     ref = L2.mha(q, k, v, mask=mask)
     out = L2.mha_chunked(q, k, v, mask=mask, q_chunk=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_int8_linear_close_to_fp(rng):
+    from chatterbox_embed_tpu.models import layers as L2
+    import jax.numpy as jnp2
+    p = {"w": rng.standard_normal((64, 32)).astype(np.float32),
+         "b": rng.standard_normal(32).astype(np.float32)}
+    x = jnp2.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    ref = np.asarray(L2.linear(p, x))
+    q = L2.quantize_linear(p)
+    assert q["w_q"].dtype == np.int8
+    out = np.asarray(L2.linear(q, x))
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.03, err
