@@ -134,16 +134,24 @@ def istft(
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    # Overlap-add via one strided conv-transpose-equivalent scatter.
-    # frames (..., n_frames, n_fft) -> signal (..., out_len)
+    # Overlap-add as a transposed convolution with an identity kernel:
+    # out[t'*hop + k] += frames[t', k]. A scatter-add would serialise on TPU.
+    # anti-diagonal: XLA conv is a correlation, so the kernel tap for frame
+    # channel f must sit at position n_fft-1-f to land at output t'*hop + f
+    eye = np.zeros((n_fft, 1, n_fft), np.float32)
+    eye[n_fft - 1 - np.arange(n_fft), 0, np.arange(n_fft)] = 1.0
+
     def ola(fr):
-        sig = jnp.zeros(fr.shape[:-2] + (out_len,), fr.dtype)
-        idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :])
-        return sig.at[..., idx].add(fr)
+        lead = fr.shape[:-2]
+        y = jax.lax.conv_general_dilated(
+            fr.reshape((-1,) + fr.shape[-2:]), jnp.asarray(eye),
+            window_strides=(1,), padding=[(n_fft - 1, n_fft - 1)],
+            lhs_dilation=(hop_length,),
+            dimension_numbers=("NWC", "WOI", "NWC"))
+        return y[..., 0].reshape(lead + (y.shape[1],))
 
     sig = ola(frames)
-    wsq = ola(jnp.broadcast_to(window * window, (1,) * (frames.ndim - 2) + (n_frames, n_fft))
-              ).reshape(out_len)
+    wsq = ola(jnp.broadcast_to(window * window, (1, n_frames, n_fft))).reshape(out_len)
     sig = sig / jnp.maximum(wsq, 1e-11)
     if center:
         sig = sig[..., n_fft // 2: out_len - n_fft // 2]
