@@ -274,3 +274,29 @@ def test_generate_batch(tts, ref_voice_wav, tmp_path):
     for w in wavs:
         assert w.ndim == 1 and np.isfinite(w).all()
         assert w.size % 960 == 0  # 2 mel frames * 480 samples per token
+
+
+def test_vc_tts_and_clean_audio(ref_voice_wav, tmp_path):
+    """VC profile-based TTS (punc_norm -> T3 -> S3Gen -> watermark -> -1 dBFS
+    peak norm) and the clean_audio denoise chain."""
+    from chatterbox_embed_tpu.vc import ChatterboxVC
+    import chatterbox_embed_tpu.vc as vcmod
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    vcmod._TOKEN_BUCKETS = (32, 64, 128)
+    t3mod._TEXT_BUCKETS = (24, 48)
+    vc = ChatterboxVC.from_random(seed=0, config=TINY)
+
+    prof = str(tmp_path / "vcprof.npy")
+    vc.save_voice_profile(ref_voice_wav, prof)
+    import chatterbox_embed_tpu.models.t3 as t3m
+    wav = vc.tts("Hello from the voice clone.", voice_profile_path=prof,
+                 cfg_weight=0.4, seed=1)
+    assert wav.ndim == 2 and np.isfinite(wav).all()
+    peak = np.abs(wav).max()
+    assert abs(peak - 10 ** (-1 / 20)) < 0.02  # -1 dBFS peak normalisation
+
+    cleaned = vc.clean_audio(ref_voice_wav, str(tmp_path / "clean.wav"))
+    from chatterbox_embed_tpu.stitching.stitcher import read_wav
+    cw, sr = read_wav(cleaned)
+    assert sr == 24_000 and np.isfinite(cw).all() and cw.size > 0
+    assert np.abs(cw).max() <= 10 ** (-3 / 20) + 0.02  # -3 dB peak norm
