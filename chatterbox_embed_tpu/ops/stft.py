@@ -106,6 +106,24 @@ def _idft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return (np.cos(ang) * w).astype(np.float32), (-np.sin(ang) * w).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def _nola_denominator_cached(win_bytes: bytes, n_fft: int, hop: int,
+                             n_frames: int) -> np.ndarray:
+    win2 = np.frombuffer(win_bytes, np.float32).astype(np.float64) ** 2
+    out_len = n_fft + hop * (n_frames - 1)
+    imp = np.zeros(out_len - n_fft + 1, np.float64)
+    imp[:: hop] = 1.0
+    return np.convolve(imp, win2, mode="full")[:out_len].astype(np.float32)
+
+
+def _nola_denominator(window, n_fft: int, hop: int, n_frames: int) -> np.ndarray:
+    """Sum of squared windows over overlapped frames, (out_len,).
+
+    Requires a CONCRETE window (numpy) — all front-ends pass hann_window()."""
+    win = np.asarray(window, np.float32)
+    return _nola_denominator_cached(win.tobytes(), n_fft, hop, n_frames)
+
+
 def istft(
     real: jnp.ndarray,
     imag: jnp.ndarray,
@@ -118,11 +136,12 @@ def istft(
     """Inverse STFT with overlap-add, matching torch.istft (NOLA-normalised).
 
     Args:
-      real, imag: (..., n_freq, n_frames).
+      real, imag: (..., n_freq, n_frames). `window` must be concrete (numpy).
     Returns:
       (..., T) waveform.
     """
-    window = jnp.asarray(window, jnp.float32)
+    window_np = np.asarray(window, np.float32)
+    window = jnp.asarray(window_np)
     cos_b, msin_b = _idft_basis(n_fft)
     # frames: (..., n_frames, n_fft)
     spec_r = jnp.swapaxes(real, -1, -2)
@@ -151,7 +170,9 @@ def istft(
         return y[..., 0].reshape(lead + (y.shape[1],))
 
     sig = ola(frames)
-    wsq = ola(jnp.broadcast_to(window * window, (1, n_frames, n_fft))).reshape(out_len)
+    # the NOLA denominator is deterministic: build it host-side (cached) so
+    # XLA does not constant-fold a megasample conv at compile time
+    wsq = jnp.asarray(_nola_denominator(window_np, n_fft, hop_length, n_frames))
     sig = sig / jnp.maximum(wsq, 1e-11)
     if center:
         sig = sig[..., n_fft // 2: out_len - n_fft // 2]
