@@ -218,15 +218,17 @@ class S3TokenizerConfig:
 
     The reference wraps the external `s3tokenizer` pip package
     (models/s3tokenizer/s3tokenizer.py:1-12). Architecture follows the public
-    package's "speech_tokenizer_v2_25hz": 128-mel front end, conv downsample
-    x2, transformer encoder, FSQ with 3**8 = 6561 codes.
+    package's "speech_tokenizer_v2_25hz" (model_v2.py ModelConfig): 128-mel
+    front end, two stride-2 convs (100 Hz -> 25 Hz), 6 SAN-M blocks (FSMN
+    memory kernel 31), FSQ with 3**8 = 6561 codes.
     """
     n_mels: int = 128
     n_fft: int = 400
     hop: int = S3_HOP
     n_state: int = 1280
     n_heads: int = 20
-    n_layers: int = 12
+    n_layers: int = 6
+    fsmn_kernel: int = 31
     fsq_dim: int = 8
     fsq_levels: int = 3            # codes per dim -> 3**8 = 6561 vocab
     vocab_size: int = SPEECH_VOCAB_SIZE

@@ -3,18 +3,26 @@
 The reference delegates to the external `s3tokenizer` pip package
 (models/s3tokenizer/s3tokenizer.py:1-12 wraps S3TokenizerV2
 "speech_tokenizer_v2_25hz"; quantize() called at s3tokenizer.py:122).
-This is a from-scratch JAX implementation of that architecture:
-whisper-large-shaped encoder (1280-d, 20 heads, pre-LN, GELU MLP) over
-128-bin log-mels, conv front-end downsampling 100 Hz mel -> 25 Hz, and a
-finite-scalar-quantization head with 3**8 = 6561 codes.
+This is a from-scratch JAX implementation of that package's model_v2
+architecture (SAN-M style, as used by CosyVoice2's 25 Hz tokenizer):
+
+- frontend: two Conv1d(k=3, stride=2) + GELU over 128-bin log-mels,
+  100 Hz mel frames -> 25 Hz token frames (no positional embedding — the
+  FSMN memory branch below carries position, per SAN-M);
+- encoder: 6 residual blocks of FSMN multi-head attention (20 heads,
+  1280-d) — standard softmax attention PLUS a depthwise-conv "memory"
+  branch (kernel 31, no bias) over the value projection, added to the
+  attention output — followed by a GELU MLP (x4);
+- head: FSQ — Linear(1280 -> 8), tanh, scale 0.999..., round to
+  {-1,0,1}, +1, base-3 positional encode -> 3**8 = 6561 codes.
 
 TPU design: the transformer runs in bf16 with fp32 softmax/LN; the FSQ
 rounding is a pure vector op. All shapes static — callers pad waveforms to
-40 ms multiples exactly like the reference's `pad()` helper.
+40 ms multiples exactly like the reference's `pad()` helper, and padded
+frames are masked before each conv / inside the FSMN branch so token output
+is bucket-invariant.
 """
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +31,10 @@ import numpy as np
 from ..config import S3TokenizerConfig, S3_SR, S3_TOKEN_RATE, SPEECH_VOCAB_SIZE
 from ..ops import mel as mel_ops
 from . import layers as L
+
+# Upstream rounds tanh(z) * this constant (fp32 image of 0.999) before the
+# base-3 encode; kept bit-equal so converted checkpoints token-match.
+_FSQ_SCALE = 0.9990000128746033
 
 
 # ---------------------------------------------------------------------------
@@ -37,7 +49,6 @@ def init(key, cfg: S3TokenizerConfig = S3TokenizerConfig()):
         "conv1": L.conv1d_init(nk(), 3, cfg.n_mels, d),
         "conv2": L.conv1d_init(nk(), 3, d, d),
         "blocks": [],
-        "ln_post": L.layer_norm_init(d),
         "fsq_proj": L.linear_init(nk(), d, cfg.fsq_dim),
     }
     for _ in range(cfg.n_layers):
@@ -47,6 +58,8 @@ def init(key, cfg: S3TokenizerConfig = S3TokenizerConfig()):
             "k": L.linear_init(nk(), d, d, bias=False),
             "v": L.linear_init(nk(), d, d),
             "o": L.linear_init(nk(), d, d),
+            "fsmn": L.conv1d_init(nk(), cfg.fsmn_kernel, d, d, bias=False,
+                                  groups=d),
             "ln2": L.layer_norm_init(d),
             "fc1": L.linear_init(nk(), d, 4 * d),
             "fc2": L.linear_init(nk(), 4 * d, d),
@@ -54,52 +67,62 @@ def init(key, cfg: S3TokenizerConfig = S3TokenizerConfig()):
     return params
 
 
-def _sinusoids(length: int, channels: int) -> np.ndarray:
-    """Whisper-style sinusoidal positions."""
-    log_timescale = math.log(10_000) / (channels // 2 - 1)
-    inv = np.exp(-log_timescale * np.arange(channels // 2))
-    scaled = np.arange(length)[:, None] * inv[None, :]
-    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+def _fsmn(p, v, mask_pad, kernel: int, dtype):
+    """SAN-M memory branch: depthwise conv (symmetric pad) + residual over the
+    value projection, masked on both sides of the conv."""
+    x = v * mask_pad
+    lo = (kernel - 1) // 2
+    y = L.conv1d(p, x, padding=(lo, kernel - 1 - lo), groups=x.shape[-1],
+                 dtype=dtype)
+    return (y + x) * mask_pad
 
 
-def _block(p, x, mask, n_heads, dtype):
-    h = L.layer_norm(p["ln1"], x)
-    q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
-    k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
-    v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    att = L.merge_heads(L.mha(q, k, v, mask=mask))
-    x = x + L.linear(p["o"], att, dtype)
+def _block(p, x, attn_mask, mask_pad, cfg: S3TokenizerConfig, dtype):
+    # Upstream asymmetry kept verbatim: attn_ln eps=1e-6, mlp_ln default 1e-5.
+    h = L.layer_norm(p["ln1"], x, eps=1e-6)
+    q = L.split_heads(L.linear(p["q"], h, dtype), cfg.n_heads)
+    k = L.split_heads(L.linear(p["k"], h, dtype), cfg.n_heads)
+    v = L.linear(p["v"], h, dtype)
+    mem = _fsmn(p["fsmn"], v, mask_pad, cfg.fsmn_kernel, dtype)
+    att = L.merge_heads(L.mha(q, k, L.split_heads(v, cfg.n_heads), mask=attn_mask))
+    x = x + L.linear(p["o"], att, dtype) + mem
     h = L.layer_norm(p["ln2"], x)
-    return x + L.linear(p["fc2"], jax.nn.gelu(L.linear(p["fc1"], h, dtype), approximate=False), dtype)
+    return x + L.linear(p["fc2"], jax.nn.gelu(L.linear(p["fc1"], h, dtype),
+                                              approximate=False), dtype)
 
 
 def encode(params, mels: jnp.ndarray, mel_lens: jnp.ndarray,
            cfg: S3TokenizerConfig = S3TokenizerConfig(), dtype=jnp.float32):
-    """mels (B, n_mels, T@100Hz) -> hidden (B, T//4, n_state), token lens."""
-    x = jnp.swapaxes(mels, 1, 2).astype(dtype)             # (B, T, 128)
+    """mels (B, n_mels, T@100Hz) -> hidden (B, ceil(T/4), n_state), token lens.
+
+    Padded frames are zeroed before each strided conv (kernel 3 reads one
+    frame across the length boundary) so outputs are padding-invariant.
+    """
+    x = jnp.swapaxes(mels, 1, 2).astype(dtype)              # (B, T, 128)
+    t0 = x.shape[1]
+    x = x * (jnp.arange(t0)[None, :, None] < mel_lens[:, None, None])
     x = jax.nn.gelu(L.conv1d(params["conv1"], x, stride=2, padding=1, dtype=dtype))
+    l1 = (mel_lens + 1) // 2
+    x = x * (jnp.arange(x.shape[1])[None, :, None] < l1[:, None, None])
     x = jax.nn.gelu(L.conv1d(params["conv2"], x, stride=2, padding=1, dtype=dtype))
+    tok_lens = (l1 + 1) // 2
     t = x.shape[1]
-    x = x + jnp.asarray(_sinusoids(t, cfg.n_state), dtype)
-    tok_lens = (mel_lens + 3) // 4
-    pad_mask = (jnp.arange(t)[None, :] < tok_lens[:, None])  # (B, T)
-    attn_mask = pad_mask[:, None, None, :]                   # (B, 1, 1, Tk)
+    pad_mask = (jnp.arange(t)[None, :] < tok_lens[:, None])   # (B, T)
+    attn_mask = pad_mask[:, None, None, :]                    # (B, 1, 1, Tk)
+    mask_pad = pad_mask[:, :, None].astype(x.dtype)           # (B, T, 1)
     for blk in params["blocks"]:
-        x = _block(blk, x, attn_mask, cfg.n_heads, dtype)
-    x = L.layer_norm(params["ln_post"], x)
+        x = _block(blk, x, attn_mask, mask_pad, cfg, dtype)
     return x, tok_lens
 
 
 def fsq_quantize(params, h: jnp.ndarray, cfg: S3TokenizerConfig = S3TokenizerConfig()):
     """Finite scalar quantization: (B, T, n_state) -> int32 token ids (B, T).
 
-    8 dims x 3 levels: z -> round(tanh-bounded scalar) in {-1, 0, 1},
-    index = sum_i (digit_i + 1) * 3^i.
+    8 dims x 3 levels: digit_i = round(tanh(z_i) * 0.999...) + 1 in {0,1,2},
+    index = sum_i digit_i * 3^i (upstream FSQCodebook.encode).
     """
     z = L.linear(params["fsq_proj"], h.astype(jnp.float32))
-    half = (cfg.fsq_levels - 1) / 2.0                        # 1.0 for 3 levels
-    bounded = jnp.tanh(z) * half
-    digits = jnp.round(bounded).astype(jnp.int32) + int(half)
+    digits = jnp.round(jnp.tanh(z) * _FSQ_SCALE).astype(jnp.int32) + 1
     basis = (cfg.fsq_levels ** np.arange(cfg.fsq_dim)).astype(np.int32)
     return jnp.sum(digits * jnp.asarray(basis), axis=-1)
 

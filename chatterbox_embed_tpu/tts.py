@@ -160,9 +160,11 @@ class ChatterboxTTS:
         ve_sd = weights_mod.load_safetensors(str(ckpt_dir / "ve.safetensors"))
         ve_params = jax.tree.map(jnp.asarray, weights_mod.convert_voice_encoder(ve_sd))
         t3_sd = weights_mod.load_safetensors(str(ckpt_dir / "t3_cfg.safetensors"))
-        t3_params = jax.tree.map(jnp.asarray, weights_mod.convert_t3(t3_sd))
+        t3_params = jax.tree.map(jnp.asarray, weights_mod.convert_t3(
+            t3_sd, num_layers=config.t3.llama.num_layers))
         s3_sd = weights_mod.load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
-        s3gen_params = jax.tree.map(jnp.asarray, weights_mod.convert_s3gen(s3_sd))
+        s3gen_params = jax.tree.map(jnp.asarray,
+                                    weights_mod.convert_s3gen(s3_sd, cfg=config.s3gen))
         tokenizer = EnTokenizer(str(ckpt_dir / "tokenizer.json"))
         conds = None
         if (ckpt_dir / "conds.pt").exists():

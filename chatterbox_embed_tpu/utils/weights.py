@@ -20,6 +20,53 @@ Array = np.ndarray
 StateDict = Dict[str, Array]
 
 
+# ---------------------------------------------------------------------------
+# Conversion coverage validation
+# ---------------------------------------------------------------------------
+
+class _TrackedDict(dict):
+    """State dict that records key reads, for conversion-coverage checks."""
+
+    def __init__(self, sd: StateDict):
+        super().__init__(sd)
+        self.read: set = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
+def _convert_validated(convert, sd: StateDict, ignore=()):
+    """Run `convert` over `sd` and fail LOUDLY on layout drift.
+
+    - A missing key raises KeyError immediately, annotated with the closest
+      checkpoint names so a renamed upstream module is diagnosable.
+    - Checkpoint keys the converter never read (minus `ignore` regexes, for
+      buffers / train-only params) raise ValueError: silently-dropped weights
+      mean the architecture diverges and outputs would be silently wrong.
+    """
+    import re
+    tracked = _TrackedDict(sd)
+    try:
+        tree = convert(tracked)
+    except KeyError as e:
+        missing = str(e.args[0])
+        stem = missing.split(".")[0]
+        near = sorted(k for k in sd if k.startswith(stem))[:10]
+        raise KeyError(
+            f"checkpoint missing {missing!r}; keys under {stem!r} look like: "
+            f"{near}") from None
+    pats = [re.compile(p) for p in ignore]
+    unused = sorted(k for k in sd if k not in tracked.read
+                    and not any(p.fullmatch(k) for p in pats))
+    if unused:
+        raise ValueError(
+            f"{len(unused)} checkpoint tensors were not consumed by the "
+            f"converter (architecture drift?): {unused[:20]}"
+            + (" ..." if len(unused) > 20 else ""))
+    return tree
+
+
 def _lin(sd: StateDict, prefix: str, bias: bool = True):
     p = {"w": np.ascontiguousarray(sd[prefix + ".weight"].T)}
     if bias and prefix + ".bias" in sd:
@@ -113,45 +160,53 @@ def convert_llama(sd: StateDict, num_layers: int, prefix: str = "") -> dict:
 # VoiceEncoder (reference: models/voice_encoder/voice_encoder.py:119-137)
 # ---------------------------------------------------------------------------
 
-def convert_voice_encoder(sd: StateDict) -> dict:
-    lstm = []
-    for i in range(3):
-        lstm.append({
-            "wi": np.ascontiguousarray(sd[f"lstm.weight_ih_l{i}"].T),
-            "wh": np.ascontiguousarray(sd[f"lstm.weight_hh_l{i}"].T),
-            "bi": sd[f"lstm.bias_ih_l{i}"],
-            "bh": sd[f"lstm.bias_hh_l{i}"],
-        })
-    return {"lstm": lstm, "proj": _lin(sd, "proj")}
+def convert_voice_encoder(sd: StateDict, validate: bool = True) -> dict:
+    def build(d):
+        lstm = []
+        for i in range(3):
+            lstm.append({
+                "wi": np.ascontiguousarray(d[f"lstm.weight_ih_l{i}"].T),
+                "wh": np.ascontiguousarray(d[f"lstm.weight_hh_l{i}"].T),
+                "bi": d[f"lstm.bias_ih_l{i}"],
+                "bh": d[f"lstm.bias_hh_l{i}"],
+            })
+        return {"lstm": lstm, "proj": _lin(d, "proj")}
+    if not validate:
+        return build(sd)
+    return _convert_validated(build, sd, ignore=VE_IGNORED_KEYS)
 
 
 # ---------------------------------------------------------------------------
 # T3 (reference: models/t3/t3.py:42-66, modules/cond_enc.py, perceiver.py)
 # ---------------------------------------------------------------------------
 
-def convert_t3(sd: StateDict, num_layers: int = 30) -> dict:
-    perceiver = {
-        "query": sd["cond_enc.perceiver.pre_attention_query"],
-        "norm": _ln(sd, "cond_enc.perceiver.attn.norm"),
-        "q": _lin(sd, "cond_enc.perceiver.attn.to_q"),
-        "k": _lin(sd, "cond_enc.perceiver.attn.to_k"),
-        "v": _lin(sd, "cond_enc.perceiver.attn.to_v"),
-        "o": _lin(sd, "cond_enc.perceiver.attn.proj_out"),
-    }
-    return {
-        "llama": convert_llama(sd, num_layers, prefix="tfmr."),
-        "text_emb": _emb(sd, "text_emb"),
-        "speech_emb": _emb(sd, "speech_emb"),
-        "text_pos_emb": _emb(sd, "text_pos_emb.emb"),
-        "speech_pos_emb": _emb(sd, "speech_pos_emb.emb"),
-        "text_head": _lin(sd, "text_head", bias=False),
-        "speech_head": _lin(sd, "speech_head", bias=False),
-        "cond_enc": {
-            "spkr_enc": _lin(sd, "cond_enc.spkr_enc"),
-            "emotion_adv_fc": _lin(sd, "cond_enc.emotion_adv_fc", bias=False),
-            "perceiver": perceiver,
-        },
-    }
+def convert_t3(sd: StateDict, num_layers: int = 30, validate: bool = True) -> dict:
+    def build(d):
+        perceiver = {
+            "query": d["cond_enc.perceiver.pre_attention_query"],
+            "norm": _ln(d, "cond_enc.perceiver.attn.norm"),
+            "q": _lin(d, "cond_enc.perceiver.attn.to_q"),
+            "k": _lin(d, "cond_enc.perceiver.attn.to_k"),
+            "v": _lin(d, "cond_enc.perceiver.attn.to_v"),
+            "o": _lin(d, "cond_enc.perceiver.attn.proj_out"),
+        }
+        return {
+            "llama": convert_llama(d, num_layers, prefix="tfmr."),
+            "text_emb": _emb(d, "text_emb"),
+            "speech_emb": _emb(d, "speech_emb"),
+            "text_pos_emb": _emb(d, "text_pos_emb.emb"),
+            "speech_pos_emb": _emb(d, "speech_pos_emb.emb"),
+            "text_head": _lin(d, "text_head", bias=False),
+            "speech_head": _lin(d, "speech_head", bias=False),
+            "cond_enc": {
+                "spkr_enc": _lin(d, "cond_enc.spkr_enc"),
+                "emotion_adv_fc": _lin(d, "cond_enc.emotion_adv_fc", bias=False),
+                "perceiver": perceiver,
+            },
+        }
+    if not validate:
+        return build(sd)
+    return _convert_validated(build, sd, ignore=T3_IGNORED_KEYS)
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +329,7 @@ def convert_hift(sd: StateDict, prefix: str = "mel2wav.", cfg=None) -> dict:
     }
 
 
-def convert_campplus(sd: StateDict, prefix: str = "speaker_encoder.") -> dict:
+def convert_campplus(sd: StateDict, prefix: str = "speaker_encoder.", cfg=None) -> dict:
     def res_block(p, has_shortcut):
         out = {"conv1": _conv2d(sd, p + "conv1"), "bn1": _bn(sd, p + "bn1"),
                "conv2": _conv2d(sd, p + "conv2"), "bn2": _bn(sd, p + "bn2")}
@@ -295,7 +350,7 @@ def convert_campplus(sd: StateDict, prefix: str = "speaker_encoder.") -> dict:
     tdnn = {"conv": _conv1d(sd, xv + "tdnn.linear"), "bn": _bn(sd, xv + "tdnn.nonlinear.batchnorm")}
     blocks, transits = [], []
     from ..config import CAMPPlusConfig
-    ccfg = CAMPPlusConfig()
+    ccfg = cfg or CAMPPlusConfig()
     for bi, (num_layers, ksz, dil) in enumerate(zip(ccfg.block_layers, ccfg.block_kernels,
                                                     ccfg.block_dilations), start=1):
         layers = []
@@ -318,21 +373,78 @@ def convert_campplus(sd: StateDict, prefix: str = "speaker_encoder.") -> dict:
     return {"fcm": fcm, "tdnn": tdnn, "blocks": blocks, "transits": transits, "head": head}
 
 
-def convert_s3gen(sd: StateDict) -> dict:
+def convert_s3tokenizer(sd: StateDict, prefix: str = "tokenizer.") -> dict:
+    """S3TokenizerV2 weights (the `s3tokenizer` package's model_v2 SAN-M
+    layout; shipped inside s3gen.safetensors under "tokenizer." per reference
+    s3gen.py:53-60). Block count is inferred from the checkpoint."""
+    enc = prefix + "encoder."
+    n_layers = 0
+    while f"{enc}blocks.{n_layers}.attn_ln.weight" in sd:
+        n_layers += 1
+    if n_layers == 0:
+        raise KeyError(f"{enc}blocks.0.attn_ln.weight")
+    blocks = []
+    for i in range(n_layers):
+        p = f"{enc}blocks.{i}."
+        blocks.append({
+            "ln1": _ln(sd, p + "attn_ln"),
+            "q": _lin(sd, p + "attn.query"),
+            "k": _lin(sd, p + "attn.key", bias=False),
+            "v": _lin(sd, p + "attn.value"),
+            "o": _lin(sd, p + "attn.out"),
+            "fsmn": _conv1d(sd, p + "attn.fsmn_block"),
+            "ln2": _ln(sd, p + "mlp_ln"),
+            "fc1": _lin(sd, p + "mlp.0"),
+            "fc2": _lin(sd, p + "mlp.2"),
+        })
     return {
-        "flow": {
-            "input_embedding": _emb(sd, "flow.input_embedding"),
-            "spk_embed_affine": _lin(sd, "flow.spk_embed_affine_layer"),
-            "encoder": convert_conformer(sd, "flow.encoder."),
-            "encoder_proj": _lin(sd, "flow.encoder_proj"),
-            "decoder": convert_flow_decoder(sd, "flow.decoder.estimator."),
-        },
-        "hift": convert_hift(sd, "mel2wav."),
-        "speaker_encoder": convert_campplus(sd, "speaker_encoder."),
-        # NOTE: the S3 tokenizer weights live inside s3gen.safetensors under
-        # "tokenizer."; converted separately because the pip package's exact
-        # naming must be inspected against a real checkpoint (zero-egress env).
+        "conv1": _conv1d(sd, enc + "conv1"),
+        "conv2": _conv1d(sd, enc + "conv2"),
+        "blocks": blocks,
+        "fsq_proj": _lin(sd, prefix + "quantizer._codebook.project_down"),
     }
+
+
+# Checkpoint tensors that are legitimately not model weights: DSP buffers the
+# rebuild recomputes, train-only params, and modules replaced by design.
+S3GEN_IGNORED_KEYS = (
+    r"tokenizer\._mel_filters", r"tokenizer\.window",        # ref s3tokenizer.py:44-52
+    r".*\.num_batches_tracked",                               # BN step counters
+)
+T3_IGNORED_KEYS = (
+    r"tfmr\.embed_tokens\.weight",    # Llama vocab emb; T3 always feeds inputs_embeds
+    r"tfmr\.rotary_emb\.inv_freq",    # derived RoPE buffer
+)
+VE_IGNORED_KEYS = (
+    r"similarity_weight", r"similarity_bias",  # GE2E train-only scalars
+)
+
+
+def convert_s3gen(sd: StateDict, validate: bool = True, cfg=None) -> dict:
+    from ..config import S3GenConfig
+    cfg = cfg or S3GenConfig()
+
+    def build(d):
+        return {
+            "tokenizer": convert_s3tokenizer(d, "tokenizer."),
+            "flow": {
+                "input_embedding": _emb(d, "flow.input_embedding"),
+                "spk_embed_affine": _lin(d, "flow.spk_embed_affine_layer"),
+                "encoder": convert_conformer(d, "flow.encoder.",
+                                             num_blocks=cfg.flow.encoder.num_blocks,
+                                             num_up=cfg.flow.encoder.num_up_blocks),
+                "encoder_proj": _lin(d, "flow.encoder_proj"),
+                "decoder": convert_flow_decoder(d, "flow.decoder.estimator.",
+                                                n_blocks=cfg.flow.decoder.n_blocks,
+                                                num_mid=cfg.flow.decoder.num_mid_blocks),
+            },
+            "hift": convert_hift(d, "mel2wav.", cfg=cfg.hift),
+            "speaker_encoder": convert_campplus(d, "speaker_encoder.",
+                                                cfg=cfg.campplus),
+        }
+    if not validate:
+        return build(sd)
+    return _convert_validated(build, sd, ignore=S3GEN_IGNORED_KEYS)
 
 
 def load_safetensors(path: str) -> StateDict:

@@ -83,11 +83,12 @@ class ChatterboxVC:
         from .utils import weights as W
         ckpt_dir = Path(ckpt_dir)
         s3_sd = W.load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
-        s3gen_params = jax.tree.map(jnp.asarray, W.convert_s3gen(s3_sd))
+        s3gen_params = jax.tree.map(jnp.asarray, W.convert_s3gen(s3_sd, cfg=config.s3gen))
         t3_params = ve_params = tokenizer = None
         if (ckpt_dir / "t3_cfg.safetensors").exists():
             t3_params = jax.tree.map(jnp.asarray, W.convert_t3(
-                W.load_safetensors(str(ckpt_dir / "t3_cfg.safetensors"))))
+                W.load_safetensors(str(ckpt_dir / "t3_cfg.safetensors")),
+                num_layers=config.t3.llama.num_layers))
         if (ckpt_dir / "ve.safetensors").exists():
             ve_params = jax.tree.map(jnp.asarray, W.convert_voice_encoder(
                 W.load_safetensors(str(ckpt_dir / "ve.safetensors"))))
