@@ -95,10 +95,14 @@ def _conv1d_wn(sd: StateDict, prefix: str):
 
 
 def _convt1d_wn(sd: StateDict, prefix: str):
-    """ConvTranspose1d weight-norm fold: torch (in, out, width) -> (width, out, in)."""
+    """ConvTranspose1d weight-norm fold: torch (in, out, width) -> (width, out, in).
+
+    weight_norm's default dim=0 is the IN-channel axis for ConvTranspose1d
+    (g has shape (in, 1, 1)), so the norm reduces over (out, width).
+    """
     g = sd[prefix + ".parametrizations.weight.original0"]
     v = sd[prefix + ".parametrizations.weight.original1"]
-    norm = np.sqrt((v ** 2).sum(axis=(0, 2), keepdims=True))  # wn dim=1 for ConvT
+    norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
     w = g * v / norm
     p = {"w": np.ascontiguousarray(w.transpose(2, 1, 0))}
     if prefix + ".bias" in sd:
