@@ -42,7 +42,6 @@ def main():
     args = ap.parse_args()
 
     if args.smoke:
-        import os
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
@@ -182,6 +181,20 @@ def main():
     audio_sec = args.batch * args.tokens / 25.0
     wall = float(np.median(times))
     rtf = wall / audio_sec
+
+    # Falsifiability: record the static decode decisions and fail LOUDLY if
+    # the Pallas kernel silently fell back where it was expected to engage
+    # (round-1 lesson: an unobserved fallback is indistinguishable from pool
+    # variance in the headline number).
+    gen_info = dict(t3_mod.LAST_GENERATION_INFO)
+    platform = jax.devices()[0].platform
+    expect_flash = (platform not in ("cpu",) and args.batch == 1
+                    and os.getenv("CHATTERBOX_PALLAS") != "0")
+    if expect_flash and not gen_info.get("use_flash", False):
+        print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
+              file=sys.stderr)
+        sys.exit(3)
+
     result = {
         "metric": "rtf",
         "value": round(rtf, 5),
@@ -197,6 +210,9 @@ def main():
             "wav_samples": int(wav.size),
             "t3_s": round(stage["t3"], 4),
             "s3gen_s": round(stage["s3gen"], 4),
+            "t3_ms_per_step": round(1000.0 * stage["t3"] / args.tokens, 3),
+            "use_flash": gen_info.get("use_flash"),
+            "cache_total": gen_info.get("cache_total"),
             "batch": args.batch,
             "int8": args.int8,
         },

@@ -397,7 +397,15 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     state = prefill(params, context, cfg, total, pad, cfg_on, dtype, key_valid)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid)
+    global LAST_GENERATION_INFO
+    LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
+                            "cache_total": total, "n_utt": n_utt}
     return state, info
+
+
+# Observability for benchmarks: start_generation records its static decisions
+# here (a silent flash->XLA fallback is a perf bug that must be visible).
+LAST_GENERATION_INFO: dict = {}
 
 
 def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,

@@ -141,17 +141,24 @@ class RedisWorker:
                 result = self._get_tts().generate_tts_story(**{
                     k: payload[k] for k in
                     ("story_id", "user_id", "text", "voice_profile_b64",
-                     "voice_profile_r2_key", "language", "version_id")
+                     "voice_profile_r2_key", "language", "version_id",
+                     "voice_id", "voice_name", "story_type", "is_kids_voice",
+                     "pause_scale", "metadata", "exaggeration", "cfg_weight",
+                     "temperature")
                     if k in payload})
             elif job_type == "vc":
                 from ..vc import clone_voice
                 result = clone_voice(self._get_vc(), **{
                     k: payload[k] for k in
                     ("voice_id", "voice_name", "user_id", "audio_b64", "audio_r2_key",
-                     "language")
+                     "language", "metadata")
                     if k in payload})
             else:
                 raise ValueError(f"unknown job type: {job_type}")
+            if isinstance(result, dict) and result.get("status") == "error":
+                # jobs catch their own exceptions and report via the payload
+                # (reference: tts.py:1790-1799); surface that as a job failure
+                raise RuntimeError(result.get("error", "job reported error"))
             self.set_status(job_id, "done", result=json.dumps(result, default=str))
             return True
         except Exception as e:  # noqa: BLE001 — worker must survive bad jobs

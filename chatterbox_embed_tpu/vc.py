@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from scipy import signal as sp_signal
 
-from .config import ChatterboxConfig, S3_SR, S3GEN_SR
+from .config import ChatterboxConfig, S3_SR, S3GEN_SR, SPEECH_VOCAB_SIZE
 from .conditionals import Conditionals
 from .models import s3gen as s3gen_mod
 from .models import s3tokenizer as s3tok_mod
@@ -61,6 +61,10 @@ class ChatterboxVC:
         self.ref_dict = ref_dict
         self.ve_embedding: Optional[np.ndarray] = None
         self.watermarker = get_watermarker()
+        # attachable raw-text -> speech-token encoder used by
+        # inference_from_text (reference: s3gen.py:356-424; README wires
+        # `vc_model.s3gen.text_encoder = tts_model.t3`)
+        self.text_encoder = None
 
     # ------------------------------------------------------------------
     # constructors (reference: vc.py:120-234)
@@ -163,6 +167,36 @@ class ChatterboxVC:
             key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype)
         return np.asarray(wav[0])[: 2 * n * 480]
 
+    def inference_from_text(self, text: str, ref_dict: Dict[str, Any], *,
+                            finalize: bool = True, seed: int = 0) -> np.ndarray:
+        """Raw text + in-memory voice profile -> waveform, via an attached
+        `text_encoder` exposing `encode(text) -> speech token ids` (or a bare
+        callable). Mirrors S3Token2Wav.inference_from_text
+        (reference: models/s3gen/s3gen.py:356-424); raises RuntimeError when
+        no encoder is attached so callers can fall back, exactly like the
+        reference. Returns (T,) float32 @ 24 kHz.
+        """
+        if self.text_encoder is None:
+            raise RuntimeError(
+                "ChatterboxVC.inference_from_text: no `text_encoder` attached "
+                "(expected an object with `.encode(text) -> token ids`).")
+        if hasattr(self.text_encoder, "encode"):
+            speech_tokens = self.text_encoder.encode(text)
+        elif callable(self.text_encoder):
+            speech_tokens = self.text_encoder(text)
+        else:
+            raise RuntimeError(
+                "ChatterboxVC.inference_from_text: `text_encoder` has neither "
+                f"an `.encode()` method nor is callable (got {type(self.text_encoder)})")
+        speech_tokens = np.asarray(speech_tokens, np.int32).reshape(-1)
+        speech_tokens = speech_tokens[speech_tokens < SPEECH_VOCAB_SIZE]
+        prev = self.ref_dict
+        try:
+            self.ref_dict = ref_dict
+            return self._tokens_to_wav(speech_tokens, seed)
+        finally:
+            self.ref_dict = prev
+
     # ------------------------------------------------------------------
     # profile-based TTS (reference: vc.py:353-506)
     # ------------------------------------------------------------------
@@ -261,26 +295,65 @@ class ChatterboxVC:
     # clone pipeline (reference: vc.py:817-1244)
     # ------------------------------------------------------------------
 
-    def create_voice_clone(self, audio_path: str, voice_id: str, voice_name: str,
+    def create_voice_clone(self, audio_path: str, voice_id: str, voice_name: str = "",
                            user_id: str = "", language: str = "en",
                            bucket: Optional[str] = None,
                            callback_url: Optional[str] = None,
-                           sample_text: Optional[str] = None) -> Dict[str, Any]:
+                           sample_text: Optional[str] = None,
+                           metadata: Optional[Dict[str, Any]] = None,
+                           is_kids_voice: bool = False) -> Dict[str, Any]:
         """clean -> save profile -> set -> TTS sample -> MP3 -> upload ->
-        Firestore upsert -> HMAC callback."""
+        Firestore upsert -> HMAC callback (reference: vc.py:817-1244).
+
+        `metadata` follows the reference contract: may carry language,
+        is_kids_voice, callback_url, storage_metadata (user_id/voice_name),
+        model_type and explicit profile_filename / sample_filename /
+        recorded_path; when filenames are present the reference's
+        `audio/voices/{language}[/kids]/...` storage layout is used.
+        BOTH outcomes fire the signed callback: success payloads and error
+        payloads (status, error) — the round-1 build only signed success.
+        """
         t0 = time.time()
-        clean_path = self.clean_audio(audio_path)
-        with tempfile.NamedTemporaryFile(suffix=".npy", delete=False) as f:
-            profile_path = f.name
+        metadata = metadata or {}
+        language = metadata.get("language", language)
+        is_kids_voice = bool(metadata.get("is_kids_voice", is_kids_voice))
+        callback_url = metadata.get("callback_url", callback_url)
+        storage_meta = metadata.get("storage_metadata") or {}
+        user_id = storage_meta.get("user_id", user_id)
+        voice_name = storage_meta.get("voice_name", voice_name)
+        model_type = metadata.get("model_type", "chatterbox")
+        base_path = (f"audio/voices/{language}/kids" if is_kids_voice
+                     else f"audio/voices/{language}")
+        profile_fn = metadata.get("profile_filename")
+        sample_fn = metadata.get("sample_filename")
+        recorded_path = (metadata.get("recorded_path")
+                         or metadata.get("recorded_filename") or "")
+        profile_key = (f"{base_path}/profiles/{profile_fn}" if profile_fn
+                       else f"private/users/{user_id}/voices/profiles/{voice_id}.npy")
+        sample_key = (f"{base_path}/samples/{sample_fn}" if sample_fn
+                      else f"private/users/{user_id}/voices/samples/{voice_id}.mp3")
+
+        def cb_payload(status: str, **extra) -> Dict[str, Any]:
+            p = {"status": status, "user_id": user_id, "voice_id": voice_id,
+                 "voice_name": voice_name, "language": language,
+                 "is_kids_voice": is_kids_voice, "model_type": model_type,
+                 "profile_path": profile_key, "sample_path": sample_key,
+                 "recorded_path": recorded_path}
+            p.update(extra)
+            return p
+
+        clean_path = profile_path = None
         result: Dict[str, Any] = {"voice_id": voice_id, "voice_name": voice_name}
         try:
+            clean_path = self.clean_audio(audio_path)
+            with tempfile.NamedTemporaryFile(suffix=".npy", delete=False) as f:
+                profile_path = f.name
             self.save_voice_profile(clean_path, profile_path)
             self.set_voice_profile(profile_path)
 
             # profile upload
             with open(profile_path, "rb") as fh:
                 profile_bytes = fh.read()
-            profile_key = f"private/users/{user_id}/voices/profiles/{voice_id}.npy"
             result["profile_url"] = storage.upload_to_r2(
                 profile_bytes, profile_key, bucket)
             result["profile_key"] = profile_key
@@ -294,7 +367,6 @@ class ChatterboxVC:
                 logger.warning("sample TTS failed (%s); using reference audio", e)
                 sample_wav, _ = audio_io.load_audio(clean_path, sr=self.sr)
             mp3 = audio_io.wav_to_mp3_bytes(sample_wav, self.sr)
-            sample_key = f"private/users/{user_id}/voices/samples/{voice_id}.mp3"
             result["sample_url"] = storage.upload_to_r2(mp3, sample_key, bucket,
                                                         content_type="audio/mpeg")
             result["sample_key"] = sample_key
@@ -315,10 +387,22 @@ class ChatterboxVC:
             result["status"] = "success"
             result["elapsed_s"] = time.time() - t0
             if callback_url:
-                _signed_callback(callback_url, result)
+                _signed_callback(callback_url, cb_payload("success"))
             return result
+        except Exception as e:  # noqa: BLE001
+            # error-path callback (reference: vc.py:1177-1237)
+            logger.error("create_voice_clone failed: %s", e)
+            if callback_url:
+                try:
+                    _signed_callback(callback_url, cb_payload("error", error=str(e)))
+                except Exception as cb_e:  # noqa: BLE001
+                    logger.warning("error callback failed: %s", cb_e)
+            return {"status": "error", "voice_id": voice_id, "error": str(e),
+                    "generation_time": time.time() - t0}
         finally:
             for p in (profile_path, clean_path):
+                if p is None:
+                    continue
                 try:
                     os.unlink(p)
                 except OSError:
@@ -326,15 +410,24 @@ class ChatterboxVC:
 
 
 def _signed_callback(url: str, payload: Dict[str, Any]):
-    """HMAC-SHA256 signed POST (reference: vc.py:1121-1167)."""
+    """HMAC-SHA256 signed POST using the reference wire protocol
+    (reference: vc.py:1147-1166): signature over "POST\\n{path}\\n{ts}\\n"+body
+    in X-Minstraly-Signature with X-Minstraly-Timestamp; unsigned when no
+    shared secret is configured."""
     import urllib.request
+    from urllib.parse import urlparse
     secret = os.getenv("MINSTRALY_API_SHARED_SECRET", "")
     body = json.dumps(payload, default=str).encode()
-    sig = hmac.new(secret.encode(), body, hashlib.sha256).hexdigest()
-    req = urllib.request.Request(url, data=body, method="POST", headers={
-        "Content-Type": "application/json", "X-Signature": sig})
+    headers = {"Content-Type": "application/json"}
+    if secret:
+        path = urlparse(url).path or "/api/voice-clone/callback"
+        ts = str(int(time.time() * 1000))
+        prefix = f"POST\n{path}\n{ts}\n".encode()
+        sig = hmac.new(secret.encode(), prefix + body, hashlib.sha256).hexdigest()
+        headers.update({"X-Minstraly-Timestamp": ts, "X-Minstraly-Signature": sig})
+    req = urllib.request.Request(url, data=body, method="POST", headers=headers)
     try:
-        urllib.request.urlopen(req, timeout=10)
+        urllib.request.urlopen(req, timeout=15)
     except Exception as e:  # noqa: BLE001
         logger.warning("callback to %s failed: %s", url, e)
 
@@ -342,7 +435,8 @@ def _signed_callback(url: str, payload: Dict[str, Any]):
 def clone_voice(vc: ChatterboxVC, *, voice_id: str, voice_name: str = "",
                 user_id: str = "", language: str = "en",
                 audio_b64: Optional[str] = None, audio_r2_key: Optional[str] = None,
-                bucket: Optional[str] = None) -> Dict[str, Any]:
+                bucket: Optional[str] = None,
+                metadata: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Worker entry: bytes -> temp file -> create_voice_clone
     (reference: vc.py:1284-1364; the reference's worker passes an unsupported
     `profile_id` kwarg — a live bug we do not replicate)."""
@@ -356,7 +450,8 @@ def clone_voice(vc: ChatterboxVC, *, voice_id: str, voice_name: str = "",
         f.write(data)
         path = f.name
     try:
-        return vc.create_voice_clone(path, voice_id, voice_name, user_id, language, bucket)
+        return vc.create_voice_clone(path, voice_id, voice_name, user_id, language,
+                                     bucket, metadata=metadata)
     finally:
         try:
             os.unlink(path)
