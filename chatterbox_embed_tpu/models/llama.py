@@ -99,7 +99,8 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             attn_mask: Optional[jnp.ndarray] = None,
             cache: Optional[KVCache] = None, cache_pos: int | jnp.ndarray = 0,
             cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32,
-            flash_decode: bool = False, flash_start: int | jnp.ndarray = 0):
+            flash_decode: bool = False, flash_start: int | jnp.ndarray = 0,
+            collect_attn_layer: Optional[int] = None):
     """Run the transformer over a block of embeddings.
 
     Args:
@@ -109,9 +110,14 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         cache): True = attend. Defaults to causal within the block.
       cache: optional static KVCache; the block's K/V are written at
         [cache_pos, cache_pos+T) and attention runs against the whole cache.
-    Returns (hidden (B, T, D) post final norm, updated cache).
+      collect_attn_layer: when set (single-token XLA decode only), also
+        return layer N's head-mean attention probabilities over the cache —
+        the alignment analyzer's "attention spy" (reference:
+        alignment_stream_analyzer.py:59-87 hooks tfmr layer 9).
+    Returns (hidden (B, T, D) post final norm, updated cache[, attn_row (B, L)]).
     """
     b, t, d = x.shape
+    attn_row = None
     h = x.astype(dtype)
     cos, sin = rope_cos_sin(pos_ids, cfg)
 
@@ -157,6 +163,8 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             km = attn_mask[:, 0]                                   # (B|1, L) key mask
             logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
             w = jax.nn.softmax(logits, axis=-1)
+            if collect_attn_layer is not None and i == collect_attn_layer:
+                attn_row = jnp.mean(w, axis=1)                     # (B, L) fp32
             att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
         else:
             if cache is not None:
@@ -176,6 +184,10 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     h = L.rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cache is not None:
         cache = KVCache(ck, cv)
+    if collect_attn_layer is not None:
+        assert attn_row is not None, \
+            "collect_attn_layer requires the single-token XLA decode path"
+        return h, cache, attn_row
     return h, cache
 
 

@@ -203,6 +203,16 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
     return jnp.concatenate(parts, axis=1)            # (B, P, D)
 
 
+class AlignState(NamedTuple):
+    """On-device alignment-analyzer state (the heuristics of
+    models/alignment.py compiled into the decode loop — reference spy:
+    alignment_stream_analyzer.py:59-154). Carried unconditionally (a few
+    dozen bytes) so the DecodeState pytree is identical with/without it."""
+    ring: jnp.ndarray           # (U, 6) last attended text positions
+    complete: jnp.ndarray       # (U,) bool — attention reached the text tail
+    completed_at: jnp.ndarray   # (U,) int32 step index at completion
+
+
 class DecodeState(NamedTuple):
     """Resumable decode state: lives on device between blocks, enabling both
     streaming emission and one compiled block-program for all output lengths."""
@@ -211,6 +221,7 @@ class DecodeState(NamedTuple):
     counts: jnp.ndarray         # (V,) int32 repetition-penalty counts
     i: jnp.ndarray              # () tokens generated so far
     done: jnp.ndarray           # () bool
+    align: AlignState
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len", "cfg_on",
@@ -238,22 +249,34 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
     n_utt = b // 2 if cfg_on else b
     counts0 = jnp.zeros((n_utt, cfg.speech_tokens_dict_size), jnp.int32
                         ).at[:, cfg.start_speech_token].set(1)
+    align0 = AlignState(jnp.zeros((n_utt, 6), jnp.int32),
+                        jnp.zeros((n_utt,), jnp.bool_),
+                        jnp.zeros((n_utt,), jnp.int32))
     return DecodeState(cache, logits0, counts0,
-                       jnp.int32(0), jnp.zeros((n_utt,), jnp.bool_))
+                       jnp.int32(0), jnp.zeros((n_utt,), jnp.bool_), align0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block", "p_len", "pad_len", "cfg_on",
-                                    "use_top_p", "stop_on_eos", "use_flash", "dtype"),
+                                    "use_top_p", "stop_on_eos", "use_flash", "dtype",
+                                    "align_layer", "text_span"),
                    donate_argnames=("state",))
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
                  cfg: T3Config, block: int, p_len: int, pad_len: int, cfg_on: bool,
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
-                 dtype=jnp.float32, key_valid=None):
+                 dtype=jnp.float32, key_valid=None,
+                 align_layer: int | None = None,
+                 text_span: tuple[int, int] | None = None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
     (bucket, block) pair serves every requested output length.
+
+    When `align_layer` is set, layer N's attention over `text_span`
+    (static (start, length) in cache coordinates) drives the on-device
+    alignment policy: EOS is suppressed until attention reaches the text
+    tail, and forced on long-tail dwell or repeated backward jumps
+    (reference: alignment_stream_analyzer.py:89-154).
     """
     total = state.cache.k.shape[1]
     b = state.logits.shape[0]
@@ -261,7 +284,15 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
     d = params["speech_emb"]["w"].shape[1]
     eos = cfg.stop_speech_token
 
-    def sample_from(logits, counts, k):
+    def alignment_flags(align: AlignState, i):
+        """(force_eos, suppress_eos) per utterance from the analyzer state."""
+        long_tail = align.complete & ((i - align.completed_at) > 15)
+        back = (align.ring[:, 1:] < align.ring[:, :-1] - 3)
+        repetition = jnp.sum(back, axis=1) >= 3
+        force = long_tail | repetition
+        return force, ~align.complete & ~force
+
+    def sample_from(logits, counts, k, align, i):
         if cfg_on:
             lc, lu = logits[:n_utt], logits[n_utt:]
             lg = lc + sp.cfg_weight * (lc - lu)          # (U, V)
@@ -273,6 +304,12 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
         lg = sampling.min_p_filter(lg, sp.min_p)
         if use_top_p:
             lg = sampling.top_p_filter(lg, top_p)
+        if align_layer is not None:
+            force, suppress = alignment_flags(align, i)
+            eos_oh = (jnp.arange(lg.shape[-1]) == eos)
+            forced = jnp.where(eos_oh[None], 0.0, jnp.float32(-1e30))
+            lg = jnp.where(force[:, None], forced, lg)
+            lg = jnp.where(suppress[:, None] & eos_oh[None], jnp.float32(-1e30), lg)
         return sampling.sample_token(k, lg)              # (U,)
 
     class Carry(NamedTuple):
@@ -286,7 +323,7 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
     def body_fn(c: Carry):
         s = c.state
         k = jax.random.fold_in(key, s.i)
-        tok = sample_from(s.logits, s.counts, k)         # (U,)
+        tok = sample_from(s.logits, s.counts, k, s.align, s.i)   # (U,)
         # rows already finished keep emitting EOS (masked out by callers)
         tok = jnp.where(s.done, eos, tok)
         tokens = c.tokens.at[c.j].set(tok.astype(jnp.int32))
@@ -303,12 +340,30 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                 (jnp.arange(total)[None, None, :] >= pad_len)
         if key_valid is not None:
             lmask = lmask & key_valid[:, None, :]
-        hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id, lmask,
-                                   cache=s.cache, cache_pos=cache_pos,
-                                   cfg=cfg.llama, dtype=dtype,
-                                   flash_decode=use_flash, flash_start=pad_len)
+        if align_layer is not None:
+            hh, cache2, arow = llama.forward(
+                params["llama"], emb.astype(dtype), pos_id, lmask,
+                cache=s.cache, cache_pos=cache_pos, cfg=cfg.llama, dtype=dtype,
+                flash_decode=False, flash_start=pad_len,
+                collect_attn_layer=align_layer)
+            t_start, t_len = text_span
+            trow = jax.lax.dynamic_slice_in_dim(arow[:n_utt], t_start, t_len, axis=1)
+            trow = trow / jnp.maximum(jnp.sum(trow, axis=-1, keepdims=True), 1e-9)
+            pos = jnp.argmax(trow, axis=-1).astype(jnp.int32)
+            reached = pos >= t_len - 2
+            newly = reached & ~s.align.complete
+            align2 = AlignState(
+                jnp.concatenate([s.align.ring[:, 1:], pos[:, None]], axis=1),
+                s.align.complete | reached,
+                jnp.where(newly, s.i + 1, s.align.completed_at))
+        else:
+            hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id,
+                                       lmask, cache=s.cache, cache_pos=cache_pos,
+                                       cfg=cfg.llama, dtype=dtype,
+                                       flash_decode=use_flash, flash_start=pad_len)
+            align2 = s.align
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
-        return Carry(DecodeState(cache2, logits, counts, s.i + 1, done),
+        return Carry(DecodeState(cache2, logits, counts, s.i + 1, done, align2),
                      tokens, c.j + 1)
 
     init = Carry(state, jnp.zeros((block, n_utt), jnp.int32), jnp.int32(0))
@@ -345,6 +400,7 @@ MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
                      cfg_weight: float, max_new_tokens: int,
                      text_lens: np.ndarray | None = None, mesh=None,
+                     alignment: bool = False,
                      cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Build context, left-pad to the text bucket, prefill. Returns
     (state, static_info) for decode_block calls.
@@ -373,6 +429,14 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # the Pallas kernel's VMEM chunk buffers fit the single-utterance CFG pair;
     # batched decode uses the XLA path
     use_flash = _use_pallas_decode() and n_utt == 1
+    align_layer = None
+    text_span = None
+    if alignment:
+        # alignment-informed decode needs the attention row -> XLA path
+        from .alignment import ALIGNMENT_LAYER
+        align_layer = min(ALIGNMENT_LAYER, cfg.llama.num_layers - 1)
+        text_span = (pad + cfg.cond_len, lt)
+        use_flash = False
     total = -(-cap // 256) * 256 if use_flash else cap
 
     key_valid = None
@@ -396,7 +460,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         use_flash = False  # the Pallas kernel is single-chip only
     state = prefill(params, context, cfg, total, pad, cfg_on, dtype, key_valid)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
-                key_valid=key_valid)
+                key_valid=key_valid, align_layer=align_layer, text_span=text_span)
     global LAST_GENERATION_INFO
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                             "cache_total": total, "n_utt": n_utt}
@@ -414,6 +478,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
                     min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
                     seed: int = 0, block: int = DECODE_BLOCK,
                     text_lens: np.ndarray | None = None, mesh=None,
+                    alignment: bool = False,
                     cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Yield numpy blocks of generated speech-token ids as they decode.
 
@@ -423,7 +488,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
     state, info = start_generation(params, cond, text_tokens,
                                    cfg_weight=cfg_weight, text_lens=text_lens,
                                    mesh=mesh, max_new_tokens=max_new_tokens,
-                                   cfg=cfg, dtype=dtype)
+                                   alignment=alignment, cfg=cfg, dtype=dtype)
     sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                         jnp.float32(repetition_penalty), jnp.float32(min_p))
     key = jax.random.PRNGKey(seed)
@@ -434,7 +499,8 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
         state, tokens, n_new = decode_block(
             params, state, key, sp, jnp.float32(top_p), limit, cfg, int(block),
             info["p_len"], info["pad"], info["cfg_on"], top_p < 1.0, stop_on_eos,
-            info["use_flash"], dtype, info["key_valid"])
+            info["use_flash"], dtype, info["key_valid"],
+            align_layer=info["align_layer"], text_span=info["text_span"])
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]
@@ -449,6 +515,7 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                    cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                    min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
                    seed: int = 0, text_lens: np.ndarray | None = None, mesh=None,
+                   alignment: bool = False,
                    cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Batched generation: U utterances sharing one voice, decoded in lock-step
     with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
@@ -474,14 +541,14 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                 repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
                 stop_on_eos=stop_on_eos, seed=seed + s0,
                 text_lens=None if text_lens is None else np.asarray(text_lens)[s0:s1],
-                cfg=cfg, dtype=dtype))
+                alignment=alignment, cfg=cfg, dtype=dtype))
         return outs
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
         stop_on_eos=stop_on_eos, seed=seed, text_lens=text_lens, mesh=mesh,
-        cfg=cfg, dtype=dtype))
+        alignment=alignment, cfg=cfg, dtype=dtype))
     u = np.atleast_2d(text_tokens).shape[0]
     if not blocks:
         return [np.zeros((0,), np.int32)] * u
@@ -500,7 +567,7 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
              max_new_tokens: int = 1000, temperature: float = 0.8,
              cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
              min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
-             seed: int = 0, block: int | None = None,
+             seed: int = 0, block: int | None = None, alignment: bool = False,
              cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
     """Generate speech tokens for one utterance (reference: t3.py:204-391).
 
@@ -515,7 +582,7 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
         stop_on_eos=stop_on_eos, seed=seed, block=block or DECODE_BLOCK,
-        cfg=cfg, dtype=dtype))
+        alignment=alignment, cfg=cfg, dtype=dtype))
     if not blocks:
         return np.zeros((0,), np.int32)
     return np.concatenate(blocks)

@@ -323,7 +323,8 @@ class ChatterboxTTS:
             self.t3_params, conds.t3, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-            seed=seed, cfg=self.cfg.t3, dtype=self.dtype)
+            seed=seed, alignment=_env_bool("CHATTERBOX_ALIGNMENT", False),
+            cfg=self.cfg.t3, dtype=self.dtype)
         speech = s3tok_mod.drop_invalid_tokens(speech)
         return speech[speech < SPEECH_VOCAB_SIZE]
 
