@@ -133,10 +133,13 @@ def main():
 
     def synthesize(seed: int):
         t_a = time.time()
+        # one decode_block per request: through a high-latency tunnel each
+        # extra block costs a full host round-trip (microbench: the raw loop
+        # is 2.1 ms/step; the rest of round-1's 3.5 ms/step was dispatch)
         tok_lists = t3_mod.generate_batch(
             t3_params, cond, text_b, max_new_tokens=args.tokens,
             temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
-            seed=seed, cfg=cfg.t3, dtype=dtype)
+            seed=seed, block=args.tokens, cfg=cfg.t3, dtype=dtype)
         stage["t3"] = time.time() - t_a
         pad = np.zeros((u, args.tokens), np.int32)
         for i, toks in enumerate(tok_lists):
@@ -222,33 +225,24 @@ def main():
 
 def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
                  n_prompt, prompt_tokens, prompt_feat, embedding):
-    """p50 time-to-first-audio through the token->mel->wav streaming path
-    (BASELINE.md stretch goal: < 200 ms)."""
+    """p50 time-to-first-audio (BASELINE.md stretch goal: < 200 ms).
+
+    The whole first chunk — prefill, 25-token decode, windowed flow, vocoder
+    — is ONE fused device dispatch (chatterbox_embed_tpu.streaming), so TTFA
+    pays a single host round-trip instead of round-1's 5-6."""
     import jax
-    import jax.numpy as jnp
-    from chatterbox_embed_tpu.models import t3 as t3_mod
-    from chatterbox_embed_tpu.models import s3gen as s3gen_mod
-    from chatterbox_embed_tpu.models import hifigan as hift_mod
+    from chatterbox_embed_tpu import streaming
 
     block = int(os.getenv("CHATTERBOX_TTFA_BLOCK", "25"))  # tokens in first chunk
 
     def first_chunk(seed):
-        stream = t3_mod.generate_stream(
-            t3_params, cond, text, max_new_tokens=block, temperature=0.7,
-            cfg_weight=0.5, stop_on_eos=False, seed=seed, block=block,
-            cfg=cfg.t3, dtype=dtype)
-        toks = next(iter(stream))
-        toks = np.asarray(toks).reshape(-1)[:block]
-        tok_pad = np.zeros((1, block), np.int32)
-        tok_pad[0, :len(toks)] = toks
-        mel = s3gen_mod.flow_to_mel(
-            s3_params, jnp.asarray(tok_pad), jnp.asarray([n_prompt + len(toks)]),
-            prompt_tokens, prompt_feat, embedding, finalize=False,
-            cfg=cfg.s3gen, dtype=dtype)
-        wav, _ = hift_mod.inference(s3_params["hift"], mel,
-                                    key=jax.random.PRNGKey(seed),
-                                    cfg=cfg.s3gen.hift, dtype=dtype)
-        return np.asarray(wav)
+        out = streaming.first_chunk(
+            t3_params, s3_params, cond, text,
+            prompt_tokens=prompt_tokens, prompt_feat=prompt_feat,
+            embedding=embedding, block_tokens=block, max_new_tokens=block,
+            temperature=0.7, cfg_weight=0.5, seed=seed, cfg=cfg, dtype=dtype)
+        n = int(out.n_valid_mel)
+        return np.asarray(out.wav[0, : n * cfg.s3gen.hift.total_upsample])
 
     w = first_chunk(0)  # compile
     times = []
@@ -263,7 +257,8 @@ def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
         "unit": "s",
         "vs_baseline": round(0.2 / ttfa, 3),
         "detail": {"block_tokens": block, "first_chunk_samples": int(w.size),
-                   "iters": args.iters, "device": str(jax.devices()[0])},
+                   "iters": args.iters, "device": str(jax.devices()[0]),
+                   "fused_dispatch": True},
     }))
 
 

@@ -89,6 +89,30 @@ def generate_mel(params, mu, spks, cond, mask=None, temperature: float = 1.0,
     return solve_euler(params, z, mu, spks, cond, mask, cfm, dec_cfg, dtype)
 
 
+def generate_mel_stream(params, mu, spks, cond, mask, prompt_frames: int,
+                        noise_off, temperature: float = 1.0,
+                        cfm: CFMConfig = CFMConfig(),
+                        dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
+                        dtype=jnp.float32):
+    """Windowed streaming variant of generate_mel: the generated region's
+    noise comes from the fixed buffer at ABSOLUTE frame positions
+    (prompt_frames + noise_off + j), so overlapping window regions integrate
+    the identical ODE surface across successive calls — the same pinning the
+    reference's flow_cache gives its z tensor (flow_matching.py:58-65).
+
+    noise_off: () int32 — absolute index of the window's first generated
+    frame within the utterance.
+    """
+    b, tlen, nf = mu.shape
+    buf = jnp.asarray(fixed_noise(nf))
+    zp = buf[:, :prompt_frames]
+    zg = jax.lax.dynamic_slice_in_dim(buf, prompt_frames + noise_off,
+                                      tlen - prompt_frames, axis=1)
+    z = jnp.concatenate([zp, zg], axis=1) * temperature
+    z = jnp.broadcast_to(z, (b, tlen, nf))
+    return solve_euler(params, z, mu, spks, cond, mask, cfm, dec_cfg, dtype)
+
+
 def compute_loss(params, key, x1, mu, spks, cond, mask,
                  cfm: CFMConfig = CFMConfig(),
                  dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),

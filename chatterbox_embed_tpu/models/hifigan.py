@@ -180,6 +180,56 @@ def decode(params, mel: jnp.ndarray, source: jnp.ndarray,
     return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
 
 
+# ---------------------------------------------------------------------------
+# windowed streaming synthesis (phase-continuous excitation across windows)
+# ---------------------------------------------------------------------------
+
+def _stream_impl(params, mel_win, phase_key, noise_key, phase_carry,
+                 carry_idx, cfg: HiFTConfig, dtype):
+    b, t, _ = mel_win.shape
+    nh = cfg.nb_harmonics + 1
+    f0 = f0_predict(params["f0_predictor"], mel_win, dtype)
+    f0_up = jnp.repeat(f0, cfg.total_upsample, axis=-1)          # (B, T*480)
+    harmonics = jnp.arange(1, nh + 1, dtype=jnp.float32)[None, :, None]
+    f_mat = f0_up[:, None, :] * harmonics / cfg.sampling_rate
+    rad = phase_carry[:, :, None] + jnp.cumsum(f_mat, axis=-1)
+    carry_next = jax.lax.dynamic_index_in_dim(rad, carry_idx, axis=2,
+                                              keepdims=False) % 1.0
+    theta = 2.0 * jnp.pi * (rad % 1.0)
+    # harmonic phases from the utterance-stable key; per-window noise
+    phase = jax.random.uniform(phase_key, (b, nh, 1), jnp.float32, -jnp.pi, jnp.pi)
+    phase = phase.at[:, 0, :].set(0.0)
+    sines = cfg.nsf_alpha * jnp.sin(theta + phase)
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)[:, None, :]
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    sines = sines * uv + noise_amp * jax.random.normal(noise_key, sines.shape,
+                                                       jnp.float32)
+    merged = jnp.tanh(L.linear(params["m_source_linear"],
+                               jnp.swapaxes(sines, 1, 2)))[..., 0]
+    wav = decode(params, mel_win, merged, cfg, dtype)
+    return wav, carry_next
+
+
+_stream_jit = jax.jit(_stream_impl, static_argnames=("cfg", "dtype"))
+
+
+def stream_synthesize(params, mel_win: jnp.ndarray, phase_key, noise_key,
+                      phase_carry: jnp.ndarray, carry_idx,
+                      cfg: HiFTConfig = HiFTConfig(), dtype=jnp.float32):
+    """Synthesize one mel window with a phase-continuous harmonic source.
+
+    mel_win:      (B, M+new, 80) — M already-emitted context frames + new.
+    phase_carry:  (B, nb_harmonics+1) cumulative cycles at the window start;
+                  pass zeros for the first window.
+    carry_idx:    sample index (traced ok) at which to read the next
+                  window's carry (= valid_new_frames * total_upsample - 1).
+    phase_key:    utterance-stable key (harmonic phases must repeat across
+                  windows); noise_key: fold per window.
+    Returns (wav (B, (M+new)*480), next phase_carry)."""
+    return _stream_jit(params, mel_win, phase_key, noise_key, phase_carry,
+                       jnp.asarray(carry_idx, jnp.int32), cfg, dtype)
+
+
 def _inference_impl(params, mel, key, cache_source,
                     cfg: HiFTConfig, dtype):
     f0 = f0_predict(params["f0_predictor"], mel, dtype)   # (B, T)

@@ -109,6 +109,89 @@ def flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
                             prompt_feat, embedding, finalize, cfg, dtype)
 
 
+def _flow_to_mel_window_impl(params, tokens: jnp.ndarray, vlen: jnp.ndarray,
+                             prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
+                             embedding: jnp.ndarray, mu_pin: jnp.ndarray,
+                             pin_frames: jnp.ndarray, noise_off: jnp.ndarray,
+                             finalize: bool, cfg: S3GenConfig, dtype):
+    """Windowed streaming flow: O(prompt + window) per call instead of the
+    recompute-everything O(n) (round-1 stream_generate was O(n^2) overall).
+
+    The window holds the LAST `vlen` generated tokens left-aligned in a
+    static (B, W) buffer: [C context tokens; new tokens]. Continuity across
+    windows comes from three pins (mirroring the intent of the reference's
+    flow_cache, flow_matching.py:58-65):
+      - the prompt prefix rides along in every window (voice conditioning);
+      - `mu_pin` overwrites the first `pin_frames` generated-region mu frames
+        with the previous window's values, so frames that are already
+        emitted keep the exact conditioning they were emitted with;
+      - CFM noise is indexed at ABSOLUTE frame positions (noise_off).
+
+    Returns (mel_gen (B, 2*W, 80) for the generated region, mu_tail
+    (B, PIN, 80) to pin the next window; PIN = mu_pin.shape[1]).
+    """
+    fl = params["flow"]
+    r = cfg.flow.token_mel_ratio
+    emb = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
+    spks = L.linear(fl["spk_embed_affine"], emb.astype(jnp.float32))
+
+    full = jnp.concatenate([prompt_tokens, tokens], axis=1)
+    p_tok = prompt_tokens.shape[1]
+    t = full.shape[1]
+    token_len = p_tok + vlen
+    mask = (jnp.arange(t)[None] < token_len[:, None])
+    x = L.embedding(fl["input_embedding"], jnp.clip(full, 0, None))
+    x = x * mask[..., None].astype(x.dtype)
+
+    h = conformer.forward(fl["encoder"], x, token_len, cfg.flow.encoder, dtype)
+    mel_len1 = prompt_feat.shape[1]
+    mu = L.linear(fl["encoder_proj"], h.astype(jnp.float32))
+
+    # pin previously-emitted conditioning over the context region
+    pin_max = mu_pin.shape[1]
+    gen_idx = jnp.arange(mu.shape[1]) - mel_len1
+    pin_mask = (gen_idx >= 0) & (gen_idx < pin_frames)
+    pick = jnp.clip(gen_idx, 0, pin_max - 1)
+    mu = jnp.where(pin_mask[None, :, None], mu_pin[:, pick], mu)
+
+    conds = jnp.zeros_like(mu)
+    conds = conds.at[:, :mel_len1].set(prompt_feat)
+
+    mel_valid = r * token_len
+    if not finalize:
+        mel_valid = mel_valid - r * cfg.flow.pre_lookahead_len
+    mel_mask = (jnp.arange(mu.shape[1])[None, :] < mel_valid[:, None])[..., None]
+    mel_mask = mel_mask.astype(mu.dtype)
+
+    mel = cfm.generate_mel_stream(fl["decoder"], mu, spks, conds, mel_mask,
+                                  prompt_frames=mel_len1, noise_off=noise_off,
+                                  cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder,
+                                  dtype=dtype)
+    # mu tail for the next window's pin: frames of tokens
+    # [vlen - C, vlen - C + PIN/r) where C = PIN/r + lookahead holdback
+    tail_start = (mel_len1 + r * vlen.reshape(-1)[0]
+                  - pin_max - r * cfg.flow.pre_lookahead_len)
+    mu_tail = jax.lax.dynamic_slice_in_dim(mu, jnp.maximum(tail_start, 0),
+                                           pin_max, axis=1)
+    return mel[:, mel_len1:], mu_tail
+
+
+_flow_to_mel_window_jit = jax.jit(
+    _flow_to_mel_window_impl, static_argnames=("finalize", "cfg", "dtype"))
+
+
+def flow_to_mel_window(params, tokens, vlen, prompt_tokens, prompt_feat,
+                       embedding, mu_pin, pin_frames, noise_off,
+                       finalize: bool = False,
+                       cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+    """Jitted windowed streaming flow (one program per (W, prompt) shape)."""
+    return _flow_to_mel_window_jit(params, tokens, vlen, prompt_tokens,
+                                   prompt_feat, embedding, mu_pin,
+                                   jnp.asarray(pin_frames, jnp.int32),
+                                   jnp.asarray(noise_off, jnp.int32),
+                                   finalize, cfg, dtype)
+
+
 # ---------------------------------------------------------------------------
 # full graph: tokens -> wav
 # ---------------------------------------------------------------------------

@@ -515,7 +515,7 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                    cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
                    min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
                    seed: int = 0, text_lens: np.ndarray | None = None, mesh=None,
-                   alignment: bool = False,
+                   alignment: bool = False, block: int = DECODE_BLOCK,
                    cfg: T3Config = T3Config(), dtype=jnp.float32):
     """Batched generation: U utterances sharing one voice, decoded in lock-step
     with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
@@ -541,14 +541,14 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                 repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
                 stop_on_eos=stop_on_eos, seed=seed + s0,
                 text_lens=None if text_lens is None else np.asarray(text_lens)[s0:s1],
-                alignment=alignment, cfg=cfg, dtype=dtype))
+                alignment=alignment, block=block, cfg=cfg, dtype=dtype))
         return outs
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
         stop_on_eos=stop_on_eos, seed=seed, text_lens=text_lens, mesh=mesh,
-        alignment=alignment, cfg=cfg, dtype=dtype))
+        alignment=alignment, block=block, cfg=cfg, dtype=dtype))
     u = np.atleast_2d(text_tokens).shape[0]
     if not blocks:
         return [np.zeros((0,), np.int32)] * u

@@ -447,16 +447,27 @@ class ChatterboxTTS:
     # lookahead drop flow.py:262-263, vocoder cache_source hifigan.py:470-472)
     # ------------------------------------------------------------------
 
+    STREAM_CTX_TOKENS = 6        # window context C (> pre-lookahead 3)
+    STREAM_VOC_CTX_MEL = 8       # vocoder mel context M (covers conv fields)
+
     def stream_generate(self, text, *, block_tokens: int = 25,
+                        throughput_block_tokens: int = 300,
                         repetition_penalty=1.2, min_p=0.05, top_p=1.0,
                         exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
                         max_new_tokens=1000, seed=0):
         """Yield waveform chunks (np.float32 @ 24 kHz) as tokens decode.
 
-        Each T3 block triggers an incremental S3Gen pass: the flow runs on all
-        tokens so far with finalize=False (dropping the 3-token lookahead),
-        the vocoder re-synthesises with the cached harmonic source so phase
-        stays continuous, and only new samples are emitted.
+        Windowed incremental synthesis — O(prompt + window) per chunk instead
+        of the recompute-everything O(n^2) design:
+        - the flow runs on [prompt; last C tokens; new tokens] only, with mu
+          pinned over already-emitted frames and CFM noise indexed at
+          absolute positions (s3gen.flow_to_mel_window);
+        - the vocoder synthesises [M context mel frames; new frames] with a
+          phase-continuous harmonic source (hifigan.stream_synthesize).
+
+        The first chunk is `block_tokens` for fast time-to-first-audio; later
+        synthesis groups grow to `throughput_block_tokens` so total flow
+        compute stays within ~1.5x of the one-shot batch path.
         """
         assert self.conds is not None, "prepare conditionals first"
         from .models import hifigan as hift_mod
@@ -465,7 +476,6 @@ class ChatterboxTTS:
         prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
         prompt_feat = jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32)
         embedding = jnp.asarray(np.asarray(gen["embedding"]), jnp.float32)
-        n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
 
         tok = self.tokenizer.text_to_tokens(text)[0]
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
@@ -477,47 +487,107 @@ class ChatterboxTTS:
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             seed=seed, block=block_tokens, cfg=self.cfg.t3, dtype=self.dtype)
 
-        all_tokens = np.zeros((0,), np.int32)
-        emitted = 0
-        cache_source = None
+        C = self.STREAM_CTX_TOKENS
+        M = self.STREAM_VOC_CTX_MEL
+        r = self.cfg.s3gen.flow.token_mel_ratio
+        look = self.cfg.s3gen.flow.pre_lookahead_len
+        pin = r * (C - look)
+        nmel = self.cfg.s3gen.mel_num
+        nh = self.cfg.s3gen.hift.nb_harmonics + 1
+        up = self.cfg.s3gen.hift.total_upsample
+        phase_key = jax.random.PRNGKey(seed)
 
-        def synthesize(tokens: np.ndarray, final: bool):
-            nonlocal emitted, cache_source
-            n = int(tokens.shape[0])
-            if n == 0:
+        state = {
+            "n": 0,                                   # tokens consumed
+            "recent": np.zeros((0,), np.int32),       # last <=C tokens
+            "mu_pin": jnp.zeros((1, pin, nmel), jnp.float32),
+            "mel_tail": np.zeros((1, 0, nmel), np.float32),
+            "phase": jnp.zeros((1, nh), jnp.float32),
+            "first_voc": True,
+            "vidx": 0,
+        }
+
+        # static shape buckets: one compiled (flow, vocoder) program pair per
+        # group size in the doubling schedule block_tokens -> throughput cap
+        sizes = [block_tokens]
+        while sizes[-1] < throughput_block_tokens:
+            sizes.append(min(2 * sizes[-1], throughput_block_tokens))
+
+        def _bucket_group(n: int) -> int:
+            for s in sizes:
+                if n <= s:
+                    return s
+            return sizes[-1]
+
+        def synthesize(group: np.ndarray, final: bool):
+            """Run one flow+vocoder window over `group` new tokens."""
+            first = state["n"] == 0
+            if first and len(group) == 0:
                 return None
-            bkt = -(-n // block_tokens) * block_tokens
-            padded = np.zeros((1, bkt), np.int32)
-            padded[0, :n] = tokens
-            mel = s3gen_mod.flow_to_mel(
-                self.s3gen_params, jnp.asarray(padded), jnp.asarray([n_prompt + n]),
-                prompt_token, prompt_feat, embedding, finalize=final,
-                cfg=self.cfg.s3gen, dtype=self.dtype)
-            valid = 2 * n if final else max(2 * n - 2 * self.cfg.s3gen.flow.pre_lookahead_len, 0)
-            if valid <= emitted // 480:
+            ctx = state["recent"] if not first else np.zeros((0,), np.int32)
+            gbkt = _bucket_group(max(len(group), 1))
+            width = len(ctx) + gbkt
+            win = np.zeros((1, width), np.int32)
+            filled = np.concatenate([ctx, group])
+            win[0, :len(filled)] = filled
+            vlen = len(filled)
+            n0 = state["n"] - len(ctx)
+            mel_gen, mu_tail = s3gen_mod.flow_to_mel_window(
+                self.s3gen_params, jnp.asarray(win), jnp.asarray([vlen]),
+                prompt_token, prompt_feat, embedding, state["mu_pin"],
+                pin_frames=0 if first else pin, noise_off=r * n0,
+                finalize=final, cfg=self.cfg.s3gen, dtype=self.dtype)
+            state["mu_pin"] = mu_tail
+            # newly emittable frames of this window's generated region
+            lo = r * max(len(ctx) - look, 0)
+            hi = r * (vlen if final else vlen - look)
+            state["n"] += len(group)
+            state["recent"] = filled[-C:]
+            if hi <= lo:
                 return None
-            mel = mel[:, :valid]
-            wav, src = hift_mod.inference(self.s3gen_params["hift"], mel,
-                                          key=jax.random.PRNGKey(seed),
-                                          cache_source=cache_source,
-                                          cfg=self.cfg.s3gen.hift, dtype=self.dtype)
-            cache_source = src
-            wav = np.asarray(wav[0]).copy()
-            if emitted == 0:
+            mel_new = np.asarray(mel_gen[:, lo:hi])
+
+            # vocoder window: [M emitted context frames; new frames], padded
+            # to the bucket width so programs are reused across calls
+            valid_new = mel_new.shape[1]
+            new_cap = r * (gbkt + look)  # final windows add the held-back lookahead
+            m_eff = state["mel_tail"].shape[1]
+            mel_win = np.zeros((1, m_eff + new_cap, nmel), np.float32)
+            mel_win[:, :m_eff] = state["mel_tail"]
+            mel_win[:, m_eff:m_eff + valid_new] = mel_new
+            # phase carry is read at the start of the NEXT window, which is
+            # this window's valid end minus the next context width
+            m_next = min(M, m_eff + valid_new)
+            carry_idx = max((m_eff + valid_new - m_next) * up - 1, 0)
+            wav_win, carry = hift_mod.stream_synthesize(
+                self.s3gen_params["hift"], jnp.asarray(mel_win), phase_key,
+                jax.random.fold_in(phase_key, state["vidx"]), state["phase"],
+                carry_idx, cfg=self.cfg.s3gen.hift, dtype=self.dtype)
+            state["phase"] = carry
+            state["vidx"] += 1
+            state["mel_tail"] = mel_win[:, max(m_eff + valid_new - M, 0):
+                                        m_eff + valid_new]
+            chunk = np.asarray(
+                wav_win[0, m_eff * up: (m_eff + valid_new) * up]).copy()
+            if state["first_voc"]:
                 fade = s3gen_mod.trim_fade()
-                wav[: fade.shape[0]] *= fade
-            chunk = wav[emitted:]
-            emitted = wav.shape[0]
+                chunk[: fade.shape[0]] *= fade
+                state["first_voc"] = False
             return chunk
 
+        pending = np.zeros((0,), np.int32)
+        target = block_tokens          # first group is small (TTFA)
         for block in token_stream:
             block = block[block < SPEECH_VOCAB_SIZE]
-            all_tokens = np.concatenate([all_tokens, block])
-            chunk = synthesize(all_tokens, final=False)
-            if chunk is not None and chunk.size:
-                yield chunk
-        # final pass with lookahead included
-        chunk = synthesize(all_tokens, final=True)
+            pending = np.concatenate([pending, block])
+            while len(pending) >= target:
+                group, pending = pending[:target], pending[target:]
+                chunk = synthesize(group, final=False)
+                target = min(2 * target, throughput_block_tokens)
+                if chunk is not None and chunk.size:
+                    yield chunk
+        # final flush (lookahead included)
+        chunk = synthesize(pending, final=True)
         if chunk is not None and chunk.size:
             yield chunk
 

@@ -300,3 +300,30 @@ def test_vc_tts_and_clean_audio(ref_voice_wav, tmp_path):
     cw, sr = read_wav(cleaned)
     assert sr == 24_000 and np.isfinite(cw).all() and cw.size > 0
     assert np.abs(cw).max() <= 10 ** (-3 / 20) + 0.02  # -3 dB peak norm
+
+
+def test_stream_windows_bounded(tts, ref_voice_wav, tmp_path, monkeypatch):
+    """The windowed streaming path must do O(prompt + window) device work per
+    chunk — window widths are bounded by the throughput cap and never grow
+    with the utterance (round-1 design recomputed ALL tokens every block)."""
+    import chatterbox_embed_tpu.models.s3gen as s3g
+    prof = str(tmp_path / "voice_stream2.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    tts.prepare_conditionals_with_voice_profile(prof, exaggeration=0.5)
+    widths = []
+    orig = s3g.flow_to_mel_window
+
+    def spy(params, tokens, vlen, *a, **kw):
+        widths.append(int(tokens.shape[1]))
+        return orig(params, tokens, vlen, *a, **kw)
+
+    monkeypatch.setattr(s3g, "flow_to_mel_window", spy)
+    chunks = list(tts.stream_generate(
+        "A longer streaming sentence spanning several windows.",
+        block_tokens=8, throughput_block_tokens=16, max_new_tokens=64, seed=4))
+    assert len(chunks) >= 3
+    C = tts.STREAM_CTX_TOKENS
+    assert max(widths) <= C + 16          # bounded by ctx + throughput cap
+    assert len(widths) >= 4               # several windows, not one big one
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all() and total.size % 480 == 0
