@@ -424,6 +424,16 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             axis=1)
     p_len = context.shape[1]
     n_utt = u
+    if mesh is None and n_utt > MAX_DECODE_UTTERANCES:
+        # hard fence, not a silent cap: >32 fused CFG rows fault the v5e
+        # runtime inside while_loop decode (scripts/repro_b64_decode_fault.py,
+        # PERF_NOTES.md §4). generate_batch sub-batches transparently; direct
+        # callers must do the same or shard rows over a dp mesh.
+        raise ValueError(
+            f"{n_utt} utterances > MAX_DECODE_UTTERANCES={MAX_DECODE_UTTERANCES} "
+            f"for a single-chip fused decode (v5e runtime fault at B=64 rows; "
+            f"see scripts/repro_b64_decode_fault.py). Use generate_batch "
+            f"(sub-batches automatically) or pass a dp mesh.")
     # cache capacity: fixed per bucket so one block program serves all lengths
     cap = p_len + max(max_new_tokens, DECODE_BLOCK)
     # the Pallas kernel's VMEM chunk buffers fit the single-utterance CFG pair;

@@ -1,0 +1,80 @@
+"""int8 T3 backbone: mechanism validation (utils/quantize.py).
+
+True quality sign-off needs converted production weights (unreachable in
+this zero-egress container) — what CAN be pinned down is that the
+quantize/dequantize path is numerically faithful: per-channel scales applied
+on the right axis, logits close to the fp path, generation well-formed, and
+the decode fence behavior unchanged."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatterbox_embed_tpu.config import T3Config, LlamaConfig
+from chatterbox_embed_tpu.models import t3
+from chatterbox_embed_tpu.utils.quantize import quantize_t3
+
+TINY = T3Config(
+    llama=LlamaConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=4, head_dim=16),
+    text_tokens_dict_size=50, speech_tokens_dict_size=40,
+    start_speech_token=36, stop_speech_token=37,
+    max_text_tokens=64, max_speech_tokens=128,
+    speaker_embed_size=16, speech_cond_prompt_len=6)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    params = t3.init(jax.random.PRNGKey(0), TINY)
+    return params, quantize_t3(params)
+
+
+def _cond(rng):
+    return t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(rng.integers(0, 36, (1, 6)).astype(np.int32)),
+        emotion_adv=0.5)
+
+
+def test_int8_logits_close(pair, rng):
+    params, qparams = pair
+    cond = _cond(rng)
+    text = rng.integers(1, 50, (1, 10)).astype(np.int32)
+    text[:, 0] = 5
+    text[:, -1] = 0
+    speech = rng.integers(0, 36, (1, 12)).astype(np.int32)
+    _, fp = t3.forward(params, cond, jnp.asarray(text), jnp.asarray([10]),
+                       jnp.asarray(speech), jnp.asarray([12]), TINY)
+    _, q8 = t3.forward(qparams, cond, jnp.asarray(text), jnp.asarray([10]),
+                       jnp.asarray(speech), jnp.asarray([12]), TINY)
+    fp, q8 = np.asarray(fp, np.float64), np.asarray(q8, np.float64)
+    cos = np.sum(fp * q8) / (np.linalg.norm(fp) * np.linalg.norm(q8))
+    assert cos > 0.995, cos
+    rel = np.linalg.norm(fp - q8) / np.linalg.norm(fp)
+    assert rel < 0.1, rel
+
+
+def test_int8_generation_well_formed(pair, rng):
+    _, qparams = pair
+    out = t3.generate(qparams, _cond(rng),
+                      np.array([[5, 3, 7, 9, 2, 0]], np.int32),
+                      max_new_tokens=16, cfg_weight=0.5, seed=1, cfg=TINY)
+    out = np.asarray(out)
+    assert out.size > 0
+    body = out[out != TINY.stop_speech_token]
+    assert (body < 36).all() and (body >= 0).all()
+
+
+def test_decode_fence_raises_beyond_cap(pair, rng):
+    """The single-chip fused-batch limit is an asserted constraint, not a
+    silent cap (v5e fault repro: scripts/repro_b64_decode_fault.py)."""
+    params, _ = pair
+    texts = np.tile(np.array([[5, 3, 7, 0]], np.int32),
+                    (t3.MAX_DECODE_UTTERANCES + 1, 1))
+    with pytest.raises(ValueError, match="MAX_DECODE_UTTERANCES"):
+        t3.start_generation(params, _cond(rng), texts, cfg_weight=0.5,
+                            max_new_tokens=8, cfg=TINY)
+    # generate_batch transparently sub-batches the same load
+    outs = t3.generate_batch(params, _cond(rng), texts, max_new_tokens=4,
+                             cfg_weight=0.5, seed=0, cfg=TINY)
+    assert len(outs) == t3.MAX_DECODE_UTTERANCES + 1
