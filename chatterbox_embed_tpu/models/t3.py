@@ -393,7 +393,11 @@ def _bucket(n: int) -> int:
     return n
 
 
-DECODE_BLOCK = 64   # tokens per compiled decode block (2.56 s of audio)
+# Tokens per compiled decode block. The while_loop exits the moment every row
+# hits EOS, so a large block wastes no compute — it only saves host dispatches
+# (each one a full RTT on remote backends). Streaming callers pass their own
+# smaller block for early emission.
+DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 
 
