@@ -617,24 +617,34 @@ class ChatterboxTTS:
 
     def chunk_text(self, text: str, target_chars: int = 400,
                    max_chars: int = 600) -> List[ChunkInfo]:
-        """Sanitise + smart-chunk + story-break marking (reference: tts.py:781-877)."""
+        """Sanitise + smart-chunk + story-break marking (reference: tts.py:781-877).
+
+        Story breaks are exact, not positional: the sanitized text is split at
+        each break token and every segment is chunked independently, so a break
+        can never land mid-chunk and adjacent breaks each mark their own chunk
+        (the reference maps original-text offsets onto sanitized-chunk
+        boundaries, tts.py:846-877, which drifts when sanitization changes
+        lengths)."""
         sanitized = self.text_sanitizer.deep_clean(text)
-        has_breaks = STORY_BREAK_TOKEN in sanitized
-        clean = sanitized.replace(STORY_BREAK_TOKEN, "\n\n") if has_breaks else sanitized
-        chunks = self.smart_chunker.smart_chunk(clean, target_chars, max_chars)
-        if has_breaks:
-            # re-mark chunks that precede a story break position
-            marked = sanitized.split(STORY_BREAK_TOKEN)
-            consumed = 0
-            boundaries = []
-            for part in marked[:-1]:
-                consumed += len(part)
-                boundaries.append(consumed)
-            pos = 0
-            for ch in chunks:
-                pos += ch.char_count
-                if any(abs(pos - b) < ch.char_count for b in boundaries):
-                    ch.has_story_break = ch.paragraph_break_after
+        segments = [s for s in sanitized.split(STORY_BREAK_TOKEN) if s.strip()]
+        chunks: List[ChunkInfo] = []
+        for si, segment in enumerate(segments):
+            part = self.smart_chunker.smart_chunk(segment, target_chars, max_chars)
+            if not part:
+                continue
+            if chunks:
+                part[0].is_first_chunk = False
+            if si < len(segments) - 1:
+                # a story break is both a pause marker and a hard paragraph
+                # boundary for the stitcher's pause logic
+                part[-1].has_story_break = True
+                part[-1].paragraph_break_after = True
+            part[-1].is_last_chunk = False
+            for ch in part:
+                ch.id = len(chunks)
+                chunks.append(ch)
+        if chunks:
+            chunks[-1].is_last_chunk = True
         return chunks
 
     def generate_chunks(self, chunk_infos: List[ChunkInfo],

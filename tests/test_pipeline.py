@@ -112,6 +112,28 @@ def test_chunk_text_and_params(tts):
     assert 0.2 <= p["cfg_weight"] <= 0.8
 
 
+def test_chunk_text_story_breaks(tts):
+    text = ("Part one of the story happens here and runs a while. "
+            "⁂ Part two follows directly after the break. "
+            "⁂ Part three ends the whole tale right here.")
+    chunks = tts.chunk_text(text, target_chars=40, max_chars=60)
+    marked = [i for i, c in enumerate(chunks) if c.has_story_break]
+    assert len(marked) == 2
+    # each marked chunk ends its segment exactly: the next chunk opens the
+    # following part's text
+    assert chunks[marked[0] + 1].text.startswith("Part two")
+    assert chunks[marked[1] + 1].text.startswith("Part three")
+    assert all(c.paragraph_break_after for i, c in enumerate(chunks) if i in marked)
+    assert chunks[0].is_first_chunk and chunks[-1].is_last_chunk
+    assert not chunks[-1].has_story_break
+    assert [c.id for c in chunks] == list(range(len(chunks)))
+    # adjacent breaks: empty segments collapse instead of mis-marking
+    chunks2 = tts.chunk_text("Alpha part. ⁂ ⁂ Beta part.", target_chars=40,
+                             max_chars=60)
+    assert sum(c.has_story_break for c in chunks2) == 1
+    assert chunks2[-1].text.startswith("Beta")
+
+
 def test_sanitizer():
     from chatterbox_embed_tpu.text import AdvancedTextSanitizer
     s = AdvancedTextSanitizer()
