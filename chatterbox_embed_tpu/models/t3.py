@@ -582,21 +582,23 @@ def generate(params, cond: T3Cond, text_tokens: np.ndarray, *,
              cfg_weight: float = 0.0, repetition_penalty: float = 1.2,
              min_p: float = 0.05, top_p: float = 1.0, stop_on_eos: bool = True,
              seed: int = 0, block: int | None = None, alignment: bool = False,
-             cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
+             mesh=None, cfg: T3Config = T3Config(), dtype=jnp.float32) -> np.ndarray:
     """Generate speech tokens for one utterance (reference: t3.py:204-391).
 
     text_tokens: (1, T) already wrapped in SOT/EOT. Returns the generated ids
     INCLUDING the terminating EOS if produced (reference returns `predicted`
     which also includes EOS). `block` tunes the decode-block size: larger
     blocks mean fewer host round-trips (use max_new_tokens when latency to
-    the device is high), smaller blocks stop closer to EOS.
+    the device is high), smaller blocks stop closer to EOS. `mesh` with a tp
+    axis + parallel.shard_t3_for_decode(params) runs the decode
+    tensor-parallel (per-step weight streaming divided across chips).
     """
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
         temperature=temperature, cfg_weight=cfg_weight,
         repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
         stop_on_eos=stop_on_eos, seed=seed, block=block or DECODE_BLOCK,
-        alignment=alignment, cfg=cfg, dtype=dtype))
+        alignment=alignment, mesh=mesh, cfg=cfg, dtype=dtype))
     if not blocks:
         return np.zeros((0,), np.int32)
     return np.concatenate(blocks)

@@ -1,2 +1,3 @@
 from .mesh import make_mesh, t3_param_spec, flow_param_spec, MeshAxes
-from .serve import make_dp_mesh, shard_generation_inputs, replicate
+from .serve import (make_dp_mesh, make_tp_mesh, shard_generation_inputs,
+                    shard_t3_for_decode, replicate)

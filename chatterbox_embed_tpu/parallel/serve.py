@@ -20,14 +20,44 @@ def make_dp_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ("dp",))
 
 
+def make_tp_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """Tensor-parallel mesh for latency-bound single-utterance decode: the
+    0.5B backbone's per-step cost is weight streaming (~1.06 GB bf16), so
+    splitting q/k/v/gate/up column-wise and o/down row-wise over tp divides
+    the streamed bytes per chip; XLA inserts the two psums per layer over
+    ICI. num_heads (16) must divide tp."""
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), ("tp",))
+
+
+def shard_t3_for_decode(mesh: Mesh, t3_params):
+    """Place T3 params for a tp (or dp x tp) decode mesh: Megatron layout on
+    the Llama backbone, everything else replicated (parallel/mesh.py spec)."""
+    from .mesh import t3_param_spec
+    spec = t3_param_spec(t3_params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), t3_params, spec)
+
+
+def _rows_axis(mesh: Mesh, rows: int):
+    """Shard batch rows over dp when the mesh has a dp axis that divides
+    them; otherwise replicate (pure-tp latency mesh)."""
+    if "dp" in mesh.axis_names and rows % mesh.shape["dp"] == 0:
+        return "dp"
+    return None
+
+
 def shard_generation_inputs(mesh: Mesh, context, key_valid=None):
     """Place [cond rows; uncond rows] context over dp (row dim must divide
     the mesh). GSPMD propagates the sharding through prefill and the decode
-    while-loop, including the KV cache (batch axis 2 of (layers, L, B, H, D))."""
-    ctx = jax.device_put(context, NamedSharding(mesh, P("dp", None, None)))
+    while-loop, including the KV cache (batch axis 2 of (layers, L, B, H, D)).
+    On a tp-only mesh rows replicate and the backbone weights' Megatron
+    sharding (shard_t3_for_decode) drives the partitioning instead."""
+    rows = _rows_axis(mesh, context.shape[0])
+    ctx = jax.device_put(context, NamedSharding(mesh, P(rows, None, None)))
     kv = None
     if key_valid is not None:
-        kv = jax.device_put(key_valid, NamedSharding(mesh, P("dp", None)))
+        kv = jax.device_put(key_valid, NamedSharding(mesh, P(rows, None)))
     return ctx, kv
 
 

@@ -44,3 +44,29 @@ def test_training_mesh_shapes():
     mesh = make_mesh(8)
     assert mesh.devices.shape in ((2, 4), (4, 2), (8, 1))
     assert mesh.axis_names == ("dp", "tp")
+
+
+def test_tp_sharded_decode_matches_single_device(rng):
+    """Latency tp: Megatron-sharded backbone over a tp-only mesh. The math
+    reassociates the o/down reductions (psum over tp), so compare prefill
+    logits numerically and the generated stream end-to-end."""
+    from chatterbox_embed_tpu.parallel import make_tp_mesh, shard_t3_for_decode
+    assert len(jax.devices()) >= 4
+    params = t3.init(jax.random.PRNGKey(0), TINY)
+    cond = _cond(rng)
+    text = rng.integers(1, 50, (1, 10)).astype(np.int32)
+    kw = dict(max_new_tokens=12, cfg_weight=0.4, seed=9, cfg=TINY)
+
+    base = t3.generate(params, cond, text, **kw)
+    state0, _ = t3.start_generation(params, cond, text, cfg_weight=0.4,
+                                    max_new_tokens=12, cfg=TINY)
+
+    mesh = make_tp_mesh(4)
+    tp_params = shard_t3_for_decode(mesh, params)
+    tp = t3.generate(tp_params, cond, text, mesh=mesh, **kw)
+    state1, _ = t3.start_generation(tp_params, cond, text, cfg_weight=0.4,
+                                    max_new_tokens=12, mesh=mesh, cfg=TINY)
+
+    np.testing.assert_allclose(np.asarray(state0.logits),
+                               np.asarray(state1.logits), atol=2e-4, rtol=2e-4)
+    np.testing.assert_array_equal(base, tp)
