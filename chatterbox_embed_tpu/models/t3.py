@@ -106,8 +106,13 @@ def cond_embeds(params, cond: T3Cond, cfg: T3Config = T3Config()) -> jnp.ndarray
                + params["speech_pos_emb"]["w"][: toks.shape[1]][None])
         parts.append(perceiver_resample(ce["perceiver"], emb, cfg.perceiver_num_heads))
     emo = jnp.asarray(cond.emotion_adv, jnp.float32).reshape(-1, 1, 1)
-    emo = jnp.broadcast_to(emo, (spk.shape[0], 1, 1))
+    # emotion_adv may carry one value per utterance while the voice
+    # (speaker/prompt) is shared — broadcast every part to the wider row count
+    # (batched story chunks with per-chunk exaggeration)
+    rows = max(spk.shape[0], emo.shape[0])
+    emo = jnp.broadcast_to(emo, (rows, 1, 1))
     parts.append(L.linear(ce["emotion_adv_fc"], emo))
+    parts = [jnp.broadcast_to(p, (rows,) + p.shape[1:]) for p in parts]
     return jnp.concatenate(parts, axis=1)
 
 
@@ -171,10 +176,25 @@ def loss(params, cond: T3Cond, text_tokens, text_lens, speech_tokens, speech_len
 # ---------------------------------------------------------------------------
 
 class SamplingParams(NamedTuple):
-    temperature: jnp.ndarray       # ()
-    cfg_weight: jnp.ndarray        # ()
+    """Each field is () — one setting for all rows — or (U, 1) for per-row
+    settings (e.g. a lock-step batch of story chunks, each with its own
+    adaptive temperature/cfg). All the sampling ops broadcast over the
+    (U, V) logit rows either way."""
+    temperature: jnp.ndarray
+    cfg_weight: jnp.ndarray
     repetition_penalty: jnp.ndarray
     min_p: jnp.ndarray
+
+
+def _sampling_param(value, n_utt: int) -> jnp.ndarray:
+    """() scalar or length-U per-row vector -> broadcastable device array."""
+    a = np.asarray(value, np.float32)
+    if a.ndim == 0:
+        return jnp.float32(a)
+    if a.shape != (n_utt,):
+        raise ValueError(
+            f"per-row sampling param must have shape ({n_utt},), got {a.shape}")
+    return jnp.asarray(a.reshape(n_utt, 1))
 
 
 def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
@@ -186,14 +206,19 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
     text_tokens: (U, T) — U utterances sharing one conditioning voice. Row
     layout: [cond rows 0..U-1; uncond rows 0..U-1] when CFG is on.
     """
-    ce = cond_embeds(params, cond, cfg)              # (1, 34, D)
+    ce = cond_embeds(params, cond, cfg)              # (1 or U, 34, D)
     u, lt = text_tokens.shape
     te = L.embedding(params["text_emb"], text_tokens)    # (U, T, D)
     if cfg_on:
         te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)  # uncond: zero text
     te = te + params["text_pos_emb"]["w"][:lt][None]
     b = te.shape[0]
-    ce = jnp.broadcast_to(ce, (b,) + ce.shape[1:])
+    if ce.shape[0] == u and cfg_on:
+        # per-utterance conditioning (e.g. per-chunk emotion_adv): the uncond
+        # rows keep the full conditioning, mirroring the single-row layout
+        ce = jnp.concatenate([ce, ce], axis=0)
+    else:
+        ce = jnp.broadcast_to(ce, (b,) + ce.shape[1:])
     bos = (params["speech_emb"]["w"][cfg.start_speech_token]
            + params["speech_pos_emb"]["w"][0])[None, None, :]
     bos = jnp.broadcast_to(bos, (b, 1, bos.shape[-1]))
@@ -413,7 +438,9 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     right-padded to a common length; pad positions are masked out as attention
     keys for every subsequent step)."""
     text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
-    cfg_on = cfg_weight > 0.0
+    # per-row cfg weights: rows with weight 0 reduce to lc + 0*(lc-lu), so one
+    # any-row static flag decides the fused dual-row layout
+    cfg_on = bool(np.any(np.asarray(cfg_weight, np.float32) > 0.0))
     u, lt = text_tokens.shape
     if lt > cfg.max_text_seq_len:
         raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
@@ -503,16 +530,21 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
                                    cfg_weight=cfg_weight, text_lens=text_lens,
                                    mesh=mesh, max_new_tokens=max_new_tokens,
                                    alignment=alignment, cfg=cfg, dtype=dtype)
-    sp = SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
-                        jnp.float32(repetition_penalty), jnp.float32(min_p))
+    n_utt = np.atleast_2d(text_tokens).shape[0]
+    sp = SamplingParams(_sampling_param(temperature, n_utt),
+                        _sampling_param(cfg_weight, n_utt),
+                        _sampling_param(repetition_penalty, n_utt),
+                        _sampling_param(min_p, n_utt))
+    top_p_v = _sampling_param(top_p, n_utt)
+    use_top_p = bool(np.any(np.asarray(top_p, np.float32) < 1.0))
     key = jax.random.PRNGKey(seed)
     limit = jnp.int32(max_new_tokens)
-    single = np.atleast_2d(text_tokens).shape[0] == 1
+    single = n_utt == 1
     produced = 0
     while produced < max_new_tokens:
         state, tokens, n_new = decode_block(
-            params, state, key, sp, jnp.float32(top_p), limit, cfg, int(block),
-            info["p_len"], info["pad"], info["cfg_on"], top_p < 1.0, stop_on_eos,
+            params, state, key, sp, top_p_v, limit, cfg, int(block),
+            info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
             info["use_flash"], dtype, info["key_valid"],
             align_layer=info["align_layer"], text_span=info["text_span"])
         n = int(n_new)
@@ -534,6 +566,11 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     """Batched generation: U utterances sharing one voice, decoded in lock-step
     with per-row sampling/EOS. Returns a list of U 1-D id arrays (EOS incl.).
 
+    temperature / cfg_weight / repetition_penalty / min_p / top_p accept
+    either one scalar for every row or a length-U array with per-utterance
+    values (the long-text path batches story chunks that each carry their own
+    adaptive parameters).
+
     This is the throughput path for the "batch of sentences, one cached
     voice" serving config (the reference is hard-limited to batch 1 —
     SURVEY.md §2.6); on TPU the fused 2U-row decode amortises the 0.5B
@@ -546,13 +583,22 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     """
     tt = np.atleast_2d(text_tokens)
     if mesh is None and tt.shape[0] > MAX_DECODE_UTTERANCES:
+        def _slice(v, s0, s1):
+            a = np.asarray(v, np.float32)
+            return v if a.ndim == 0 else a[s0:s1]
+        emo = np.asarray(cond.emotion_adv, np.float32).reshape(-1)
         outs = []
         for s0 in range(0, tt.shape[0], MAX_DECODE_UTTERANCES):
             s1 = min(tt.shape[0], s0 + MAX_DECODE_UTTERANCES)
+            sub_cond = cond
+            if emo.size == tt.shape[0]:
+                sub_cond = cond._replace(emotion_adv=jnp.asarray(emo[s0:s1]))
             outs.extend(generate_batch(
-                params, cond, tt[s0:s1], max_new_tokens=max_new_tokens,
-                temperature=temperature, cfg_weight=cfg_weight,
-                repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+                params, sub_cond, tt[s0:s1], max_new_tokens=max_new_tokens,
+                temperature=_slice(temperature, s0, s1),
+                cfg_weight=_slice(cfg_weight, s0, s1),
+                repetition_penalty=_slice(repetition_penalty, s0, s1),
+                min_p=_slice(min_p, s0, s1), top_p=_slice(top_p, s0, s1),
                 stop_on_eos=stop_on_eos, seed=seed + s0,
                 text_lens=None if text_lens is None else np.asarray(text_lens)[s0:s1],
                 alignment=alignment, block=block, cfg=cfg, dtype=dtype))

@@ -65,9 +65,10 @@ def process_logits(logits: jnp.ndarray, counts: jnp.ndarray, *,
                    valid_size: int, eos_id: int, temperature: float,
                    repetition_penalty_val: float, min_p: float, top_p: float) -> jnp.ndarray:
     """Full pipeline in the reference's order (t3.py:333-357):
-    vocab mask -> temperature -> repetition penalty -> min-p -> top-p."""
+    vocab mask -> temperature -> repetition penalty -> min-p -> top-p.
+    The four warper params are scalars or per-row (U, 1) arrays."""
     x = vocab_mask_logits(logits, valid_size, eos_id)
-    if temperature != 1.0:
+    if np.ndim(temperature) > 0 or temperature != 1.0:
         x = x / temperature
     x = repetition_penalty(x, counts, repetition_penalty_val)
     x = min_p_filter(x, min_p)

@@ -381,15 +381,20 @@ class ChatterboxTTS:
 
     def generate_batch(self, texts, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
                        exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
-                       max_new_tokens=1000, seed=0):
+                       max_new_tokens=1000, seed=0, conds: Optional[Conditionals] = None):
         """Batched TTS: many sentences, one cached voice (the BASELINE "batch:
         32 sentences" config). Returns a list of (T_i,) float32 waveforms.
 
         T3 decodes all utterances in lock-step (weights stream once per step
         for the whole batch); S3Gen runs the mel/vocoder graph over the padded
         batch with per-row masks.
+
+        Every sampling param (and `exaggeration`) accepts one scalar for all
+        rows or a length-U array of per-utterance values — the long-text path
+        batches story chunks that each carry their own adaptive parameters.
         """
-        assert self.conds is not None, "prepare conditionals first"
+        conds = conds if conds is not None else self.conds
+        assert conds is not None, "prepare conditionals first"
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
         rows = [np.concatenate([[sot], self.tokenizer.text_to_tokens(t)[0], [eot]])
                 for t in texts]
@@ -398,13 +403,20 @@ class ChatterboxTTS:
         text_lens = np.asarray([len(r) for r in rows], np.int32)
         for i, r in enumerate(rows):
             text_tokens[i, :len(r)] = r
+        t3_cond = conds.t3
+        if exaggeration is not None:
+            # scalar or per-row emotion conditioning (cond_embeds broadcasts
+            # the shared voice rows against the per-row emotion rows)
+            emo = np.asarray(exaggeration, np.float32).reshape(-1)
+            t3_cond = t3_cond._replace(
+                emotion_adv=jnp.asarray(emo if emo.size > 1 else emo[0]))
         token_lists = t3_mod.generate_batch(
-            self.t3_params, self.conds.t3, text_tokens, max_new_tokens=max_new_tokens,
+            self.t3_params, t3_cond, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             seed=seed, text_lens=text_lens, cfg=self.cfg.t3, dtype=self.dtype)
 
-        gen = self.conds.gen
+        gen = conds.gen
         u = len(texts)
         lens = []
         max_n = 1
@@ -667,9 +679,7 @@ class ChatterboxTTS:
         max_attempts = int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS", "4"))
         fail_on_bad = _env_bool("CHATTERBOX_FAIL_ON_BAD_CHUNK", False)
 
-        segments: List[np.ndarray] = []
-        stats = {"chunks": [], "regenerations": 0}
-        t_start = time.time()
+        per_chunk: List[Dict[str, float]] = []
         for info in chunk_infos:
             params = dict(base)
             if self.experiment_config.get("enable_adaptive_voice_params", True):
@@ -677,14 +687,70 @@ class ChatterboxTTS:
                 for k in ("temperature", "exaggeration", "cfg_weight",
                           "repetition_penalty", "min_p", "top_p"):
                     params[k] = (1 - blend) * base.get(k, adaptive[k]) + blend * adaptive[k]
-            wav, attempts = self._generate_single_chunk_with_quality(
-                info, conds, params, max_attempts, fail_on_bad, seed, max_new_tokens)
+            per_chunk.append(params)
+
+        # first attempts in ONE lock-step batch: per-row sampling params +
+        # per-row emotion conditioning carry each chunk's adaptive settings,
+        # so T3 streams its 0.5B weights once per step for the whole story
+        # (RTF ~0.044 at batch 16 vs 0.076 sequential; the reference is
+        # hard-limited to batch 1, SURVEY.md §2.6). Chunks that fail the
+        # silence/QA gates fall back to the sequential retry pyramid.
+        # Kill-switch: CHATTERBOX_BATCH_CHUNKS=0.
+        first: Dict[int, np.ndarray] = {}
+        if (len(chunk_infos) > 1
+                and os.getenv("CHATTERBOX_BATCH_CHUNKS", "1") != "0"):
+            try:
+                wavs = self.generate_batch(
+                    [c.text for c in chunk_infos],
+                    temperature=np.array([p["temperature"] for p in per_chunk]),
+                    cfg_weight=np.array([p["cfg_weight"] for p in per_chunk]),
+                    repetition_penalty=np.array([p["repetition_penalty"]
+                                                 for p in per_chunk]),
+                    min_p=np.array([p["min_p"] for p in per_chunk]),
+                    top_p=np.array([p["top_p"] for p in per_chunk]),
+                    exaggeration=np.array([p["exaggeration"] for p in per_chunk]),
+                    max_new_tokens=max_new_tokens, seed=seed, conds=conds)
+                first = dict(enumerate(wavs))
+            except Exception:  # noqa: BLE001 — fall back to sequential
+                logger.exception("batched chunk pass failed; falling back")
+                first = {}
+
+        segments: List[np.ndarray] = []
+        stats = {"chunks": [], "regenerations": 0,
+                 "batched_first_pass": bool(first)}
+        t_start = time.time()
+        for idx, info in enumerate(chunk_infos):
+            params = per_chunk[idx]
+            wav0 = first.get(idx)
+            if wav0 is not None and self._chunk_gates_ok(wav0.reshape(-1), info):
+                wav, attempts = wav0.reshape(-1), 1
+            else:
+                wav, attempts = self._generate_single_chunk_with_quality(
+                    info, conds, params, max_attempts, fail_on_bad, seed,
+                    max_new_tokens)
+                if wav0 is not None:
+                    attempts += 1  # the failed batched attempt
             stats["regenerations"] += attempts - 1
             stats["chunks"].append({"id": info.id, "attempts": attempts,
                                     "samples": int(wav.size), "params": params})
             segments.append(wav)
         stats["generation_time_s"] = time.time() - t_start
         return segments, stats
+
+    def _chunk_gates_ok(self, flat: np.ndarray, info: ChunkInfo) -> bool:
+        """The per-chunk acceptance gates (silence + QA), shared by the
+        batched first pass and the sequential retry loop."""
+        if self.experiment_config.get("enable_silence_gate", True):
+            peak = float(np.abs(flat).max()) if flat.size else 0.0
+            rms = float(np.sqrt(np.mean(np.square(flat)))) if flat.size else 0.0
+            if peak < 1e-6 and rms < 1e-7:
+                return False
+        if (self.enable_quality_analysis
+                and self.experiment_config.get("enable_qa_regen", True)):
+            q = self.quality_analyzer.analyze_chunk_quality(flat, self.sr, info)
+            if q.should_regenerate:
+                return False
+        return True
 
     def _generate_single_chunk_with_quality(self, info: ChunkInfo, conds: Conditionals,
                                             params: Dict[str, float], max_attempts: int,

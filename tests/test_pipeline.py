@@ -349,3 +349,37 @@ def test_stream_windows_bounded(tts, ref_voice_wav, tmp_path, monkeypatch):
     assert len(widths) >= 4               # several windows, not one big one
     total = np.concatenate(chunks)
     assert np.isfinite(total).all() and total.size % 480 == 0
+
+
+def test_generate_chunks_batched_first_pass(tts, ref_voice_wav, monkeypatch):
+    """Multi-chunk stories run their first attempts as ONE lock-step batch
+    with per-chunk adaptive params (per-row vectors)."""
+    calls = []
+    orig = tts.generate_batch
+
+    def spy(texts, **kw):
+        calls.append(kw)
+        return orig(texts, **kw)
+
+    monkeypatch.setattr(tts, "generate_batch", spy)
+    text = ('The hero said "hello there, friend!" Then suddenly the castle '
+            "shook and everyone ran outside to see what was happening there.")
+    chunks = tts.chunk_text(text, target_chars=40, max_chars=58)
+    assert len(chunks) >= 2
+    segments, stats = tts.generate_chunks(chunks, audio_prompt_path=ref_voice_wav,
+                                          seed=2, max_new_tokens=16)
+    assert len(segments) == len(chunks)
+    assert stats["batched_first_pass"] is True
+    assert len(calls) == 1
+    kw = calls[0]
+    assert np.asarray(kw["temperature"]).shape == (len(chunks),)
+    assert np.asarray(kw["exaggeration"]).shape == (len(chunks),)
+    for seg in segments:
+        assert seg.ndim == 1 and np.isfinite(seg).all()
+    # kill-switch falls back to the sequential path
+    monkeypatch.setenv("CHATTERBOX_BATCH_CHUNKS", "0")
+    calls.clear()
+    segments2, stats2 = tts.generate_chunks(chunks, audio_prompt_path=ref_voice_wav,
+                                            seed=2, max_new_tokens=16)
+    assert stats2["batched_first_pass"] is False and not calls
+    assert len(segments2) == len(chunks)
