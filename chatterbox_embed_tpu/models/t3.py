@@ -323,12 +323,11 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
             lg = lc + sp.cfg_weight * (lc - lu)          # (U, V)
         else:
             lg = logits
-        lg = sampling.vocab_mask_logits(lg, cfg.start_speech_token, eos)
-        lg = lg / sp.temperature
-        lg = sampling.repetition_penalty(lg, counts, sp.repetition_penalty)
-        lg = sampling.min_p_filter(lg, sp.min_p)
-        if use_top_p:
-            lg = sampling.top_p_filter(lg, top_p)
+        lg = sampling.process_logits(
+            lg, counts, valid_size=cfg.start_speech_token, eos_id=eos,
+            temperature=sp.temperature,
+            repetition_penalty_val=sp.repetition_penalty,
+            min_p=sp.min_p, top_p=top_p, use_top_p=use_top_p)
         if align_layer is not None:
             force, suppress = alignment_flags(align, i)
             eos_oh = (jnp.arange(lg.shape[-1]) == eos)
@@ -438,8 +437,11 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     right-padded to a common length; pad positions are masked out as attention
     keys for every subsequent step)."""
     text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
-    # per-row cfg weights: rows with weight 0 reduce to lc + 0*(lc-lu), so one
-    # any-row static flag decides the fused dual-row layout
+    # per-row cfg weights: one any-row static flag decides the fused dual-row
+    # layout. A zero-weight row's logit mix reduces to its cond logits, but it
+    # still decodes under the CFG context layout (duplicated BOS slot), which
+    # is NOT bit-identical to a cfg-off run of that row alone — callers mixing
+    # weights per row accept CFG-layout semantics for every row.
     cfg_on = bool(np.any(np.asarray(cfg_weight, np.float32) > 0.0))
     u, lt = text_tokens.shape
     if lt > cfg.max_text_seq_len:

@@ -61,16 +61,30 @@ def sample_token(key, logits: jnp.ndarray) -> jnp.ndarray:
     return jax.random.categorical(key, logits, axis=-1)
 
 
+def _is_concrete_one(v) -> bool:
+    """True only for a concrete scalar exactly 1.0 (traced values are never
+    concrete, so under jit the op is kept and stays shape-stable)."""
+    try:
+        return np.ndim(v) == 0 and float(v) == 1.0
+    except Exception:  # noqa: BLE001 — tracers refuse concretisation
+        return False
+
+
 def process_logits(logits: jnp.ndarray, counts: jnp.ndarray, *,
                    valid_size: int, eos_id: int, temperature: float,
-                   repetition_penalty_val: float, min_p: float, top_p: float) -> jnp.ndarray:
+                   repetition_penalty_val: float, min_p: float, top_p: float,
+                   use_top_p: bool = True) -> jnp.ndarray:
     """Full pipeline in the reference's order (t3.py:333-357):
     vocab mask -> temperature -> repetition penalty -> min-p -> top-p.
-    The four warper params are scalars or per-row (U, 1) arrays."""
+    The four warper params are scalars or per-row (U, 1) arrays; this is the
+    pipeline the decode loop (t3.decode_block) compiles. `use_top_p` is the
+    static gate that keeps the vocab sort out of the hot loop when top-p is
+    off (the reference's TopPLogitsWarper no-ops at 1.0)."""
     x = vocab_mask_logits(logits, valid_size, eos_id)
-    if np.ndim(temperature) > 0 or temperature != 1.0:
+    if not _is_concrete_one(temperature):
         x = x / temperature
     x = repetition_penalty(x, counts, repetition_penalty_val)
     x = min_p_filter(x, min_p)
-    x = top_p_filter(x, top_p)
+    if use_top_p:
+        x = top_p_filter(x, top_p)
     return x

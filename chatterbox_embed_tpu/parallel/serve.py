@@ -25,7 +25,7 @@ def make_tp_mesh(n_devices: Optional[int] = None) -> Mesh:
     0.5B backbone's per-step cost is weight streaming (~1.06 GB bf16), so
     splitting q/k/v/gate/up column-wise and o/down row-wise over tp divides
     the streamed bytes per chip; XLA inserts the two psums per layer over
-    ICI. num_heads (16) must divide tp."""
+    ICI. tp must divide num_heads (16): 2, 4, 8 or 16."""
     devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.asarray(devices), ("tp",))
 
@@ -33,18 +33,21 @@ def make_tp_mesh(n_devices: Optional[int] = None) -> Mesh:
 def shard_t3_for_decode(mesh: Mesh, t3_params):
     """Place T3 params for a tp (or dp x tp) decode mesh: Megatron layout on
     the Llama backbone, everything else replicated (parallel/mesh.py spec)."""
-    from .mesh import t3_param_spec
-    spec = t3_param_spec(t3_params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), t3_params, spec)
+    from .mesh import t3_param_spec, shard_params
+    return shard_params(t3_params, t3_param_spec(t3_params), mesh)
 
 
 def _rows_axis(mesh: Mesh, rows: int):
-    """Shard batch rows over dp when the mesh has a dp axis that divides
-    them; otherwise replicate (pure-tp latency mesh)."""
-    if "dp" in mesh.axis_names and rows % mesh.shape["dp"] == 0:
-        return "dp"
-    return None
+    """Batch rows shard over dp when the mesh has that axis (rows must
+    divide it — silent replication would be an invisible loss of data
+    parallelism); a tp-only latency mesh replicates rows by design."""
+    if "dp" not in mesh.axis_names:
+        return None
+    if rows % mesh.shape["dp"] != 0:
+        raise ValueError(
+            f"{rows} batch rows do not divide the dp axis "
+            f"({mesh.shape['dp']} devices); pad the batch or resize the mesh")
+    return "dp"
 
 
 def shard_generation_inputs(mesh: Mesh, context, key_valid=None):

@@ -380,7 +380,7 @@ class ChatterboxTTS:
                 f"T3 produced too few speech tokens after filtering ({speech_tokens.size} < 8)")
 
     def generate_batch(self, texts, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
-                       exaggeration=0.5, cfg_weight=0.3, temperature=0.6,
+                       exaggeration=None, cfg_weight=0.3, temperature=0.6,
                        max_new_tokens=1000, seed=0, conds: Optional[Conditionals] = None):
         """Batched TTS: many sentences, one cached voice (the BASELINE "batch:
         32 sentences" config). Returns a list of (T_i,) float32 waveforms.
@@ -392,6 +392,8 @@ class ChatterboxTTS:
         Every sampling param (and `exaggeration`) accepts one scalar for all
         rows or a length-U array of per-utterance values — the long-text path
         batches story chunks that each carry their own adaptive parameters.
+        `exaggeration=None` (the default) keeps the prepared conditionals'
+        emotion setting, matching `generate`'s behavior.
         """
         conds = conds if conds is not None else self.conds
         assert conds is not None, "prepare conditionals first"
@@ -719,10 +721,14 @@ class ChatterboxTTS:
         stats = {"chunks": [], "regenerations": 0,
                  "batched_first_pass": bool(first)}
         t_start = time.time()
+        # the sequential path's _guard_tokens floor (>= 8 speech tokens),
+        # expressed in samples: one token = 2 mel frames x 480-sample hop
+        min_samples = 8 * 2 * 480
         for idx, info in enumerate(chunk_infos):
             params = per_chunk[idx]
             wav0 = first.get(idx)
-            if wav0 is not None and self._chunk_gates_ok(wav0.reshape(-1), info):
+            if (wav0 is not None and wav0.size >= min_samples
+                    and self._chunk_gates_ok(wav0.reshape(-1), info)[0]):
                 wav, attempts = wav0.reshape(-1), 1
             else:
                 wav, attempts = self._generate_single_chunk_with_quality(
@@ -737,29 +743,29 @@ class ChatterboxTTS:
         stats["generation_time_s"] = time.time() - t_start
         return segments, stats
 
-    def _chunk_gates_ok(self, flat: np.ndarray, info: ChunkInfo) -> bool:
-        """The per-chunk acceptance gates (silence + QA), shared by the
-        batched first pass and the sequential retry loop."""
+    def _chunk_gates_ok(self, flat: np.ndarray,
+                        info: ChunkInfo) -> Tuple[bool, str]:
+        """The per-chunk acceptance gates, shared by the batched first pass
+        and the sequential retry loop. Returns (ok, reason) with reason in
+        {"", "silence", "qa"} — the retry loop treats QA rejections as
+        best-effort (only regenerates while attempts remain)."""
         if self.experiment_config.get("enable_silence_gate", True):
             peak = float(np.abs(flat).max()) if flat.size else 0.0
             rms = float(np.sqrt(np.mean(np.square(flat)))) if flat.size else 0.0
             if peak < 1e-6 and rms < 1e-7:
-                return False
+                return False, "silence"
         if (self.enable_quality_analysis
                 and self.experiment_config.get("enable_qa_regen", True)):
             q = self.quality_analyzer.analyze_chunk_quality(flat, self.sr, info)
             if q.should_regenerate:
-                return False
-        return True
+                return False, "qa"
+        return True, ""
 
     def _generate_single_chunk_with_quality(self, info: ChunkInfo, conds: Conditionals,
                                             params: Dict[str, float], max_attempts: int,
                                             fail_on_bad: bool, seed: int,
                                             max_new_tokens: int = 1000) -> Tuple[np.ndarray, int]:
         drift_on = self.experiment_config.get("enable_retry_param_drift", True)
-        silence_gate = self.experiment_config.get("enable_silence_gate", True)
-        qa_on = (self.enable_quality_analysis
-                 and self.experiment_config.get("enable_qa_regen", True))
         last_wav = None
         for attempt in range(max_attempts):
             p = dict(params)
@@ -781,17 +787,17 @@ class ChatterboxTTS:
                 continue
             flat = wav.reshape(-1)
             last_wav = flat
-            # hard silence gate (reference: tts.py:1114-1124, 1236-1251)
-            if silence_gate:
-                peak = float(np.abs(flat).max()) if flat.size else 0.0
-                rms = float(np.sqrt(np.mean(np.square(flat)))) if flat.size else 0.0
-                if peak < 1e-6 and rms < 1e-7:
-                    logger.warning("chunk %d attempt %d: silent output", info.id, attempt)
+            ok, reason = self._chunk_gates_ok(flat, info)
+            if not ok:
+                # silence is a hard gate (reference: tts.py:1114-1124,
+                # 1236-1251); QA regen is best-effort — keep the last take
+                # when no attempts remain (reference: tts.py:1268-1285)
+                if reason == "silence":
+                    logger.warning("chunk %d attempt %d: silent output",
+                                   info.id, attempt)
                     continue
-            if qa_on:
-                q = self.quality_analyzer.analyze_chunk_quality(flat, self.sr, info)
-                if q.should_regenerate and attempt < max_attempts - 1:
-                    logger.info("chunk %d QA regen (%s)", info.id, q.issues)
+                if attempt < max_attempts - 1:
+                    logger.info("chunk %d QA regen", info.id)
                     continue
             return flat, attempt + 1
         if last_wav is None:
