@@ -12,6 +12,7 @@ single fused XLA graph.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -95,17 +96,33 @@ def _resnet(p, x, mask, t_emb, dtype):
     return h + L.conv1d(p["res_conv"], x * mask, dtype=dtype)
 
 
+def _use_flash_attention() -> bool:
+    """Flash self-attention for the estimator's tblocks: on for TPU backends
+    (the (B, H, T, T) logits are 58% of a pass at batch 16 — microbench_cfm),
+    off on CPU; overridable via CHATTERBOX_PALLAS=0/1."""
+    env = os.getenv("CHATTERBOX_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _tblock(p, x, n_heads, dtype, key_mask=None):
     h = L.layer_norm(p["ln1"], x)
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    # long batched mels: chunk queries so logits stay O(B*H*chunk*T);
-    # threshold ~1 GB of fp32 logits — below that the single fused attention
-    # beats the sequential lax.map chunks
-    big = x.shape[0] * x.shape[1] * x.shape[1] * n_heads > (1 << 28)
-    attn = (L.mha_chunked(q, k, v, mask=key_mask) if big
-            else L.mha(q, k, v, mask=key_mask))
+    if _use_flash_attention():
+        attn = L.mha_flash(q, k, v, None if key_mask is None
+                           else key_mask[:, 0, 0, :])
+    else:
+        # XLA fallback; long batched mels chunk queries so logits stay
+        # O(B*H*chunk*T) — threshold ~1 GB of fp32 logits
+        big = x.shape[0] * x.shape[1] * x.shape[1] * n_heads > (1 << 28)
+        attn = (L.mha_chunked(q, k, v, mask=key_mask) if big
+                else L.mha(q, k, v, mask=key_mask))
     x = x + L.linear(p["o"], L.merge_heads(attn), dtype)
     h = L.layer_norm(p["ln3"], x)
     h = L.linear(p["ff2"], jax.nn.gelu(L.linear(p["ff1"], h, dtype), approximate=False), dtype)

@@ -304,6 +304,57 @@ def mha_chunked(q, k, v, mask=None, q_chunk: int = 256):
     return out[:, :tq]
 
 
+def mha_flash(q, k, v, key_valid=None):
+    """Self-attention via the stock Pallas TPU flash kernel — online softmax
+    in VMEM, so the (B, H, T, T) logits never touch HBM (they are 58% of a
+    CFM estimator pass at batch 16, scripts/microbench_cfm.py). Same
+    semantics as mha() with a key-validity mask; TPU only.
+
+    q, k, v: (B, T, H, D); key_valid: (B, T) bool or None.
+
+    T pads to a 128 multiple for the kernel grid. Pad/invalid positions get
+    segment id 0 vs the valid tokens' 1, so valid queries never attend them;
+    invalid queries attend only each other, which keeps their outputs finite
+    (callers re-mask outputs — the fully-masked-row NaN rule from the repo's
+    own flash_decode kernel applies here too).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    b, t, h, d = q.shape
+    pad = (-t) % 128
+    if key_valid is None:
+        key_valid = jnp.ones((b, t), jnp.bool_)
+    if pad:
+        pad4 = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))
+    tp = t + pad
+    # Block choice: the default 128-everywhere grid spawns (B*H*T/128)
+    # overhead-bound micro-programs at these shapes (T under ~2k) and loses
+    # to XLA. Whole-row kv blocks + as many batch rows per program as the
+    # fp32 logits tile leaves room for in VMEM keeps the program count near
+    # B*H/block_b with one pass over kv.
+    block_q = 128
+    for cand in range(min(tp, 1024), 0, -128):
+        if tp % cand == 0:
+            block_q = cand
+            break
+    block_b = 1
+    vmem_logits = block_q * tp * 4
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * vmem_logits < (10 << 20):
+            block_b = cand
+            break
+    blocks = BlockSizes(block_q=block_q, block_k_major=tp, block_k=tp,
+                        block_b=block_b)
+    ids = key_valid.astype(jnp.int32)
+    out = flash_attention(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        segment_ids=SegmentIds(q=ids, kv=ids), causal=False,
+        sm_scale=1.0 / math.sqrt(d), block_sizes=blocks)
+    return jnp.swapaxes(out, 1, 2)[:, :t]
+
+
 def split_heads(x, n_heads):
     b, t, d = x.shape
     return x.reshape(b, t, n_heads, d // n_heads)
