@@ -228,6 +228,15 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
     return jnp.concatenate(parts, axis=1)            # (B, P, D)
 
 
+def _pad_context(context: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Left-pad the context with masked zero-slots (text-bucket exactness)."""
+    if not pad:
+        return context
+    return jnp.concatenate(
+        [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype),
+         context], axis=1)
+
+
 class AlignState(NamedTuple):
     """On-device alignment-analyzer state (the heuristics of
     models/alignment.py compiled into the decode loop — reference spy:
@@ -279,6 +288,18 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
                         jnp.zeros((n_utt,), jnp.int32))
     return DecodeState(cache, logits0, counts0,
                        jnp.int32(0), jnp.zeros((n_utt,), jnp.bool_), align0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len",
+                                             "cfg_on", "dtype"))
+def _context_prefill(params, cond: T3Cond, text_tokens, key_valid,
+                     cfg: T3Config, total: int, pad_len: int, cfg_on: bool,
+                     dtype=jnp.float32) -> DecodeState:
+    """Fused cond-embed + context build + prefill (single host dispatch)."""
+    context = _pad_context(
+        _build_context(params, cond, text_tokens, cfg, cfg_on), pad_len)
+    return prefill(params, context, cfg, total, pad_len, cfg_on, dtype,
+                   key_valid)
 
 
 @functools.partial(jax.jit,
@@ -447,15 +468,10 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     if lt > cfg.max_text_seq_len:
         raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
     pad = min(_bucket(lt), cfg.max_text_seq_len) - lt
-    context = _build_context(params, cond, text_tokens, cfg, cfg_on)
-    if pad:
-        # left-pad the whole context with masked zero-slots so every text
-        # length in a bucket compiles to the same program and computes the
-        # exact same result as the unpadded sequence
-        context = jnp.concatenate(
-            [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype), context],
-            axis=1)
-    p_len = context.shape[1]
+    # context layout: [pad; cond(34); text; BOS(; BOS when CFG)] — the pad is
+    # masked zero-slots on the LEFT so every text length in a bucket compiles
+    # to the same program and computes the exact same result as unpadded
+    p_len = pad + cfg.cond_len + lt + 1 + (1 if cfg_on else 0)
     n_utt = u
     if mesh is None and n_utt > MAX_DECODE_UTTERANCES:
         # hard fence, not a silent cap: >32 fused CFG rows fault the v5e
@@ -499,9 +515,17 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # propagates through prefill + the decode while-loop (no collectives
         # in the hot loop)
         from ..parallel.serve import shard_generation_inputs
+        context = _pad_context(
+            _build_context(params, cond, text_tokens, cfg, cfg_on), pad)
         context, key_valid = shard_generation_inputs(mesh, context, key_valid)
         use_flash = False  # the Pallas kernel is single-chip only
-    state = prefill(params, context, cfg, total, pad, cfg_on, dtype, key_valid)
+        state = prefill(params, context, cfg, total, pad, cfg_on, dtype,
+                        key_valid)
+    else:
+        # ONE program for cond-embed + context + prefill: an eager context
+        # build costs ~10 per-op dispatches on remote backends
+        state = _context_prefill(params, cond, text_tokens, key_valid, cfg,
+                                 total, pad, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer, text_span=text_span)
     global LAST_GENERATION_INFO
