@@ -151,17 +151,29 @@ class ChatterboxTTS:
 
     @classmethod
     def from_local(cls, ckpt_dir, device: str | None = None,
-                   config: ChatterboxConfig = ChatterboxConfig(), dtype=jnp.float32):
+                   config: ChatterboxConfig = ChatterboxConfig(), dtype=jnp.float32,
+                   int8: bool | None = None):
         """Load converted reference checkpoints (reference: tts.py:448-500).
         Expects ve.safetensors / t3_cfg.safetensors / s3gen.safetensors /
         tokenizer.json / conds.pt in `ckpt_dir`. `device` accepted for
-        API-compatibility; JAX owns placement."""
+        API-compatibility; JAX owns placement.
+
+        int8 (or env CHATTERBOX_INT8=1): per-channel int8 weight-only
+        quantization of the T3 backbone — ~20% faster decode (PERF_NOTES.md),
+        mechanism validated in tests/test_int8.py; listen-check a voice
+        before enabling in production."""
+        if int8 is None:
+            int8 = _env_bool("CHATTERBOX_INT8", False)
         ckpt_dir = Path(ckpt_dir)
         ve_sd = weights_mod.load_safetensors(str(ckpt_dir / "ve.safetensors"))
         ve_params = jax.tree.map(jnp.asarray, weights_mod.convert_voice_encoder(ve_sd))
         t3_sd = weights_mod.load_safetensors(str(ckpt_dir / "t3_cfg.safetensors"))
-        t3_params = jax.tree.map(jnp.asarray, weights_mod.convert_t3(
-            t3_sd, num_layers=config.t3.llama.num_layers))
+        t3_params = weights_mod.convert_t3(
+            t3_sd, num_layers=config.t3.llama.num_layers)
+        if int8:
+            from .utils.quantize import quantize_t3
+            t3_params = quantize_t3(t3_params)
+        t3_params = jax.tree.map(jnp.asarray, t3_params)
         s3_sd = weights_mod.load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
         s3gen_params = jax.tree.map(jnp.asarray,
                                     weights_mod.convert_s3gen(s3_sd, cfg=config.s3gen))

@@ -181,3 +181,19 @@ def test_vc_from_local(ckpt_dir):
     out = vc.generate(str(ckpt_dir / "ref.wav"))
     out = np.asarray(out)
     assert out.size > 0 and np.isfinite(out).all()
+
+
+def test_from_local_int8(ckpt_dir, monkeypatch):
+    """int8 opt-in on the converted-checkpoint path: quantized backbone loads
+    and generates; env flag is equivalent to the kwarg."""
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    tts = ChatterboxTTS.from_local(ckpt_dir, config=TINY_CC, int8=True)
+    lp = tts.t3_params["llama"]["layers"][0]["q"]
+    assert np.asarray(lp["w_q"]).dtype == np.int8 and "scale" in lp
+    wav = tts.generate("hello world", audio_prompt_path=str(ckpt_dir / "ref.wav"),
+                       max_new_tokens=16, seed=1)
+    assert wav.shape[1] > 0 and np.isfinite(np.asarray(wav)).all()
+    monkeypatch.setenv("CHATTERBOX_INT8", "1")
+    tts2 = ChatterboxTTS.from_local(ckpt_dir, config=TINY_CC)
+    lp2 = tts2.t3_params["llama"]["layers"][0]["q"]
+    assert np.asarray(lp2["w_q"]).dtype == np.int8
