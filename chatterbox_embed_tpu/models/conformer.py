@@ -94,10 +94,17 @@ def _rel_attention(p, x, pos_emb, pad_mask, n_heads, dtype):
 
     qu = q + p["pos_bias_u"].astype(q.dtype)
     qv = q + p["pos_bias_v"].astype(q.dtype)
-    ac = jnp.einsum("bqhd,bkhd->bhqk", qu, k, preferred_element_type=jnp.float32)
     bd_full = jnp.einsum("bqhd,phd->bhqp", qv, pe, preferred_element_type=jnp.float32)
     bd = _rel_shift(bd_full)
 
+    if L.use_flash_attention(b):
+        # ac, the combined fp32 scores and the softmax weights stay in VMEM;
+        # only the rel-pos bd term is materialised (kernel adds ab before
+        # sm_scale, matching (ac + bd) / sqrt(dk))
+        out = L.mha_flash(qu, k, v, key_valid=pad_mask, ab=bd)
+        return L.linear(p["o"], L.merge_heads(out), dtype)
+
+    ac = jnp.einsum("bqhd,bkhd->bhqk", qu, k, preferred_element_type=jnp.float32)
     logits = (ac + bd) / math.sqrt(dk)
     if pad_mask is not None:
         logits = jnp.where(pad_mask[:, None, None, :], logits, jnp.float32(-jnp.inf))

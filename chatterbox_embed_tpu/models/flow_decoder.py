@@ -12,7 +12,6 @@ single fused XLA graph.
 from __future__ import annotations
 
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -96,30 +95,14 @@ def _resnet(p, x, mask, t_emb, dtype):
     return h + L.conv1d(p["res_conv"], x * mask, dtype=dtype)
 
 
-def _use_flash_attention(rows: int) -> bool:
-    """Flash self-attention for the estimator's tblocks: on for TPU backends
-    at batched shapes — the (B, H, T, T) logits are 58% of a pass at batch 16
-    and flash halves S3Gen there (microbench_cfm; bench batch16 s3gen 4.97 ->
-    1.89 s), but at the single-utterance CFG pair (2 rows) the grid can't
-    amortise and XLA wins (s3gen 0.148 vs 0.169 s). Off on CPU; overridable
-    via CHATTERBOX_PALLAS=0/1."""
-    env = os.getenv("CHATTERBOX_PALLAS")
-    if env is not None and env != "1":
-        return False
-    if rows < 4 and env != "1":
-        return False
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:  # noqa: BLE001
-        return False
-
-
 def _tblock(p, x, n_heads, dtype, key_mask=None):
     h = L.layer_norm(p["ln1"], x)
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
-    if _use_flash_attention(x.shape[0]):
+    # flash halves batched S3Gen (the (B,H,T,T) logits are 58% of a pass —
+    # microbench_cfm; bench batch16 s3gen 4.97 -> 1.89 s)
+    if L.use_flash_attention(x.shape[0]):
         attn = L.mha_flash(q, k, v, None if key_mask is None
                            else key_mask[:, 0, 0, :])
     else:

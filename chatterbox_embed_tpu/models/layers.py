@@ -17,6 +17,8 @@ TPU); parameters are stored fp32 and cast at use (XLA fuses the cast).
 from __future__ import annotations
 
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -304,13 +306,35 @@ def mha_chunked(q, k, v, mask=None, q_chunk: int = 256):
     return out[:, :tq]
 
 
-def mha_flash(q, k, v, key_valid=None):
+def use_flash_attention(rows: int) -> bool:
+    """Shared gate for the Pallas flash self-attention path (mha_flash): on
+    for TPU backends at batched shapes (>= 4 rows — below that the kernel
+    grid cannot amortise and XLA wins), off on CPU; CHATTERBOX_PALLAS=1
+    forces on (any backend/rows), =0 forces off."""
+    env = os.getenv("CHATTERBOX_PALLAS")
+    if env == "1":
+        return True
+    if env is not None:
+        return False
+    if rows < 4:
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def mha_flash(q, k, v, key_valid=None, ab=None):
     """Self-attention via the stock Pallas TPU flash kernel — online softmax
     in VMEM, so the (B, H, T, T) logits never touch HBM (they are 58% of a
     CFM estimator pass at batch 16, scripts/microbench_cfm.py). Same
     semantics as mha() with a key-validity mask; TPU only.
 
-    q, k, v: (B, T, H, D); key_valid: (B, T) bool or None.
+    q, k, v: (B, T, H, D); key_valid: (B, T) bool or None; ab: optional
+    (B, H, T, T) additive score bias, applied BEFORE sm_scale (the rel-pos
+    `bd` term of the conformer's Transformer-XL scores rides through here —
+    it must be materialised either way, but the ac logits, the combined
+    fp32 scores and the softmax weights stay in VMEM).
 
     T pads to a 128 multiple for the kernel grid. Pad/invalid positions get
     segment id 0 vs the valid tokens' 1, so valid queries never attend them;
@@ -328,6 +352,8 @@ def mha_flash(q, k, v, key_valid=None):
         pad4 = ((0, 0), (0, pad), (0, 0), (0, 0))
         q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
         key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))
+        if ab is not None:
+            ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pad), (0, pad)))
     tp = t + pad
     # Block choice: the default 128-everywhere grid spawns (B*H*T/128)
     # overhead-bound micro-programs at these shapes (T under ~2k) and loses
@@ -340,7 +366,7 @@ def mha_flash(q, k, v, key_valid=None):
             block_q = cand
             break
     block_b = 1
-    vmem_logits = block_q * tp * 4
+    vmem_logits = block_q * tp * 4 * (2 if ab is not None else 1)
     for cand in (8, 4, 2):
         if b % cand == 0 and cand * vmem_logits < (10 << 20):
             block_b = cand
@@ -350,6 +376,7 @@ def mha_flash(q, k, v, key_valid=None):
     ids = key_valid.astype(jnp.int32)
     out = flash_attention(
         jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        ab=None if ab is None else ab.astype(jnp.float32),
         segment_ids=SegmentIds(q=ids, kv=ids), causal=False,
         sm_scale=1.0 / math.sqrt(d), block_sizes=blocks)
     return jnp.swapaxes(out, 1, 2)[:, :t]
