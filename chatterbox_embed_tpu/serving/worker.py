@@ -121,6 +121,9 @@ class RedisWorker:
                 from ..tts import ChatterboxTTS
                 self._tts_factory = ChatterboxTTS.from_pretrained
             self._tts = self._tts_factory()
+            if os.getenv("WORKER_WARMUP", "0") == "1" and hasattr(self._tts, "warmup"):
+                # pre-compile the serving buckets before taking traffic
+                self._tts.warmup()
         return self._tts
 
     def _get_vc(self):

@@ -78,6 +78,8 @@ class ChatterboxTTS:
         self.tokenizer = tokenizer
         self.conds = conds
         self.watermarker = get_watermarker()
+        from .utils.device import enable_compilation_cache
+        enable_compilation_cache()   # persistent XLA cache; no-op when off
 
         self.smart_chunker = SmartChunker()
         self.param_manager = AdaptiveParameterManager()
@@ -195,6 +197,70 @@ class ChatterboxTTS:
                   "tokenizer.json", "conds.pt"]:
             local_path = hf_hub_download(repo_id=REPO_ID, filename=f)
         return cls.from_local(Path(local_path).parent, device, **kw)
+
+    def warmup(self, batch_sizes=(1,), max_new_tokens: int = 1000,
+               token_buckets=(256,), stream: bool = False) -> Dict[str, float]:
+        """Pre-compile the standard serving shapes so the first real request
+        doesn't pay XLA compilation (~2 min cold on a v5e): conditional prep,
+        the T3 decode program per batch size, the flow/vocoder graph per
+        token bucket, and optionally the streaming first-chunk program.
+        Combined with the persistent compilation cache
+        (utils/device.py:enable_compilation_cache) later processes start hot.
+
+        Uses the prepared conditionals when present, otherwise builds
+        throwaway ones from a synthetic reference tone and restores the
+        conditional-cache state afterwards. Returns {stage: seconds}."""
+        import tempfile
+        timings: Dict[str, float] = {}
+        saved = (self.conds, self._cached_conditionals, self._cache_key)
+        tmp = None
+        try:
+            if self.conds is None:
+                t0 = time.time()
+                tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+                t = np.arange(S3GEN_SR) / S3GEN_SR
+                from .stitching.stitcher import write_wav
+                write_wav(tmp.name,
+                          (0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32),
+                          S3GEN_SR)
+                self.prepare_conditionals_with_audio_prompt(tmp.name)
+                timings["conditionals_s"] = time.time() - t0
+            text = "This warmup sentence compiles the serving shape buckets."
+            for b in batch_sizes:
+                t0 = time.time()
+                if b == 1:
+                    self.generate(text, max_new_tokens=max_new_tokens, seed=0)
+                else:
+                    self.generate_batch([text] * b,
+                                        max_new_tokens=max_new_tokens, seed=0)
+                timings[f"batch{b}_s"] = time.time() - t0
+            gen = self.conds.gen
+            n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
+            for bkt in token_buckets:
+                t0 = time.time()
+                toks = jnp.zeros((1, int(bkt)), jnp.int32)
+                s3gen_mod.token_to_wav(
+                    self.s3gen_params, toks,
+                    jnp.asarray([n_prompt + int(bkt) // 2]),
+                    jnp.asarray(gen["prompt_token"]),
+                    jnp.asarray(gen["prompt_feat"]),
+                    jnp.asarray(gen["embedding"]),
+                    key=jax.random.PRNGKey(0), cfg=self.cfg.s3gen,
+                    dtype=self.dtype)
+                timings[f"tokens{bkt}_s"] = time.time() - t0
+            if stream:
+                t0 = time.time()
+                next(iter(self.stream_generate(text, max_new_tokens=50, seed=0)))
+                timings["stream_first_chunk_s"] = time.time() - t0
+        finally:
+            if tmp is not None:
+                self.conds, self._cached_conditionals, self._cache_key = saved
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
+        logger.info("warmup: %s", {k: round(v, 2) for k, v in timings.items()})
+        return timings
 
     # ------------------------------------------------------------------
     # conditional preparation + cache (reference: tts.py:215-446)

@@ -6,6 +6,8 @@ on the host CPU backend and transfer once.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 
 
@@ -80,3 +82,31 @@ def to_default_device(tree):
     bufs_dev = jax.device_put(bufs, dev)
     leaves_dev = jax.jit(unpack)(bufs_dev)
     return jax.tree.unflatten(treedef, leaves_dev)
+
+
+_COMPILE_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> bool:
+    """Persistent XLA compilation cache: serving cold-starts pay ~2 min of
+    compiles for the standard shape buckets; a disk cache makes every process
+    after the first start hot. Idempotent; disable with
+    CHATTERBOX_COMPILE_CACHE=0. Returns True when active."""
+    global _COMPILE_CACHE_ENABLED
+    if _COMPILE_CACHE_ENABLED:
+        return True
+    if os.getenv("CHATTERBOX_COMPILE_CACHE", "1") == "0":
+        return False
+    path = (cache_dir or os.getenv("CHATTERBOX_COMPILE_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache",
+                            "chatterbox_embed_tpu", "xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything (default min compile time threshold skips the
+        # small programs that still cost a tunnel round-trip to re-compile)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _COMPILE_CACHE_ENABLED = True
+        return True
+    except Exception:  # noqa: BLE001 — cache is an optimisation, never fatal
+        return False

@@ -383,3 +383,15 @@ def test_generate_chunks_batched_first_pass(tts, ref_voice_wav, monkeypatch):
                                             seed=2, max_new_tokens=16)
     assert stats2["batched_first_pass"] is False and not calls
     assert len(segments2) == len(chunks)
+
+
+def test_warmup_compiles_and_restores_state(tts):
+    """warmup() with no prepared conditionals builds throwaway ones, runs the
+    standard shapes, and restores the conditional-cache state."""
+    tts.clear_conditional_cache()
+    tts.conds = None
+    timings = tts.warmup(batch_sizes=(1, 2), max_new_tokens=12,
+                         token_buckets=(32,))
+    assert {"conditionals_s", "batch1_s", "batch2_s", "tokens32_s"} <= set(timings)
+    assert all(v >= 0 for v in timings.values())
+    assert tts.conds is None  # restored
