@@ -48,6 +48,8 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from chatterbox_embed_tpu.utils.device import enable_compilation_cache
+    enable_compilation_cache()   # repeat runs skip the ~2 min compile phase
     from chatterbox_embed_tpu.config import (ChatterboxConfig, T3Config, LlamaConfig,
                                              S3GenConfig, S3TokenizerConfig,
                                              ConformerConfig, FlowDecoderConfig,
