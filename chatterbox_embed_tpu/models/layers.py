@@ -306,22 +306,29 @@ def mha_chunked(q, k, v, mask=None, q_chunk: int = 256):
     return out[:, :tq]
 
 
-def use_flash_attention(rows: int) -> bool:
-    """Shared gate for the Pallas flash self-attention path (mha_flash): on
-    for TPU backends at batched shapes (>= 4 rows — below that the kernel
-    grid cannot amortise and XLA wins), off on CPU; CHATTERBOX_PALLAS=1
-    forces on (any backend/rows), =0 forces off."""
+def pallas_gate(default_ok: bool = True) -> bool:
+    """The ONE place that decides whether a Pallas kernel path engages:
+    CHATTERBOX_PALLAS=1 forces on, =0 forces off, otherwise `default_ok`
+    (the caller's shape heuristic) on TPU backends and False on CPU (no
+    interpreter in hot paths). Shared by the T3 decode kernel and the
+    flash self-attention paths so override semantics never diverge."""
     env = os.getenv("CHATTERBOX_PALLAS")
     if env == "1":
         return True
     if env is not None:
         return False
-    if rows < 4:
+    if not default_ok:
         return False
     try:
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:  # noqa: BLE001
         return False
+
+
+def use_flash_attention(rows: int) -> bool:
+    """Flash self-attention gate: batched shapes only (>= 4 rows — below
+    that the kernel grid cannot amortise and XLA wins)."""
+    return pallas_gate(rows >= 4)
 
 
 def mha_flash(q, k, v, key_valid=None, ab=None):

@@ -198,20 +198,38 @@ def _sampling_param(value, n_utt: int) -> jnp.ndarray:
 
 
 def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
-                   cfg: T3Config, cfg_on: bool):
-    """Context embeddings [cond; text; BOS(; BOS)] with CFG row layout
-    (reference: t3.py:81-109, 284-297 — incl. the duplicated BOS the deployed
-    inference path feeds when cfg_weight > 0).
+                   cfg: T3Config, cfg_on: bool, pad=None):
+    """Context embeddings with CFG row layout (reference: t3.py:81-109,
+    284-297 — incl. the duplicated BOS the deployed inference path feeds when
+    cfg_weight > 0).
 
     text_tokens: (U, T) — U utterances sharing one conditioning voice. Row
     layout: [cond rows 0..U-1; uncond rows 0..U-1] when CFG is on.
+
+    pad=None: T is the exact text length; returns [cond; text; BOS(;BOS)].
+
+    pad given (a host int or a TRACED scalar — the key to one compiled
+    program per text bucket): T is the bucket width and text_tokens are
+    LEFT-padded with dummy ids. Returns the fixed width pad-slots layout
+    [junk(pad); cond; text; BOS(;BOS)]: a zeros base [0s(W); text; BOS] has
+    the real text already at its final columns (W + c for bucket column c),
+    so one dynamic_update_slice drops the cond block at column `pad`. The
+    first `pad` columns hold junk (zeros / dummy-text embeddings); every
+    attention mask in prefill/decode excludes keys < pad, and masked-softmax
+    weights underflow to exactly 0.0, so valid positions are bit-identical
+    to the unpadded computation.
     """
-    ce = cond_embeds(params, cond, cfg)              # (1 or U, 34, D)
+    ce = cond_embeds(params, cond, cfg)              # (1 or U, W, D)
     u, lt = text_tokens.shape
     te = L.embedding(params["text_emb"], text_tokens)    # (U, T, D)
     if cfg_on:
         te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)  # uncond: zero text
-    te = te + params["text_pos_emb"]["w"][:lt][None]
+    if pad is None:
+        te = te + params["text_pos_emb"]["w"][:lt][None]
+    else:
+        # bucket column c holds text position c - pad (clamped junk below)
+        rows = jnp.maximum(jnp.arange(lt) - pad, 0)
+        te = te + params["text_pos_emb"]["w"][rows][None]
     b = te.shape[0]
     if ce.shape[0] == u and cfg_on:
         # per-utterance conditioning (e.g. per-chunk emotion_adv): the uncond
@@ -222,10 +240,28 @@ def _build_context(params, cond: T3Cond, text_tokens: jnp.ndarray,
     bos = (params["speech_emb"]["w"][cfg.start_speech_token]
            + params["speech_pos_emb"]["w"][0])[None, None, :]
     bos = jnp.broadcast_to(bos, (b, 1, bos.shape[-1]))
-    parts = [ce, te, bos]
+    if pad is None:
+        parts = [ce, te, bos]
+        if cfg_on:
+            parts.append(bos)
+        return jnp.concatenate(parts, axis=1)        # (B, P, D)
+    w = ce.shape[1]
+    parts = [jnp.zeros((b, w, te.shape[2]), te.dtype), te, bos]
     if cfg_on:
         parts.append(bos)
-    return jnp.concatenate(parts, axis=1)            # (B, P, D)
+    base = jnp.concatenate(parts, axis=1)            # (B, W + T + nb, D)
+    return jax.lax.dynamic_update_slice(base, ce.astype(base.dtype),
+                                        (0, pad, 0))
+
+
+def cond_width(cond: T3Cond, cfg: T3Config) -> int:
+    """Number of conditioning columns cond_embeds will emit for this cond:
+    spk(1) + perceiver(32, only when prompt tokens are present) + emotion(1).
+    Must mirror cond_embeds exactly — decode cache positions derive from it."""
+    n = 1
+    if cond.cond_prompt_speech_tokens is not None:
+        n += cfg.perceiver_num_queries
+    return n + 1
 
 
 def _pad_context(context: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -258,14 +294,16 @@ class DecodeState(NamedTuple):
     align: AlignState
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len", "cfg_on",
+@functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
                                              "dtype"))
-def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
+def prefill(params, context, cfg: T3Config, total: int, pad_len,
             cfg_on: bool = True, dtype=jnp.float32,
             key_valid=None) -> DecodeState:
     """Full-context forward filling the static cache (capacity `total`).
 
-    context: (B, P, D) with `pad_len` masked zero-slots on the LEFT.
+    context: (B, P, D) with `pad_len` masked junk slots on the LEFT.
+    pad_len is a TRACED operand: one compiled program serves every text
+    length in a bucket (P and `total` are per-bucket constants).
     key_valid: optional (B, total) bool excluding per-row pad keys (batched
     right-padded text).
     """
@@ -290,25 +328,29 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len: int,
                        jnp.int32(0), jnp.zeros((n_utt,), jnp.bool_), align0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "total", "pad_len",
-                                             "cfg_on", "dtype"))
-def _context_prefill(params, cond: T3Cond, text_tokens, key_valid,
-                     cfg: T3Config, total: int, pad_len: int, cfg_on: bool,
+@functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
+                                             "dtype"))
+def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
+                     cfg: T3Config, total: int, cfg_on: bool,
                      dtype=jnp.float32) -> DecodeState:
-    """Fused cond-embed + context build + prefill (single host dispatch)."""
-    context = _pad_context(
-        _build_context(params, cond, text_tokens, cfg, cfg_on), pad_len)
+    """Fused cond-embed + context build + prefill (single host dispatch).
+
+    text_tokens: (U, bucket) LEFT-padded to the bucket on the host; pad_len
+    is a traced operand — one program per (bucket, batch) pair serves every
+    text length."""
+    context = _build_context(params, cond, text_tokens, cfg, cfg_on,
+                             pad=pad_len)
     return prefill(params, context, cfg, total, pad_len, cfg_on, dtype,
                    key_valid)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "block", "p_len", "pad_len", "cfg_on",
+                   static_argnames=("cfg", "block", "p_len", "cfg_on",
                                     "use_top_p", "stop_on_eos", "use_flash", "dtype",
                                     "align_layer", "text_span"),
                    donate_argnames=("state",))
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
-                 cfg: T3Config, block: int, p_len: int, pad_len: int, cfg_on: bool,
+                 cfg: T3Config, block: int, p_len: int, pad_len, cfg_on: bool,
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
                  dtype=jnp.float32, key_valid=None,
                  align_layer: int | None = None,
@@ -316,7 +358,10 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
-    (bucket, block) pair serves every requested output length.
+    (bucket, block) pair serves every requested output length AND every text
+    length in the bucket: p_len is the per-bucket constant context width and
+    pad_len is a traced operand (the alignment path is the exception — its
+    static text_span recompiles per text length).
 
     When `align_layer` is set, layer N's attention over `text_span`
     (static (start, length) in cache coordinates) drives the on-device
@@ -417,15 +462,9 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
 
 
 def _use_pallas_decode() -> bool:
-    """Pallas decode kernel: on for TPU backends, off on CPU (no interpreter
-    in the hot path), overridable via CHATTERBOX_PALLAS=0/1."""
-    env = os.getenv("CHATTERBOX_PALLAS")
-    if env is not None:
-        return env == "1"
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:
-        return False
+    """Pallas decode kernel: on for TPU backends, off on CPU; override via
+    CHATTERBOX_PALLAS=0/1 (shared gate: layers.pallas_gate)."""
+    return L.pallas_gate(True)
 
 
 _TEXT_BUCKETS = (48, 96, 192, 384, 768)
@@ -468,10 +507,10 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     if lt > cfg.max_text_seq_len:
         raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
     pad = min(_bucket(lt), cfg.max_text_seq_len) - lt
-    # context layout: [pad; cond(34); text; BOS(; BOS when CFG)] — the pad is
+    # context layout: [pad; cond; text; BOS(; BOS when CFG)] — the pad is
     # masked zero-slots on the LEFT so every text length in a bucket compiles
     # to the same program and computes the exact same result as unpadded
-    p_len = pad + cfg.cond_len + lt + 1 + (1 if cfg_on else 0)
+    p_len = pad + cond_width(cond, cfg) + lt + 1 + (1 if cfg_on else 0)
     n_utt = u
     if mesh is None and n_utt > MAX_DECODE_UTTERANCES:
         # hard fence, not a silent cap: >32 fused CFG rows fault the v5e
@@ -494,7 +533,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # alignment-informed decode needs the attention row -> XLA path
         from .alignment import ALIGNMENT_LAYER
         align_layer = min(ALIGNMENT_LAYER, cfg.llama.num_layers - 1)
-        text_span = (pad + cfg.cond_len, lt)
+        text_span = (pad + cond_width(cond, cfg), lt)
         use_flash = False
     total = -(-cap // 256) * 256 if use_flash else cap
 
@@ -504,7 +543,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         if cfg_on:
             lens = jnp.concatenate([lens, lens])
         kidx = jnp.arange(total)
-        text_start = pad + cfg.cond_len
+        text_start = pad + cond_width(cond, cfg)
         in_text_pad = ((kidx[None, :] >= text_start + lens[:, None])
                        & (kidx[None, :] < text_start + lt))
         key_valid = ~in_text_pad
@@ -522,10 +561,13 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         state = prefill(params, context, cfg, total, pad, cfg_on, dtype,
                         key_valid)
     else:
-        # ONE program for cond-embed + context + prefill: an eager context
-        # build costs ~10 per-op dispatches on remote backends
-        state = _context_prefill(params, cond, text_tokens, key_valid, cfg,
-                                 total, pad, cfg_on, dtype)
+        # ONE program for cond-embed + context + prefill (an eager context
+        # build costs ~10 per-op dispatches on remote backends), with the
+        # text host-padded to the bucket and pad as a traced operand: one
+        # compiled program per (bucket, rows) pair serves every text length
+        tb = jnp.pad(text_tokens, ((0, 0), (pad, 0))) if pad else text_tokens
+        state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
+                                 cfg, total, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer, text_span=text_span)
     global LAST_GENERATION_INFO

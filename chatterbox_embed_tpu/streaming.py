@@ -109,7 +109,9 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     lt = text_tokens.shape[1]
     bucket = min(t3_mod._bucket(lt), cfg.t3.max_text_seq_len)
     pad = bucket - lt
-    p_len = pad + lt + cfg.t3.cond_len + 2  # + BOS pair (CFG rows share shape)
+    # + BOS pair (CFG rows share shape); cond_width mirrors cond_embeds for
+    # conds without prompt tokens
+    p_len = pad + lt + t3_mod.cond_width(cond, cfg.t3) + 2
     cap = p_len + max(max_new_tokens, block_tokens)
     use_flash = t3_mod._use_pallas_decode()
     total = -(-cap // 256) * 256 if use_flash else cap

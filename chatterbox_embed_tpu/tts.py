@@ -214,44 +214,50 @@ class ChatterboxTTS:
         timings: Dict[str, float] = {}
         saved = (self.conds, self._cached_conditionals, self._cache_key)
         tmp = None
+
+        def stage(name, fn):
+            # best-effort: a failed warmup stage (e.g. token guards firing on
+            # the synthetic voice) must never block serving startup
+            t0 = time.time()
+            try:
+                fn()
+                timings[name] = time.time() - t0
+            except Exception:  # noqa: BLE001
+                logger.warning("warmup stage %s failed (ignored)", name,
+                               exc_info=True)
+
         try:
             if self.conds is None:
-                t0 = time.time()
+                # DEC_COND_LEN (10 s) of reference audio: embed_ref caps refs
+                # there, so the warmed prompt shapes match any production
+                # voice with a >= 10 s reference
                 tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
-                t = np.arange(S3GEN_SR) / S3GEN_SR
+                dur = self.DEC_COND_LEN / S3GEN_SR
+                t = np.arange(int(dur * S3GEN_SR)) / S3GEN_SR
                 from .stitching.stitcher import write_wav
-                write_wav(tmp.name,
-                          (0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32),
-                          S3GEN_SR)
-                self.prepare_conditionals_with_audio_prompt(tmp.name)
-                timings["conditionals_s"] = time.time() - t0
+                wav = (0.2 * np.sin(2 * np.pi * 180 * t)
+                       * (1 + 0.3 * np.sin(2 * np.pi * 2.5 * t))).astype(np.float32)
+                write_wav(tmp.name, wav, S3GEN_SR)
+                stage("conditionals_s", lambda: self.prepare_conditionals_with_audio_prompt(tmp.name))
+                if self.conds is None:
+                    return timings
             text = "This warmup sentence compiles the serving shape buckets."
             for b in batch_sizes:
-                t0 = time.time()
                 if b == 1:
-                    self.generate(text, max_new_tokens=max_new_tokens, seed=0)
+                    stage("batch1_s", lambda: self.generate(
+                        text, max_new_tokens=max_new_tokens, seed=0))
                 else:
-                    self.generate_batch([text] * b,
-                                        max_new_tokens=max_new_tokens, seed=0)
-                timings[f"batch{b}_s"] = time.time() - t0
+                    stage(f"batch{b}_s", lambda b=b: self.generate_batch(
+                        [text] * b, max_new_tokens=max_new_tokens, seed=0))
             gen = self.conds.gen
-            n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
             for bkt in token_buckets:
-                t0 = time.time()
-                toks = jnp.zeros((1, int(bkt)), jnp.int32)
-                s3gen_mod.token_to_wav(
-                    self.s3gen_params, toks,
-                    jnp.asarray([n_prompt + int(bkt) // 2]),
-                    jnp.asarray(gen["prompt_token"]),
-                    jnp.asarray(gen["prompt_feat"]),
-                    jnp.asarray(gen["embedding"]),
-                    key=jax.random.PRNGKey(0), cfg=self.cfg.s3gen,
-                    dtype=self.dtype)
-                timings[f"tokens{bkt}_s"] = time.time() - t0
+                # exactly the request path's program (tokens pad to the
+                # bucket inside _run_s3gen)
+                stage(f"tokens{bkt}_s", lambda bkt=bkt: self._run_s3gen(
+                    np.zeros((int(bkt),), np.int32), gen, seed=0))
             if stream:
-                t0 = time.time()
-                next(iter(self.stream_generate(text, max_new_tokens=50, seed=0)))
-                timings["stream_first_chunk_s"] = time.time() - t0
+                stage("stream_first_chunk_s", lambda: next(iter(
+                    self.stream_generate(text, max_new_tokens=50, seed=0))))
         finally:
             if tmp is not None:
                 self.conds, self._cached_conditionals, self._cache_key = saved

@@ -180,3 +180,39 @@ def test_generate_batch_per_row_params(tiny_t3, rng):
                               top_p=np.array([1.0, 0.9, 1.0]), **kw)
     for a, b in zip(outs, again):
         np.testing.assert_array_equal(a, b)
+
+
+def test_p_len_matches_context_for_all_cond_variants(tiny_t3, rng):
+    """start_generation's analytic p_len must equal the real context width
+    for every cond variant (prompt tokens present or None) — decode cache
+    positions derive from it."""
+    text = rng.integers(1, 50, (1, 10)).astype(np.int32)
+    for cond in (_cond(rng),
+                 t3.T3Cond(speaker_emb=jnp.zeros((1, 16)),
+                           cond_prompt_speech_tokens=None, emotion_adv=0.5)):
+        for cfg_on in (True, False):
+            ctx = t3._build_context(tiny_t3, cond, jnp.asarray(text), TINY, cfg_on)
+            analytic = t3.cond_width(cond, TINY) + 10 + 1 + (1 if cfg_on else 0)
+            assert ctx.shape[1] == analytic
+        # and the full generation path runs with this cond
+        out = t3.generate(tiny_t3, cond, text, max_new_tokens=8, seed=0,
+                          cfg_weight=0.4, cfg=TINY)
+        assert out.size >= 1
+
+
+def test_one_compiled_program_per_bucket(tiny_t3, rng):
+    """Different text lengths in one bucket must reuse the SAME compiled
+    prefill and decode programs (pad is a traced operand, not a static) —
+    the serving property that keeps novel text lengths from paying a fresh
+    XLA compile."""
+    cond = _cond(rng)
+    t3._context_prefill.clear_cache()
+    t3.decode_block.clear_cache()
+    for lt in (9, 11, 14):   # all inside the 24-bucket
+        text = rng.integers(1, 50, (1, lt)).astype(np.int32)
+        text[:, 0] = 5
+        out = t3.generate(tiny_t3, cond, text, max_new_tokens=8, seed=0,
+                          cfg_weight=0.4, cfg=TINY)
+        assert out.size >= 1
+    assert t3._context_prefill._cache_size() == 1
+    assert t3.decode_block._cache_size() == 1
