@@ -39,11 +39,11 @@ class FirstChunk(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block", "pad", "total", "use_flash", "voc_ctx",
+    static_argnames=("cfg", "block", "total", "use_flash", "voc_ctx",
                      "dtype"))
 def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, limit,
-                      prompt_tokens, prompt_feat, embedding, phase_key,
-                      cfg: ChatterboxConfig, block: int, pad: int, total: int,
+                      prompt_tokens, prompt_feat, embedding, phase_key, pad,
+                      cfg: ChatterboxConfig, block: int, total: int,
                       use_flash: bool, voc_ctx: int, dtype):
     t3c = cfg.t3
     s3c = cfg.s3gen
@@ -51,12 +51,11 @@ def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, limit,
     look = s3c.flow.pre_lookahead_len
 
     # --- T3: context + prefill + first decode block (t3.start_generation
-    # semantics for the single-utterance CFG path)
-    context = t3_mod._build_context(t3_params, cond, text_tokens, t3c, True)
-    if pad:
-        context = jnp.concatenate(
-            [jnp.zeros((context.shape[0], pad, context.shape[2]), context.dtype),
-             context], axis=1)
+    # semantics for the single-utterance CFG path). text_tokens come
+    # host-padded to the bucket and `pad` is a traced operand: one compiled
+    # first-chunk program per bucket serves every text length.
+    context = t3_mod._build_context(t3_params, cond, text_tokens, t3c, True,
+                                    pad=pad)
     p_len = context.shape[1]
     state = t3_mod.prefill.__wrapped__(t3_params, context, t3c, total, pad,
                                        True, dtype, None)
@@ -109,6 +108,8 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     lt = text_tokens.shape[1]
     bucket = min(t3_mod._bucket(lt), cfg.t3.max_text_seq_len)
     pad = bucket - lt
+    if pad:
+        text_tokens = jnp.pad(text_tokens, ((0, 0), (pad, 0)))
     # + BOS pair (CFG rows share shape); cond_width mirrors cond_embeds for
     # conds without prompt tokens
     p_len = pad + lt + t3_mod.cond_width(cond, cfg.t3) + 2
@@ -120,5 +121,5 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     return _first_chunk_impl(
         t3_params, s3_params, cond, text_tokens, jax.random.PRNGKey(seed), sp,
         jnp.int32(max_new_tokens), prompt_tokens, prompt_feat, embedding,
-        jax.random.PRNGKey(seed), cfg, block_tokens, pad, total, use_flash,
-        voc_ctx, dtype)
+        jax.random.PRNGKey(seed), jnp.int32(pad), cfg, block_tokens, total,
+        use_flash, voc_ctx, dtype)

@@ -395,3 +395,24 @@ def test_warmup_compiles_and_restores_state(tts):
     assert {"conditionals_s", "batch1_s", "batch2_s", "tokens32_s"} <= set(timings)
     assert all(v >= 0 for v in timings.values())
     assert tts.conds is None  # restored
+
+
+def test_first_chunk_one_program_per_bucket(tts, ref_voice_wav):
+    """The fused first-chunk program must serve every text length in a
+    bucket (pad is a traced operand)."""
+    from chatterbox_embed_tpu import streaming
+    tts.prepare_conditionals_with_audio_prompt(ref_voice_wav)
+    gen = tts.conds.gen
+    streaming._first_chunk_impl.clear_cache()
+    for text in ("Hi there.", "A somewhat longer one."):
+        toks = tts.tokenizer.text_to_tokens(text)
+        import numpy as _np
+        sot, eot = tts.cfg.t3.start_text_token, tts.cfg.t3.stop_text_token
+        row = _np.concatenate([[sot], _np.asarray(toks)[0], [eot]])[None]
+        fc = streaming.first_chunk(
+            tts.t3_params, tts.s3gen_params, tts.conds.t3, row,
+            prompt_tokens=gen["prompt_token"], prompt_feat=gen["prompt_feat"],
+            embedding=gen["embedding"], block_tokens=8, max_new_tokens=8,
+            cfg=tts.cfg)
+        assert np.isfinite(np.asarray(fc.wav)).all()
+    assert streaming._first_chunk_impl._cache_size() == 1
