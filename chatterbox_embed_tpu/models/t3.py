@@ -496,14 +496,14 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     text_lens: per-utterance valid text lengths for the batched path (rows are
     right-padded to a common length; pad positions are masked out as attention
     keys for every subsequent step)."""
-    text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
+    tt_np = np.atleast_2d(np.asarray(text_tokens, np.int32))
     # per-row cfg weights: one any-row static flag decides the fused dual-row
     # layout. A zero-weight row's logit mix reduces to its cond logits, but it
     # still decodes under the CFG context layout (duplicated BOS slot), which
     # is NOT bit-identical to a cfg-off run of that row alone — callers mixing
     # weights per row accept CFG-layout semantics for every row.
     cfg_on = bool(np.any(np.asarray(cfg_weight, np.float32) > 0.0))
-    u, lt = text_tokens.shape
+    u, lt = tt_np.shape
     if lt > cfg.max_text_seq_len:
         raise ValueError(f"text too long: {lt} tokens > max {cfg.max_text_seq_len}")
     pad = min(_bucket(lt), cfg.max_text_seq_len) - lt
@@ -555,7 +555,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # in the hot loop)
         from ..parallel.serve import shard_generation_inputs
         context = _pad_context(
-            _build_context(params, cond, text_tokens, cfg, cfg_on), pad)
+            _build_context(params, cond, jnp.asarray(tt_np), cfg, cfg_on), pad)
         context, key_valid = shard_generation_inputs(mesh, context, key_valid)
         use_flash = False  # the Pallas kernel is single-chip only
         state = prefill(params, context, cfg, total, pad, cfg_on, dtype,
@@ -563,9 +563,10 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     else:
         # ONE program for cond-embed + context + prefill (an eager context
         # build costs ~10 per-op dispatches on remote backends), with the
-        # text host-padded to the bucket and pad as a traced operand: one
-        # compiled program per (bucket, rows) pair serves every text length
-        tb = jnp.pad(text_tokens, ((0, 0), (pad, 0))) if pad else text_tokens
+        # text padded to the bucket ON THE HOST (numpy — no extra device
+        # dispatch) and pad as a traced operand: one compiled program per
+        # (bucket, rows) pair serves every text length
+        tb = jnp.asarray(np.pad(tt_np, ((0, 0), (pad, 0))))
         state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
                                  cfg, total, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,

@@ -104,12 +104,12 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     Returns a FirstChunk whose `wav[0, : n_valid_mel*480]` is the emittable
     audio. CFG is always on (cfg_weight > 0 is the deployed configuration)."""
     assert cfg_weight > 0, "fused first chunk supports the CFG path"
-    text_tokens = jnp.asarray(np.atleast_2d(text_tokens), jnp.int32)
-    lt = text_tokens.shape[1]
+    tt_np = np.atleast_2d(np.asarray(text_tokens, np.int32))
+    lt = tt_np.shape[1]
     bucket = min(t3_mod._bucket(lt), cfg.t3.max_text_seq_len)
     pad = bucket - lt
-    if pad:
-        text_tokens = jnp.pad(text_tokens, ((0, 0), (pad, 0)))
+    # host-side bucket pad: no extra device dispatch on the TTFA path
+    text_tokens = jnp.asarray(np.pad(tt_np, ((0, 0), (pad, 0))))
     # + BOS pair (CFG rows share shape); cond_width mirrors cond_embeds for
     # conds without prompt tokens
     p_len = pad + lt + t3_mod.cond_width(cond, cfg.t3) + 2

@@ -105,10 +105,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     if _COMPILE_CACHE_DIR is not None and path == _COMPILE_CACHE_DIR:
         return True
     try:
+        min_s = float(os.getenv("CHATTERBOX_COMPILE_CACHE_MIN_S", "0"))
+    except ValueError:
+        min_s = 0.0
+    try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          float(os.getenv("CHATTERBOX_COMPILE_CACHE_MIN_S", "0")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_s)
         _COMPILE_CACHE_DIR = path
         return True
     except Exception:  # noqa: BLE001 — cache is an optimisation, never fatal

@@ -208,7 +208,7 @@ def test_one_compiled_program_per_bucket(tiny_t3, rng):
     cond = _cond(rng)
     t3._context_prefill.clear_cache()
     t3.decode_block.clear_cache()
-    for lt in (9, 11, 14):   # all inside the 24-bucket
+    for lt in (9, 11, 14):   # all inside the 48-bucket (the smallest)
         text = rng.integers(1, 50, (1, lt)).astype(np.int32)
         text[:, 0] = 5
         out = t3.generate(tiny_t3, cond, text, max_new_tokens=8, seed=0,
