@@ -331,6 +331,29 @@ def use_flash_attention(rows: int) -> bool:
     return pallas_gate(rows >= 4)
 
 
+def _flash_block_choice(b: int, tp: int, has_ab: bool) -> tuple:
+    """Flash kernel tile sizes for a padded seq length `tp` (128-multiple).
+
+    The default 128-everywhere grid spawns (B*H*T/128) overhead-bound
+    micro-programs at these shapes (T under ~2k) and LOSES to XLA
+    (scripts/microbench_cfm.py: 72.6 vs 41.2 ms). Whole-row kv blocks + as
+    many batch rows per program as the fp32 logits tile (doubled when an ab
+    bias tile rides along) leaves room for in VMEM keep the program count
+    near B*H/block_b with one pass over kv: 29.8 ms."""
+    block_q = 128
+    for cand in range(min(tp, 1024), 0, -128):
+        if tp % cand == 0:
+            block_q = cand
+            break
+    block_b = 1
+    vmem_logits = block_q * tp * 4 * (2 if has_ab else 1)
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * vmem_logits < (10 << 20):
+            block_b = cand
+            break
+    return block_q, block_b
+
+
 def mha_flash(q, k, v, key_valid=None, ab=None):
     """Self-attention via the stock Pallas TPU flash kernel — online softmax
     in VMEM, so the (B, H, T, T) logits never touch HBM (they are 58% of a
@@ -362,22 +385,7 @@ def mha_flash(q, k, v, key_valid=None, ab=None):
         if ab is not None:
             ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pad), (0, pad)))
     tp = t + pad
-    # Block choice: the default 128-everywhere grid spawns (B*H*T/128)
-    # overhead-bound micro-programs at these shapes (T under ~2k) and loses
-    # to XLA. Whole-row kv blocks + as many batch rows per program as the
-    # fp32 logits tile leaves room for in VMEM keeps the program count near
-    # B*H/block_b with one pass over kv.
-    block_q = 128
-    for cand in range(min(tp, 1024), 0, -128):
-        if tp % cand == 0:
-            block_q = cand
-            break
-    block_b = 1
-    vmem_logits = block_q * tp * 4 * (2 if ab is not None else 1)
-    for cand in (8, 4, 2):
-        if b % cand == 0 and cand * vmem_logits < (10 << 20):
-            block_b = cand
-            break
+    block_q, block_b = _flash_block_choice(b, tp, ab is not None)
     blocks = BlockSizes(block_q=block_q, block_k_major=tp, block_k=tp,
                         block_b=block_b)
     ids = key_valid.astype(jnp.int32)

@@ -149,3 +149,22 @@ def test_int8_linear_close_to_fp(rng):
     out = np.asarray(L2.linear(q, x))
     err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.03, err
+
+
+def test_flash_block_choice():
+    """Tile selection for the flash kernels: block_q divides the padded T,
+    block_b divides the batch and respects the VMEM logits budget."""
+    from chatterbox_embed_tpu.models.layers import _flash_block_choice
+    for b in (1, 2, 4, 16, 32):
+        for tp in (128, 384, 640, 768, 1280, 1152, 2048):
+            for has_ab in (False, True):
+                bq, bb = _flash_block_choice(b, tp, has_ab)
+                assert tp % bq == 0 and bq <= 1024 and bq % 128 == 0
+                assert b % bb == 0
+                assert bb * bq * tp * 4 * (2 if has_ab else 1) < (10 << 20) or bb == 1
+    # whole row, batch rows bounded by the VMEM budget
+    assert _flash_block_choice(16, 640, False) == (640, 4)
+    # longer rows: block_q capped at 1024 falls to the largest divisor,
+    # and the ab tile halves the batch block budget
+    bq, bb = _flash_block_choice(16, 1280, True)
+    assert bq == 640 and bb in (1, 2)
