@@ -40,6 +40,9 @@ def _kernel(head_dim: int, pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, 
     groups = f // head_dim                       # B * H
     pos = pos_ref[0]
     start = pos_ref[1]
+    # slots < start are dead (bucket left-padding) — skip their slabs
+    # entirely instead of DMAing them and masking to zero
+    c0 = start // CHUNK
     n_chunks = (pos + CHUNK) // CHUNK            # ceil((pos+1)/CHUNK)
     scale = 1.0 / math.sqrt(head_dim)
 
@@ -54,7 +57,7 @@ def _kernel(head_dim: int, pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, 
                 pltpu.make_async_copy(v_hbm.at[pl.ds(c * CHUNK, CHUNK)],
                                       v_buf.at[slot], sems.at[slot, 1]))
 
-    kd, vd = dma(0, 0)
+    kd, vd = dma(c0 % 2, c0)
     kd.start()
     vd.start()
 
@@ -92,7 +95,7 @@ def _kernel(head_dim: int, pos_ref, q_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, 
     m0 = jnp.full((1, groups), -1e30, jnp.float32)
     l0 = jnp.zeros((1, groups), jnp.float32)
     acc0 = jnp.zeros((1, f), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
     l_full = jnp.dot(l, r.T, preferred_element_type=jnp.float32)
     out_ref[:] = (acc / l_full).astype(out_ref.dtype)
 

@@ -340,15 +340,19 @@ def _flash_block_choice(b: int, tp: int, has_ab: bool) -> tuple:
     many batch rows per program as the fp32 logits tile (doubled when an ab
     bias tile rides along) leaves room for in VMEM keep the program count
     near B*H/block_b with one pass over kv: 29.8 ms."""
+    budget = 10 << 20
+    bytes_per_row = tp * 4 * (2 if has_ab else 1)  # fp32 scores (+ ab tile)
     block_q = 128
     for cand in range(min(tp, 1024), 0, -128):
-        if tp % cand == 0:
+        # the has_ab doubling must bound block_q too: at T=2048 with the
+        # conformer's ab bias a 1024-row tile is ~16 MB and overflows v5e VMEM
+        if tp % cand == 0 and cand * bytes_per_row <= budget:
             block_q = cand
             break
     block_b = 1
-    vmem_logits = block_q * tp * 4 * (2 if has_ab else 1)
+    vmem_logits = block_q * bytes_per_row
     for cand in (8, 4, 2):
-        if b % cand == 0 and cand * vmem_logits < (10 << 20):
+        if b % cand == 0 and cand * vmem_logits < budget:
             block_b = cand
             break
     return block_q, block_b

@@ -146,7 +146,11 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             v_seq = jnp.swapaxes(v, 0, 1)[None].astype(cv.dtype)
             ck = jax.lax.dynamic_update_slice(ck, k_seq, (i, cache_pos, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_seq, (i, cache_pos, 0, 0, 0))
-        if flash_decode and t == 1 and cache is not None:
+        # the alignment spy needs the attention probabilities of ONE layer;
+        # every other layer keeps the flash kernel when it is enabled
+        flash_this = flash_decode and (collect_attn_layer is None
+                                       or i != collect_attn_layer)
+        if flash_this and t == 1 and cache is not None:
             # Pallas variable-length decode kernel: only touches cache slots
             # [flash_start, cache_pos] instead of the whole padded capacity
             from ..kernels.flash_decode import decode_attention

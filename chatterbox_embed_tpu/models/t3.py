@@ -347,27 +347,30 @@ def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block", "p_len", "cfg_on",
                                     "use_top_p", "stop_on_eos", "use_flash", "dtype",
-                                    "align_layer", "text_span"),
+                                    "align_layer"),
                    donate_argnames=("state",))
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
                  cfg: T3Config, block: int, p_len: int, pad_len, cfg_on: bool,
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
                  dtype=jnp.float32, key_valid=None,
                  align_layer: int | None = None,
-                 text_span: tuple[int, int] | None = None):
+                 text_start=None, text_len=None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
     (bucket, block) pair serves every requested output length AND every text
     length in the bucket: p_len is the per-bucket constant context width and
-    pad_len is a traced operand (the alignment path is the exception — its
-    static text_span recompiles per text length).
+    pad_len is a traced operand. The alignment path keeps that property:
+    text_start (scalar) and text_len ((U,)) are TRACED operands too, so
+    CHATTERBOX_ALIGNMENT=1 adds zero recompiles across text lengths.
 
-    When `align_layer` is set, layer N's attention over `text_span`
-    (static (start, length) in cache coordinates) drives the on-device
-    alignment policy: EOS is suppressed until attention reaches the text
-    tail, and forced on long-tail dwell or repeated backward jumps
-    (reference: alignment_stream_analyzer.py:89-154).
+    When `align_layer` is set, layer N's attention over the text span
+    [text_start, text_start + text_len[row]) in cache coordinates drives the
+    on-device alignment policy per row: EOS is suppressed until attention
+    reaches the text tail, and forced on long-tail dwell or repeated backward
+    jumps (reference: alignment_stream_analyzer.py:89-154). Composes with the
+    flash decode kernel (only the spy layer runs XLA attention) and with
+    per-row key_valid masks (batched right-padded text).
     """
     total = state.cache.k.shape[1]
     b = state.logits.shape[0]
@@ -434,13 +437,18 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
             hh, cache2, arow = llama.forward(
                 params["llama"], emb.astype(dtype), pos_id, lmask,
                 cache=s.cache, cache_pos=cache_pos, cfg=cfg.llama, dtype=dtype,
-                flash_decode=False, flash_start=pad_len,
+                flash_decode=use_flash, flash_start=pad_len,
                 collect_attn_layer=align_layer)
-            t_start, t_len = text_span
-            trow = jax.lax.dynamic_slice_in_dim(arow[:n_utt], t_start, t_len, axis=1)
+            # per-row text window [text_start, text_start + text_len[row])
+            # masked out of the full attention row — text_start/text_len are
+            # traced, so one program per bucket serves every text length
+            kidx = jnp.arange(total)
+            in_text = ((kidx[None, :] >= text_start)
+                       & (kidx[None, :] < text_start + text_len[:, None]))
+            trow = arow[:n_utt] * in_text
             trow = trow / jnp.maximum(jnp.sum(trow, axis=-1, keepdims=True), 1e-9)
-            pos = jnp.argmax(trow, axis=-1).astype(jnp.int32)
-            reached = pos >= t_len - 2
+            pos = jnp.argmax(trow, axis=-1).astype(jnp.int32) - text_start
+            reached = pos >= text_len - 2
             newly = reached & ~s.align.complete
             align2 = AlignState(
                 jnp.concatenate([s.align.ring[:, 1:], pos[:, None]], axis=1),
@@ -528,13 +536,16 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # batched decode uses the XLA path
     use_flash = _use_pallas_decode() and n_utt == 1
     align_layer = None
-    text_span = None
+    text_start = text_len = None
     if alignment:
-        # alignment-informed decode needs the attention row -> XLA path
+        # alignment spy: ONE layer runs XLA attention to expose its
+        # probabilities; the rest keep the flash kernel (llama.forward)
         from .alignment import ALIGNMENT_LAYER
         align_layer = min(ALIGNMENT_LAYER, cfg.llama.num_layers - 1)
-        text_span = (pad + cond_width(cond, cfg), lt)
-        use_flash = False
+        text_start = jnp.int32(pad + cond_width(cond, cfg))
+        lens_np = (np.asarray(text_lens, np.int32) if text_lens is not None
+                   else np.full((u,), lt, np.int32))
+        text_len = jnp.asarray(lens_np)
     total = -(-cap // 256) * 256 if use_flash else cap
 
     key_valid = None
@@ -570,10 +581,12 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
                                  cfg, total, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
-                key_valid=key_valid, align_layer=align_layer, text_span=text_span)
+                key_valid=key_valid, align_layer=align_layer,
+                text_start=text_start, text_len=text_len)
     global LAST_GENERATION_INFO
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
-                            "cache_total": total, "n_utt": n_utt}
+                            "cache_total": total, "n_utt": n_utt,
+                            "alignment": align_layer is not None}
     return state, info
 
 
@@ -615,7 +628,8 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
             params, state, key, sp, top_p_v, limit, cfg, int(block),
             info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
             info["use_flash"], dtype, info["key_valid"],
-            align_layer=info["align_layer"], text_span=info["text_span"])
+            align_layer=info["align_layer"], text_start=info["text_start"],
+            text_len=info["text_len"])
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]

@@ -61,7 +61,8 @@ def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, limit,
                                        True, dtype, None)
     state, tokens, n_new = t3_mod.decode_block.__wrapped__(
         t3_params, state, key, sp, jnp.float32(1.0), limit, t3c, block,
-        p_len, pad, True, False, True, use_flash, dtype, None, None, None)
+        p_len, pad, True, False, True, use_flash, dtype, None, None, None,
+        None)
 
     # --- flow window (first window: no context, absolute frame 0)
     win = jnp.swapaxes(tokens, 0, 1)                       # (1, block)

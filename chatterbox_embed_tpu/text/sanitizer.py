@@ -189,6 +189,27 @@ class AdvancedTextSanitizer:
         return re.sub(r"\b(\d+)(?:st|nd|rd|th)\b", repl, text)
 
     def normalize_numbers(self, text: str) -> str:
+        # Protect/restore pass (reference: chunking/text_sanitizer.py
+        # normalize_numbers): ISO dates and semantic versions must survive
+        # verbalisation intact — "2026-01-22" must not hit the range/year
+        # regexes, "v2.1.3" must not hit the decimal regex. The placeholder
+        # keys are \w-only, so every \b-anchored number regex skips them.
+        protected: dict = {}
+
+        def _protect(pattern: str, label: str, s: str) -> str:
+            def repl(m: re.Match) -> str:
+                key = f"__{label}{len(protected)}__"
+                protected[key] = m.group(0)
+                return key
+            return re.sub(pattern, repl, s)
+
+        text = _protect(r"\b\d{4}-\d{2}-\d{2}\b", "DATE", text)
+        text = _protect(r"\b[vV]?\d+(?:\.\d+){2,}\b", "VER", text)
+        # phone numbers read digit-by-digit in groups (the reference splits
+        # the groups with spaces; spelling the digits is the TTS-safe form)
+        text = re.sub(r"\b(\d{3})-(\d{3})-(\d{4})\b",
+                      lambda m: ", ".join(digits_to_words(g) for g in m.groups()),
+                      text)
         text = self.verbalize_currency(text)
         text = self.verbalize_temperatures(text)
         text = self.verbalize_times(text)
@@ -203,6 +224,8 @@ class AdvancedTextSanitizer:
         # plain integers (with thousands separators)
         text = re.sub(r"\b\d[\d,]*\b",
                       lambda m: number_to_words(int(m.group(0).replace(",", ""))), text)
+        for key, val in protected.items():
+            text = text.replace(key, val)
         return text
 
     def expand_abbreviations(self, text: str) -> str:

@@ -168,3 +168,11 @@ def test_flash_block_choice():
     # and the ab tile halves the batch block budget
     bq, bb = _flash_block_choice(16, 1280, True)
     assert bq == 640 and bb in (1, 2)
+    # long T with ab bias: even a SINGLE program's q-tile must fit the VMEM
+    # budget — block_q itself shrinks (1024x2048 fp32 x2 would be ~16 MB)
+    bq, bb = _flash_block_choice(2, 2048, True)
+    assert bq * 2048 * 4 * 2 <= (10 << 20)
+    assert bq == 512
+    # without ab the same shape keeps the larger tile
+    bq_no_ab, _ = _flash_block_choice(2, 2048, False)
+    assert bq_no_ab == 1024

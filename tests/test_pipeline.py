@@ -150,6 +150,30 @@ def test_sanitizer():
     assert ok
 
 
+def test_sanitizer_protected_patterns():
+    """ISO dates, semver and phone numbers must survive number verbalisation
+    (reference: chunking/text_sanitizer.py normalize_numbers protect pass)."""
+    from chatterbox_embed_tpu.text import AdvancedTextSanitizer
+    s = AdvancedTextSanitizer()
+    # ISO date: must NOT be mangled by the range/year regexes
+    assert "2026-01-22" in s.deep_clean("Released on 2026-01-22, it was new.")
+    # semantic versions, with and without the v prefix
+    assert "v2.1.3" in s.deep_clean("Update to v2.1.3 now.")
+    assert "10.4.1.2" in s.deep_clean("Build 10.4.1.2 shipped.")
+    # phone numbers read digit-by-digit, never as cardinals
+    out = s.deep_clean("Call 555-867-5309 today.")
+    assert "five five five" in out and "five three zero nine" in out
+    assert "hundred" not in out and "thousand" not in out
+    # surrounding numbers still verbalise normally
+    out2 = s.deep_clean("On 2026-01-22 we sold 42 units of v2.1.3.")
+    assert "2026-01-22" in out2 and "v2.1.3" in out2 and "forty-two" in out2
+    # plain ranges/years/decimals are untouched by the protection pass
+    out3 = s.deep_clean("Pages 5-10 of the 1984 edition, rated 3.5.")
+    assert "five to ten" in out3
+    assert "nineteen eighty-four" in out3
+    assert "three point five" in out3
+
+
 def test_punc_norm():
     from chatterbox_embed_tpu.text import punc_norm
     assert punc_norm("hello world") == "Hello world."
