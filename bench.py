@@ -227,32 +227,55 @@ def main():
 
 def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
                  n_prompt, prompt_tokens, prompt_feat, embedding):
-    """p50 time-to-first-audio (BASELINE.md stretch goal: < 200 ms).
-
-    The whole first chunk — prefill, 25-token decode, windowed flow, vocoder
-    — is ONE fused device dispatch (chatterbox_embed_tpu.streaming), so TTFA
-    pays a single host round-trip instead of round-1's 5-6."""
+    """p50 time-to-first-audio (BASELINE.md stretch goal: < 200 ms),
+    measured THROUGH the public API: ChatterboxTTS.stream_generate's first
+    yielded chunk is the fused one-dispatch program (streaming.first_chunk —
+    prefill, 25-token decode, windowed flow, vocoder in a single device
+    round-trip). The timer covers tokenization + host prep + the dispatch,
+    i.e. exactly what a serving caller experiences."""
     import jax
-    from chatterbox_embed_tpu import streaming
+    from chatterbox_embed_tpu.tts import ChatterboxTTS, _FallbackTokenizer
+    from chatterbox_embed_tpu.conditionals import Conditionals
+    from chatterbox_embed_tpu.models import t3 as t3_mod
 
     block = int(os.getenv("CHATTERBOX_TTFA_BLOCK", "25"))  # tokens in first chunk
+    gen = dict(prompt_token=np.asarray(prompt_tokens),
+               prompt_token_len=np.asarray([n_prompt]),
+               prompt_feat=np.asarray(prompt_feat), prompt_feat_len=None,
+               embedding=np.asarray(embedding))
+    tts = ChatterboxTTS(t3_params, s3_params, None, _FallbackTokenizer(cfg.t3),
+                        conds=Conditionals(cond, gen), config=cfg, dtype=dtype)
+    # hash-tokenized bench text sized to match --text-len
+    alpha = "the quick brown fox jumps over a lazy dog and keeps running on "
+    text_str = (alpha * (args.text_len // len(alpha) + 1))[: max(args.text_len - 2, 4)]
 
-    def first_chunk(seed):
-        out = streaming.first_chunk(
-            t3_params, s3_params, cond, text,
-            prompt_tokens=prompt_tokens, prompt_feat=prompt_feat,
-            embedding=embedding, block_tokens=block, max_new_tokens=block,
-            temperature=0.7, cfg_weight=0.5, seed=seed, cfg=cfg, dtype=dtype)
-        n = int(out.n_valid_mel)
-        return np.asarray(out.wav[0, : n * cfg.s3gen.hift.total_upsample])
+    def first_audio(seed):
+        it = tts.stream_generate(text_str, block_tokens=block,
+                                 max_new_tokens=block, temperature=0.7,
+                                 cfg_weight=0.5, seed=seed)
+        for w in it:
+            it.close()          # TTFA only: drop the rest of the stream
+            return w
+        return np.zeros((0,), np.float32)
 
-    w = first_chunk(0)  # compile
+    w = first_audio(0)  # compile
     times = []
     for i in range(args.iters):
         t0 = time.time()
-        w = first_chunk(i + 1)
+        w = first_audio(i + 1)
         times.append(time.time() - t0)
     ttfa = float(np.median(times))
+    gen_info = dict(t3_mod.LAST_GENERATION_INFO)
+    if not gen_info.get("fused_first_chunk", False):
+        print("[bench] ERROR: stream_generate did not take the fused "
+              "first-chunk path", file=sys.stderr)
+        sys.exit(3)
+    platform = jax.devices()[0].platform
+    if (platform not in ("cpu",) and os.getenv("CHATTERBOX_PALLAS") != "0"
+            and not gen_info.get("use_flash", False)):
+        print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
+              file=sys.stderr)
+        sys.exit(3)
     print(json.dumps({
         "metric": "ttfa_p50",
         "value": round(ttfa, 4),
@@ -260,7 +283,8 @@ def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
         "vs_baseline": round(0.2 / ttfa, 3),
         "detail": {"block_tokens": block, "first_chunk_samples": int(w.size),
                    "iters": args.iters, "device": str(jax.devices()[0]),
-                   "fused_dispatch": True},
+                   "fused_dispatch": True, "through_api": True,
+                   "use_flash": gen_info.get("use_flash")},
     }))
 
 

@@ -25,12 +25,18 @@ from .models import t3 as t3_mod
 from .models import s3gen as s3gen_mod
 from .models import hifigan as hift_mod
 
+# Windowed-streaming geometry, shared with ChatterboxTTS.stream_generate
+# (the fused first chunk and the host loop MUST agree on the context width
+# or the mu_tail pin silently drifts):
+STREAM_CTX_TOKENS = 6      # window context C (> pre-lookahead 3)
+STREAM_VOC_CTX_MEL = 8     # vocoder mel context M (covers conv fields)
+
 
 class FirstChunk(NamedTuple):
     state: t3_mod.DecodeState     # resumable T3 decode state
     tokens: jnp.ndarray           # (block, 1) generated ids
     n_new: jnp.ndarray            # () tokens actually generated
-    wav: jnp.ndarray              # (1, r*(block)*480) padded waveform
+    wav: jnp.ndarray              # (1, r*(block+look)*480) padded waveform
     n_valid_mel: jnp.ndarray      # () valid mel frames in `wav`
     mu_tail: jnp.ndarray          # (1, PIN, 80) flow continuity tail
     mel_tail: jnp.ndarray         # (1, M, 80) vocoder context tail
@@ -39,12 +45,12 @@ class FirstChunk(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block", "total", "use_flash", "voc_ctx",
-                     "dtype"))
-def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, limit,
-                      prompt_tokens, prompt_feat, embedding, phase_key, pad,
-                      cfg: ChatterboxConfig, block: int, total: int,
-                      use_flash: bool, voc_ctx: int, dtype):
+    static_argnames=("cfg", "block", "total", "use_flash", "use_top_p",
+                     "voc_ctx", "dtype"))
+def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, top_p,
+                      limit, prompt_tokens, prompt_feat, embedding, phase_key,
+                      pad, cfg: ChatterboxConfig, block: int, total: int,
+                      use_flash: bool, use_top_p: bool, voc_ctx: int, dtype):
     t3c = cfg.t3
     s3c = cfg.s3gen
     r = s3c.flow.token_mel_ratio
@@ -60,23 +66,37 @@ def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, limit,
     state = t3_mod.prefill.__wrapped__(t3_params, context, t3c, total, pad,
                                        True, dtype, None)
     state, tokens, n_new = t3_mod.decode_block.__wrapped__(
-        t3_params, state, key, sp, jnp.float32(1.0), limit, t3c, block,
-        p_len, pad, True, False, True, use_flash, dtype, None, None, None,
-        None)
+        t3_params, state, key, sp, top_p, limit, t3c, block,
+        p_len, pad, True, use_top_p, True, use_flash, dtype, None, None,
+        None, None)
 
     # --- flow window (first window: no context, absolute frame 0)
     win = jnp.swapaxes(tokens, 0, 1)                       # (1, block)
+    # valid tokens exclude EOS (and any id >= flow vocab): the host loop
+    # filters them before synthesis, so the fused window must too — an EOS
+    # inside the first block must not condition the flow on a spurious pad id
+    tok_idx = jnp.arange(block)
+    valid_tok = (tok_idx < n_new) & (win[0] < s3c.flow.vocab_size)
+    n_valid_tok = jnp.sum(valid_tok.astype(jnp.int32))
     win = jnp.where(win >= s3c.flow.vocab_size, 0, win)    # EOS slot -> pad id
-    vlen = jnp.maximum(n_new, 1)[None]
-    pin = r * (6 - look)  # ChatterboxTTS.STREAM_CTX_TOKENS - lookahead
+    vlen = jnp.maximum(n_valid_tok, 1)[None]
+    pin = r * (STREAM_CTX_TOKENS - look)
     mu_pin0 = jnp.zeros((1, pin, s3c.mel_num), jnp.float32)
     mel_gen, mu_tail = s3gen_mod._flow_to_mel_window_impl(
         s3_params, win, vlen, prompt_tokens, prompt_feat, embedding,
         mu_pin0, jnp.int32(0), jnp.int32(0), False, s3c, dtype)
 
-    # --- vocoder window over the emittable frames
-    n_valid = r * jnp.maximum(n_new - look, 0)
-    mel_win = mel_gen[:, : r * block]
+    # --- vocoder window over the emittable frames. The window matches the
+    # host loop's first window EXACTLY — emittable frames then zeros out to
+    # the r*(block+look) width. Identical widths keep the per-window noise
+    # draws identical and identical masking keeps conv receptive fields
+    # identical, so the fused first chunk is bit-comparable to the unfused
+    # stream_generate loop (tested in test_streaming_fidelity.py).
+    n_valid = r * jnp.maximum(n_valid_tok - look, 0)
+    new_cap = r * (block + look)
+    frame_idx = jnp.arange(r * block)
+    mel_emit = mel_gen[:, : r * block] * (frame_idx[None, :, None] < n_valid)
+    mel_win = jnp.pad(mel_emit, ((0, 0), (0, new_cap - r * block), (0, 0)))
     up = s3c.hift.total_upsample
     m_next = jnp.minimum(voc_ctx, n_valid)
     carry_idx = jnp.maximum((n_valid - m_next) * up - 1, 0)
@@ -97,13 +117,17 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
                 block_tokens: int = 25, max_new_tokens: int = 1000,
                 temperature: float = 0.6, cfg_weight: float = 0.3,
                 repetition_penalty: float = 1.2, min_p: float = 0.05,
-                seed: int = 0, voc_ctx: int = 8,
+                top_p: float = 1.0, seed: int = 0,
+                voc_ctx: int = STREAM_VOC_CTX_MEL,
                 cfg: ChatterboxConfig = ChatterboxConfig(),
-                dtype=jnp.float32) -> FirstChunk:
+                dtype=jnp.float32) -> tuple[FirstChunk, dict]:
     """Synthesize the first `block_tokens` of speech in one dispatch.
 
-    Returns a FirstChunk whose `wav[0, : n_valid_mel*480]` is the emittable
-    audio. CFG is always on (cfg_weight > 0 is the deployed configuration)."""
+    Returns (FirstChunk, resume): `wav[0, : n_valid_mel*480]` is the
+    emittable audio; `resume` carries everything `continue_tokens` needs to
+    keep decoding from the returned DecodeState (same compiled decode-block
+    program family as t3.generate_stream). CFG is always on (cfg_weight > 0
+    is the deployed configuration)."""
     assert cfg_weight > 0, "fused first chunk supports the CFG path"
     tt_np = np.atleast_2d(np.asarray(text_tokens, np.int32))
     lt = tt_np.shape[1]
@@ -117,10 +141,48 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     cap = p_len + max(max_new_tokens, block_tokens)
     use_flash = t3_mod._use_pallas_decode()
     total = -(-cap // 256) * 256 if use_flash else cap
+    use_top_p = float(np.asarray(top_p)) < 1.0
     sp = t3_mod.SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                                jnp.float32(repetition_penalty), jnp.float32(min_p))
-    return _first_chunk_impl(
-        t3_params, s3_params, cond, text_tokens, jax.random.PRNGKey(seed), sp,
-        jnp.int32(max_new_tokens), prompt_tokens, prompt_feat, embedding,
+    key = jax.random.PRNGKey(seed)
+    limit = jnp.int32(max_new_tokens)
+    top_p_v = jnp.float32(top_p)
+    fc = _first_chunk_impl(
+        t3_params, s3_params, cond, text_tokens, key, sp, top_p_v,
+        limit, prompt_tokens, prompt_feat, embedding,
         jax.random.PRNGKey(seed), jnp.int32(pad), cfg, block_tokens, total,
-        use_flash, voc_ctx, dtype)
+        use_flash, use_top_p, voc_ctx, dtype)
+    resume = dict(key=key, sp=sp, top_p=top_p_v, use_top_p=use_top_p,
+                  limit=limit, p_len=p_len, pad=pad, use_flash=use_flash,
+                  block=block_tokens, max_new_tokens=max_new_tokens)
+    t3_mod.LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
+                                   "cache_total": total, "n_utt": 1,
+                                   "fused_first_chunk": True}
+    return fc, resume
+
+
+def continue_tokens(t3_params, fc: FirstChunk, resume: dict, *,
+                    cfg: ChatterboxConfig = ChatterboxConfig(),
+                    dtype=jnp.float32):
+    """Yield further speech-token blocks from a FirstChunk's DecodeState.
+
+    Mirrors t3.generate_stream's loop (same key/fold_in schedule, same
+    compiled decode_block program per (bucket, block)), starting from the
+    tokens the fused program already produced. The caller owns EOS
+    filtering, exactly like generate_stream's consumers."""
+    state = fc.state
+    produced = int(fc.n_new)
+    if bool(np.all(np.asarray(state.done))):
+        return
+    while produced < resume["max_new_tokens"]:
+        state, tokens, n_new = t3_mod.decode_block(
+            t3_params, state, resume["key"], resume["sp"], resume["top_p"],
+            resume["limit"], cfg.t3, resume["block"], resume["p_len"],
+            resume["pad"], True, resume["use_top_p"], True,
+            resume["use_flash"], dtype, None, None, None, None)
+        n = int(n_new)
+        if n > 0:
+            yield np.asarray(tokens)[:n, 0]
+        produced += n
+        if n == 0 or bool(np.all(np.asarray(state.done))):
+            break

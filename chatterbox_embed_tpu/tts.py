@@ -545,8 +545,10 @@ class ChatterboxTTS:
     # lookahead drop flow.py:262-263, vocoder cache_source hifigan.py:470-472)
     # ------------------------------------------------------------------
 
-    STREAM_CTX_TOKENS = 6        # window context C (> pre-lookahead 3)
-    STREAM_VOC_CTX_MEL = 8       # vocoder mel context M (covers conv fields)
+    # windowed-streaming geometry lives in streaming.py (the fused first
+    # chunk and this loop MUST agree on it); kept as class attrs for API
+    # compatibility
+    from .streaming import STREAM_CTX_TOKENS, STREAM_VOC_CTX_MEL
 
     def stream_generate(self, text, *, block_tokens: int = 25,
                         throughput_block_tokens: int = 300,
@@ -555,20 +557,27 @@ class ChatterboxTTS:
                         max_new_tokens=1000, seed=0):
         """Yield waveform chunks (np.float32 @ 24 kHz) as tokens decode.
 
-        Windowed incremental synthesis — O(prompt + window) per chunk instead
-        of the recompute-everything O(n^2) design:
+        The FIRST chunk — context build, prefill, `block_tokens` of decode,
+        the flow window and the vocoder window — is ONE fused device dispatch
+        (streaming.first_chunk), so time-to-first-audio pays a single host
+        round-trip (~0.13 s on a v5e through the tunnel vs ~0.3 s for
+        separate dispatches). The loop then resumes the decode from the
+        returned DecodeState and continues windowed:
         - the flow runs on [prompt; last C tokens; new tokens] only, with mu
           pinned over already-emitted frames and CFM noise indexed at
           absolute positions (s3gen.flow_to_mel_window);
         - the vocoder synthesises [M context mel frames; new frames] with a
           phase-continuous harmonic source (hifigan.stream_synthesize).
 
-        The first chunk is `block_tokens` for fast time-to-first-audio; later
-        synthesis groups grow to `throughput_block_tokens` so total flow
-        compute stays within ~1.5x of the one-shot batch path.
+        Later synthesis groups grow to `throughput_block_tokens` so total
+        flow compute stays within ~1.5x of the one-shot batch path.
+        Kill-switch: CHATTERBOX_FUSED_FIRST_CHUNK=0 falls back to separate
+        dispatches (also used when cfg_weight == 0, which the fused program
+        does not support).
         """
         assert self.conds is not None, "prepare conditionals first"
         from .models import hifigan as hift_mod
+        from . import streaming
 
         gen = self.conds.gen
         prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
@@ -578,12 +587,6 @@ class ChatterboxTTS:
         tok = self.tokenizer.text_to_tokens(text)[0]
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
         text_tokens = np.concatenate([[sot], tok, [eot]]).astype(np.int32)[None]
-
-        token_stream = t3_mod.generate_stream(
-            self.t3_params, self.conds.t3, text_tokens, max_new_tokens=max_new_tokens,
-            temperature=temperature, cfg_weight=cfg_weight,
-            repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-            seed=seed, block=block_tokens, cfg=self.cfg.t3, dtype=self.dtype)
 
         C = self.STREAM_CTX_TOKENS
         M = self.STREAM_VOC_CTX_MEL
@@ -604,6 +607,40 @@ class ChatterboxTTS:
             "first_voc": True,
             "vidx": 0,
         }
+
+        fused = (np.asarray(cfg_weight, np.float32).size == 1
+                 and float(np.asarray(cfg_weight, np.float32)) > 0.0
+                 and os.getenv("CHATTERBOX_FUSED_FIRST_CHUNK", "1") != "0")
+        first_wav = None
+        if fused:
+            fc, resume = streaming.first_chunk(
+                self.t3_params, self.s3gen_params, self.conds.t3, text_tokens,
+                prompt_tokens=prompt_token, prompt_feat=prompt_feat,
+                embedding=embedding, block_tokens=block_tokens,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
+                min_p=min_p, top_p=top_p, seed=seed, voc_ctx=M,
+                cfg=self.cfg, dtype=self.dtype)
+            n_new = int(fc.n_new)
+            toks = np.asarray(fc.tokens)[:n_new, 0]
+            valid = toks[toks < SPEECH_VOCAB_SIZE].astype(np.int32)
+            n_valid_mel = int(fc.n_valid_mel)
+            # seed the windowed loop exactly where the fused program left off
+            state.update(
+                n=len(valid), recent=valid[-C:],
+                mu_pin=fc.mu_tail,
+                mel_tail=np.asarray(fc.mel_tail)[:, :min(M, n_valid_mel)],
+                phase=fc.phase_carry, first_voc=False, vidx=1)
+            first_wav = np.asarray(fc.wav[0, : n_valid_mel * up]).copy()
+            token_stream = streaming.continue_tokens(
+                self.t3_params, fc, resume, cfg=self.cfg, dtype=self.dtype)
+        else:
+            token_stream = t3_mod.generate_stream(
+                self.t3_params, self.conds.t3, text_tokens,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
+                min_p=min_p, top_p=top_p, seed=seed, block=block_tokens,
+                cfg=self.cfg.t3, dtype=self.dtype)
 
         # static shape buckets: one compiled (flow, vocoder) program pair per
         # group size in the doubling schedule block_tokens -> throughput cap
@@ -674,7 +711,14 @@ class ChatterboxTTS:
             return chunk
 
         pending = np.zeros((0,), np.int32)
-        target = block_tokens          # first group is small (TTFA)
+        if fused:
+            # the fused program already consumed (and synthesised) the first
+            # group — later groups follow the doubling schedule from there
+            target = min(2 * block_tokens, throughput_block_tokens)
+            if first_wav is not None and first_wav.size:
+                yield first_wav
+        else:
+            target = block_tokens      # first group is small (TTFA)
         for block in token_stream:
             block = block[block < SPEECH_VOCAB_SIZE]
             pending = np.concatenate([pending, block])

@@ -433,7 +433,7 @@ def test_first_chunk_one_program_per_bucket(tts, ref_voice_wav):
         import numpy as _np
         sot, eot = tts.cfg.t3.start_text_token, tts.cfg.t3.stop_text_token
         row = _np.concatenate([[sot], _np.asarray(toks)[0], [eot]])[None]
-        fc = streaming.first_chunk(
+        fc, _resume = streaming.first_chunk(
             tts.t3_params, tts.s3gen_params, tts.conds.t3, row,
             prompt_tokens=gen["prompt_token"], prompt_feat=gen["prompt_feat"],
             embedding=gen["embedding"], block_tokens=8, max_new_tokens=8,
