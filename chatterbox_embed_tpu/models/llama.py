@@ -100,6 +100,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             cache: Optional[KVCache] = None, cache_pos: int | jnp.ndarray = 0,
             cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32,
             flash_decode: bool = False, flash_start: int | jnp.ndarray = 0,
+            flash_hole: Optional[jnp.ndarray] = None,
             collect_attn_layer: Optional[int] = None):
     """Run the transformer over a block of embeddings.
 
@@ -152,10 +153,13 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                                        or i != collect_attn_layer)
         if flash_this and t == 1 and cache is not None:
             # Pallas variable-length decode kernel: only touches cache slots
-            # [flash_start, cache_pos] instead of the whole padded capacity
+            # [flash_start, cache_pos] instead of the whole padded capacity;
+            # flash_hole (B, 2) masks per-row dead text-pad ranges (ragged
+            # right-padded batches)
             from ..kernels.flash_decode import decode_attention
             att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
-                                   start=flash_start)[:, None]
+                                   start=flash_start,
+                                   hole=flash_hole)[:, None]
         elif t == 1 and cache is not None:
             # XLA decode on the sequence-major cache WITHOUT transposing it:
             # a (B, L, H, D) transpose per layer per step churns gigabytes at

@@ -354,7 +354,7 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
                  dtype=jnp.float32, key_valid=None,
                  align_layer: int | None = None,
-                 text_start=None, text_len=None):
+                 text_start=None, text_len=None, hole=None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
@@ -437,7 +437,7 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
             hh, cache2, arow = llama.forward(
                 params["llama"], emb.astype(dtype), pos_id, lmask,
                 cache=s.cache, cache_pos=cache_pos, cfg=cfg.llama, dtype=dtype,
-                flash_decode=use_flash, flash_start=pad_len,
+                flash_decode=use_flash, flash_start=pad_len, flash_hole=hole,
                 collect_attn_layer=align_layer)
             # per-row text window [text_start, text_start + text_len[row])
             # masked out of the full attention row — text_start/text_len are
@@ -458,7 +458,8 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
             hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id,
                                        lmask, cache=s.cache, cache_pos=cache_pos,
                                        cfg=cfg.llama, dtype=dtype,
-                                       flash_decode=use_flash, flash_start=pad_len)
+                                       flash_decode=use_flash, flash_start=pad_len,
+                                       flash_hole=hole)
             align2 = s.align
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
         return Carry(DecodeState(cache2, logits, counts, s.i + 1, done, align2),
@@ -532,9 +533,9 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             f"(sub-batches automatically) or pass a dp mesh.")
     # cache capacity: fixed per bucket so one block program serves all lengths
     cap = p_len + max(max_new_tokens, DECODE_BLOCK)
-    # the Pallas kernel's VMEM chunk buffers fit the single-utterance CFG pair;
-    # batched decode uses the XLA path
-    use_flash = _use_pallas_decode() and n_utt == 1
+    # the Pallas decode kernel grids over row blocks (kernels/flash_decode):
+    # every fused batch up to the single-chip cap runs on it
+    use_flash = _use_pallas_decode() and n_utt <= MAX_DECODE_UTTERANCES
     align_layer = None
     text_start = text_len = None
     if alignment:
@@ -549,16 +550,22 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     total = -(-cap // 256) * 256 if use_flash else cap
 
     key_valid = None
+    hole = None
     if text_lens is not None and (np.asarray(text_lens) < lt).any():
         lens = jnp.asarray(np.asarray(text_lens), jnp.int32)
         if cfg_on:
             lens = jnp.concatenate([lens, lens])
         kidx = jnp.arange(total)
-        text_start = pad + cond_width(cond, cfg)
-        in_text_pad = ((kidx[None, :] >= text_start + lens[:, None])
-                       & (kidx[None, :] < text_start + lt))
+        ts_col = pad + cond_width(cond, cfg)
+        # key_valid masks ragged text pads for prefill (and the XLA decode /
+        # alignment-spy layers); the flash decode kernel takes the same dead
+        # range as a per-row [lo, hi) hole instead of a (B, total) mask
+        in_text_pad = ((kidx[None, :] >= ts_col + lens[:, None])
+                       & (kidx[None, :] < ts_col + lt))
         key_valid = ~in_text_pad
-        use_flash = False  # row masks need the XLA attention path
+        if use_flash:
+            hole = jnp.stack([ts_col + lens,
+                              jnp.full_like(lens, ts_col + lt)], axis=1)
 
     if mesh is not None:
         # multi-chip serving: rows across dp, weights replicated; GSPMD
@@ -582,7 +589,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
                                  cfg, total, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer,
-                text_start=text_start, text_len=text_len)
+                text_start=text_start, text_len=text_len, hole=hole)
     global LAST_GENERATION_INFO
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                             "cache_total": total, "n_utt": n_utt,
@@ -629,7 +636,7 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
             info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
             info["use_flash"], dtype, info["key_valid"],
             align_layer=info["align_layer"], text_start=info["text_start"],
-            text_len=info["text_len"])
+            text_len=info["text_len"], hole=info["hole"])
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]

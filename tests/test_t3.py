@@ -200,6 +200,30 @@ def test_p_len_matches_context_for_all_cond_variants(tiny_t3, rng):
         assert out.size >= 1
 
 
+def test_batched_flash_decode_matches_xla(tiny_t3, rng, monkeypatch):
+    """The multi-row flash decode kernel (CHATTERBOX_PALLAS=1, interpreter on
+    CPU) must reproduce the XLA decode path for a RAGGED batch: per-row text
+    lengths ride the kernel as [lo, hi) key holes instead of forcing the XLA
+    fallback (round-2 weak #3/#7)."""
+    lt = 12
+    rows = np.zeros((3, lt), np.int32)
+    lens = np.asarray([6, 9, 12], np.int32)
+    for i, n in enumerate(lens):
+        rows[i, :n] = rng.integers(1, 50, (n,)).astype(np.int32)
+        rows[i, 0] = 5
+    cond = _cond(rng)
+    kw = dict(max_new_tokens=8, cfg_weight=0.5, temperature=0.7, seed=2,
+              text_lens=lens, cfg=TINY)
+    monkeypatch.setenv("CHATTERBOX_PALLAS", "0")
+    xla = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert t3.LAST_GENERATION_INFO["use_flash"] is False
+    monkeypatch.setenv("CHATTERBOX_PALLAS", "1")
+    flash = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert t3.LAST_GENERATION_INFO["use_flash"] is True
+    for a, b in zip(flash, xla):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_one_compiled_program_per_bucket(tiny_t3, rng):
     """Different text lengths in one bucket must reuse the SAME compiled
     prefill and decode programs (pad is a traced operand, not a static) —
