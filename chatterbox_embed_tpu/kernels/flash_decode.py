@@ -65,6 +65,10 @@ def _kernel(head_dim: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm, out_ref,
             k_buf, v_buf, sems):
     fb = q_ref.shape[1]                          # rb * H * D (this stripe)
     gb = fb // head_dim                          # rb * H groups
+    # hole blocks are lane-padded to 128 (Mosaic block tiling); the live
+    # entries are the first gb lanes
+    hole_lo = hole_ref[0:1, :gb]                 # (1, Gb) int32
+    hole_hi = hole_ref[1:2, :gb]
     g = pl.program_id(0)
     pos = pos_ref[0]
     start = pos_ref[1]
@@ -78,8 +82,6 @@ def _kernel(head_dim: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm, out_ref,
     # block-diagonal group-reduction matrix: R[j, gg] = 1 iff j // head_dim == gg
     r = (jax.lax.broadcasted_iota(jnp.int32, (fb, gb), 0) // head_dim
          == jax.lax.broadcasted_iota(jnp.int32, (fb, gb), 1)).astype(jnp.float32)
-    hole_lo = hole_ref[0:1, :]                   # (1, Gb) int32
-    hole_hi = hole_ref[1:2, :]
     col0 = g * fb
 
     def dma(slot, c):
@@ -108,10 +110,13 @@ def _kernel(head_dim: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm, out_ref,
         kd_c.wait()
         vd_c.wait()
 
-        k = k_buf[slot].astype(jnp.float32)      # (C, Fb)
+        k = k_buf[slot]                          # (C, Fb) cache dtype
         v = v_buf[slot].astype(jnp.float32)
-        prod = q * k                             # broadcast (C, Fb)
-        logits = jnp.dot(prod, r, preferred_element_type=jnp.float32) * scale  # (C, Gb)
+        # q*k products in the cache dtype (bf16 on TPU), accumulated fp32 by
+        # the group-reduction matmul — halves the VPU broadcast-multiply cost
+        prod = (q.astype(k.dtype) * k)           # broadcast (C, Fb)
+        logits = jnp.dot(prod, r.astype(prod.dtype),
+                         preferred_element_type=jnp.float32) * scale  # (C, Gb)
         idx = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         valid = ((idx <= pos) & (idx >= start)
                  & ~((idx >= hole_lo) & (idx < hole_hi)))   # (C, Gb)
@@ -157,22 +162,29 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert f % 128 == 0, f"B*H*D={f} must be 128-aligned for TPU tiling"
     pos = jnp.stack([jnp.asarray(cache_pos, jnp.int32).reshape(()),
                      jnp.asarray(start, jnp.int32).reshape(())])
-    if hole is None:
-        hole_g = jnp.zeros((2, b * h), jnp.int32)
-    else:
-        # per-row [lo, hi) broadcast to the row's H head-groups
-        hole_g = jnp.repeat(jnp.asarray(hole, jnp.int32).T, h, axis=1)  # (2, B*H)
     rb = _row_block(b, h, d, k.dtype.itemsize)
     fb = rb * h * d
     gb = rb * h
+    # Mosaic block tiling wants 128-divisible lane dims: lay the per-group
+    # holes out as (2, nprog * gbp) with each program's gb entries at the
+    # front of a 128-lane-padded slot
+    gbp = -(-gb // 128) * 128
+    nprog = b // rb
+    if hole is None:
+        hole_g = jnp.zeros((2, nprog * gbp), jnp.int32)
+    else:
+        # per-row [lo, hi) broadcast to the row's H head-groups
+        hg = jnp.repeat(jnp.asarray(hole, jnp.int32).T, h, axis=1)  # (2, B*H)
+        hg = hg.reshape(2, nprog, gb)
+        hole_g = jnp.pad(hg, ((0, 0), (0, 0), (0, gbp - gb))).reshape(2, -1)
     out = pl.pallas_call(
         functools.partial(_kernel, d),
-        grid=(b // rb,),
+        grid=(nprog,),
         out_shape=jax.ShapeDtypeStruct((1, f), q.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, fb), lambda g: (0, g)),
-            pl.BlockSpec((2, gb), lambda g: (0, g)),
+            pl.BlockSpec((2, gbp), lambda g: (0, g)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

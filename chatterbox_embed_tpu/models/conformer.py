@@ -7,9 +7,11 @@ Architecture: linear embed + espnet relative PE, a 3-frame pre-lookahead conv,
 6 conformer blocks (rel-pos MHA + FFN, pre-norm), nearest x2 upsample with a
 causal conv, 4 more blocks, final LayerNorm.
 
-TPU design: the espnet rel-shift (pad/reshape trick in torch) is a static
-gather on the (2T-1) position axis; both matmul terms of the Transformer-XL
-score ride the MXU via einsum; softmax in fp32.
+TPU design: the Transformer-XL bd term is FACTORED via the sine
+angle-addition identity (see _rel_factors / kernels/rel_attention.py) —
+bd = A C^T + B S^T with no (2T-1) band tensor and no rel-shift, so both
+score terms are plain MXU matmuls; at batch the whole masked attention runs
+in a Pallas kernel with the (B,H,T,T) scores VMEM-resident. Softmax in fp32.
 """
 from __future__ import annotations
 
@@ -69,42 +71,70 @@ def _espnet_rel_pe(t: int, d: int) -> np.ndarray:
     return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)
 
 
-def _rel_shift(bd_full: jnp.ndarray) -> jnp.ndarray:
-    """espnet rel-shift: bd[i, j] = bd_full[i, (T-1) - i + j].
-
-    Implemented with the pad+reshape trick (linear copies). The obvious
-    take_along_axis gather on the minor axis is ~25x slower on TPU (per-lane
-    dynamic addressing) — it took this encoder from 11 ms to 277 ms.
-    """
-    b, h, t, p = bd_full.shape
-    xpad = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))   # (B,H,T,2T)
-    xr = xpad.reshape(b, h, p + 1, t)[:, :, 1:]                 # (B,H,2T-1,T)
-    return xr.reshape(b, h, t, p)[..., :t]
+def _rel_trig(t: int, d: int):
+    """(t, d/2) sin/cos tables at the espnet PE frequencies."""
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * -(math.log(10_000.0) / d))
+    ang = np.arange(t, dtype=np.float32)[:, None] * div
+    return np.sin(ang), np.cos(ang)
 
 
-def _rel_attention(p, x, pos_emb, pad_mask, n_heads, dtype):
-    """Transformer-XL style scores: (q+u)k^T + rel_shift((q+v)p^T)."""
+def _rel_factors(p, qv, n_heads, sin_t, cos_t):
+    """Factor the Transformer-XL bd term (kernels/rel_attention.py docstring):
+
+      bd[i,j] = (q[i]+v) . pe_proj[(T-1)-i+j] = A[i] . C[j] + B[i] . S[j]
+
+    with g[i] = W_pos_h^T (q[i]+v) projected back to model dim and A/B the
+    angle-addition recombination of g with the i-side trig tables. Exact
+    (trig identity) — replaces the (B, H, T, 2T-1) bd_full einsum + rel
+    shift of the torch formulation (reference: attention.py:203-330) with
+    two rank-d/2 products. Returns A, B of shape (B, T, H, d/2)."""
+    b, t, h, dk = qv.shape
+    d = h * dk
+    w_pos = p["pos"]["w"].reshape(d, h, dk)                  # (d, H, dk)
+    g = jnp.einsum("bihc,mhc->bihm", qv, w_pos.astype(qv.dtype))  # (B,T,H,d)
+    sin_i = jnp.asarray(sin_t)[None, :, None, :].astype(g.dtype)
+    cos_i = jnp.asarray(cos_t)[None, :, None, :].astype(g.dtype)
+    g_sin, g_cos = g[..., 0::2], g[..., 1::2]
+    a = g_sin * sin_i + g_cos * cos_i
+    bb = -g_sin * cos_i + g_cos * sin_i
+    return a, bb
+
+
+def _rel_attention(p, x, trig, pad_mask, n_heads, dtype):
+    """Transformer-XL style scores (q+u)k^T + bd via the factored rel-pos
+    form — no (2T-1) axis, no rel-shift (see _rel_factors)."""
     b, t, d = x.shape
     dk = d // n_heads
     q = L.split_heads(L.linear(p["q"], x, dtype), n_heads)   # (B, T, H, dk)
     k = L.split_heads(L.linear(p["k"], x, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], x, dtype), n_heads)
-    pe = L.linear(p["pos"], pos_emb.astype(dtype))            # (2T-1, d)
-    pe = pe.reshape(-1, n_heads, dk)
+    sin_t, cos_t = trig
 
     qu = q + p["pos_bias_u"].astype(q.dtype)
     qv = q + p["pos_bias_v"].astype(q.dtype)
-    bd_full = jnp.einsum("bqhd,phd->bhqp", qv, pe, preferred_element_type=jnp.float32)
-    bd = _rel_shift(bd_full)
+    a, bb = _rel_factors(p, qv, n_heads, sin_t, cos_t)       # (B, T, H, d/2)
 
-    if L.use_flash_attention(b):
-        # ac, the combined fp32 scores and the softmax weights stay in VMEM;
-        # only the rel-pos bd term is materialised (kernel adds ab before
-        # sm_scale, matching (ac + bd) / sqrt(dk))
-        out = L.mha_flash(qu, k, v, key_valid=pad_mask, ab=bd)
+    if L.pallas_gate(b >= 4):
+        # one augmented matmul per program: [qu|A|B] . [k|C|S]^T with the
+        # softmax and p@v entirely in VMEM — the (B,H,T,T) scores (and the
+        # old 2T-1 band tensor) never touch HBM
+        from ..kernels.rel_attention import rel_attention
+        cs = jnp.concatenate([jnp.asarray(cos_t), jnp.asarray(sin_t)], axis=-1)
+        cs = jnp.broadcast_to(cs[None, :, None, :].astype(k.dtype),
+                              (b, t, n_heads, d))
+        q_aug = jnp.concatenate([qu, a.astype(q.dtype), bb.astype(q.dtype)],
+                                axis=-1)
+        k_aug = jnp.concatenate([k, cs], axis=-1)
+        kv_mask = (pad_mask if pad_mask is not None
+                   else jnp.ones((b, t), jnp.bool_))
+        out = rel_attention(q_aug, k_aug, v, kv_mask, 1.0 / math.sqrt(dk))
         return L.linear(p["o"], L.merge_heads(out), dtype)
 
     ac = jnp.einsum("bqhd,bkhd->bhqk", qu, k, preferred_element_type=jnp.float32)
+    cos_j = jnp.asarray(cos_t).astype(a.dtype)
+    sin_j = jnp.asarray(sin_t).astype(a.dtype)
+    bd = (jnp.einsum("bihm,jm->bhij", a, cos_j, preferred_element_type=jnp.float32)
+          + jnp.einsum("bihm,jm->bhij", bb, sin_j, preferred_element_type=jnp.float32))
     logits = (ac + bd) / math.sqrt(dk)
     if pad_mask is not None:
         logits = jnp.where(pad_mask[:, None, None, :], logits, jnp.float32(-jnp.inf))
@@ -116,9 +146,9 @@ def _rel_attention(p, x, pos_emb, pad_mask, n_heads, dtype):
     return L.linear(p["o"], L.merge_heads(out), dtype)
 
 
-def _conformer_block(p, x, pos_emb, pad_mask, n_heads, eps, dtype):
+def _conformer_block(p, x, trig, pad_mask, n_heads, eps, dtype):
     h = L.layer_norm(p["norm_mha"], x, eps)
-    x = x + _rel_attention(p, h, pos_emb, pad_mask, n_heads, dtype)
+    x = x + _rel_attention(p, h, trig, pad_mask, n_heads, dtype)
     h = L.layer_norm(p["norm_ff"], x, eps)
     h = L.linear(p["ff2"], jax.nn.silu(L.linear(p["ff1"], h, dtype)), dtype)
     return x + h
@@ -148,11 +178,11 @@ def forward(params, x: jnp.ndarray, lens: jnp.ndarray | None = None,
         # to exact-length inference: the lookahead conv's right context then
         # sees literal zeros either way
         h = h * pad_mask[..., None].astype(h.dtype)
-    pos = jnp.asarray(_espnet_rel_pe(t, cfg.output_size))
+    trig = _rel_trig(t, cfg.output_size)
 
     h = _lookahead(params["lookahead"], h, cfg.pre_lookahead_len, dtype)
     for blk in params["blocks"]:
-        h = _conformer_block(blk, h, pos, pad_mask, cfg.attention_heads, cfg.ln_eps, dtype)
+        h = _conformer_block(blk, h, trig, pad_mask, cfg.attention_heads, cfg.ln_eps, dtype)
 
     # nearest x2 upsample + left-padded conv (reference: upsample_encoder.py:37-63)
     s = cfg.upsample_stride
@@ -167,8 +197,8 @@ def forward(params, x: jnp.ndarray, lens: jnp.ndarray | None = None,
                      cfg.embed_ln_eps) * xscale
     if pad_mask2 is not None:
         h = h * pad_mask2[..., None].astype(h.dtype)
-    pos2 = jnp.asarray(_espnet_rel_pe(t2, cfg.output_size))
+    trig2 = _rel_trig(t2, cfg.output_size)
     for blk in params["up_blocks"]:
-        h = _conformer_block(blk, h, pos2, pad_mask2, cfg.attention_heads, cfg.ln_eps, dtype)
+        h = _conformer_block(blk, h, trig2, pad_mask2, cfg.attention_heads, cfg.ln_eps, dtype)
 
     return L.layer_norm(params["after_norm"], h, cfg.embed_ln_eps)

@@ -23,14 +23,20 @@ def _chip_sequence(n: int) -> np.ndarray:
     return rng.choice([-1.0, 1.0], size=n).astype(np.float32)
 
 
-def _bandpass_noise(n: int, sr: int) -> np.ndarray:
-    """Deterministic band-limited carrier."""
+def _carrier_spec(n: int, sr: int):
+    """Deterministic band-limited carrier phases: (band mask, unit spec)."""
     rng = np.random.default_rng(_CHIP_SEED + 1)
-    spec = np.zeros(n // 2 + 1, np.complex128)
     freqs = np.fft.rfftfreq(n, 1.0 / sr)
     band = (freqs >= _BAND[0]) & (freqs <= min(_BAND[1], sr / 2 * 0.95))
     phases = rng.uniform(0, 2 * np.pi, band.sum())
-    spec[band] = np.exp(1j * phases)
+    return band, np.exp(1j * phases)
+
+
+def _bandpass_noise(n: int, sr: int) -> np.ndarray:
+    """Deterministic band-limited carrier (time domain)."""
+    band, unit = _carrier_spec(n, sr)
+    spec = np.zeros(n // 2 + 1, np.complex128)
+    spec[band] = unit
     x = np.fft.irfft(spec, n)
     return (x / (np.abs(x).max() + 1e-12)).astype(np.float32)
 
@@ -57,17 +63,32 @@ class ImplicitWatermarker:
 
     def get_watermark(self, wav: np.ndarray, sample_rate: int) -> float:
         """Detection score in [0, 1]: normalised correlation between the
-        per-frame matched-filter outputs and the chip sequence (≈1.0 for
-        marked audio, ≈0.0 for clean)."""
+        per-frame detector outputs and the chip sequence (≈1.0 for marked
+        audio, ≈0.0 for clean).
+
+        The per-frame statistic is a SOFT-LIMITED matched filter in the
+        carrier band: bin magnitudes are capped at 3x the frame's median
+        band magnitude before correlating with the carrier phases. A plain
+        matched filter is swamped by narrowband in-band content (music
+        harmonics between 4-8 kHz); the cap bounds any single bin's
+        influence while keeping the broadband matched-filter gain."""
         flat = np.asarray(wav, np.float32).reshape(-1)
         n_frames = len(flat) // _FRAME
         if n_frames < 8:
             return 0.0
         chips = _chip_sequence(n_frames)
-        carrier = _bandpass_noise(_FRAME, sample_rate)
+        band, unit = _carrier_spec(_FRAME, sample_rate)
         seg = flat[: n_frames * _FRAME].reshape(n_frames, _FRAME)
-        local_rms = np.sqrt(np.mean(seg ** 2, axis=1)) + 1e-8
-        corr = (seg @ carrier) / local_rms
+        # Hann window: without it, the spectral leakage of any strong
+        # out-of-band tone (plain speech harmonics) swamps the band bins
+        win = np.hanning(_FRAME).astype(np.float32)
+        spec = np.fft.rfft(seg * win, axis=1)[:, band]
+        mag = np.abs(spec)
+        cap = 3.0 * np.median(mag, axis=1, keepdims=True) + 1e-12
+        limited = spec * np.minimum(1.0, cap / (mag + 1e-12))
+        corr = (limited @ np.conj(unit)).real          # (n_frames,)
+        corr = corr / (np.linalg.norm(limited, axis=1) + 1e-12)
+        corr = corr - corr.mean()
         denom = np.linalg.norm(corr) * np.linalg.norm(chips)
         if denom == 0:
             return 0.0

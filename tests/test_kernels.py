@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from chatterbox_embed_tpu.kernels import flash_decode as fd
+from chatterbox_embed_tpu.models import conformer as cf
 
 
 @pytest.mark.parametrize("pos", [0, 1, 255, 256, 300, 511])
@@ -65,3 +66,45 @@ def test_decode_attention_per_row_hole(rng):
     out_nohole = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
                                      interpret=True)
     assert np.abs(np.asarray(out) - np.asarray(out_nohole))[1:].max() > 1e-4
+
+
+def test_rel_factored_bd_matches_gathered(rng):
+    """The factored Transformer-XL bd (A C^T + B S^T, conformer._rel_factors)
+    must equal the reference gathered form bd[i,j] = qv[i]·pe_proj[T-1-i+j]
+    (the torch formulation's materialise+rel-shift)."""
+    t, d, h = 23, 32, 4
+    dk = d // h
+    qv = rng.standard_normal((2, t, h, dk)).astype(np.float32)
+    w = rng.standard_normal((d, d)).astype(np.float32)
+    p = {"pos": {"w": w}}
+    pe = cf._espnet_rel_pe(t, d)                  # (2t-1, d)
+    pe_proj = (pe @ w).reshape(-1, h, dk)
+    bd_ref = np.einsum("bihc,phc->bhip", qv, pe_proj)
+    # rel shift: bd[i, j] = bd_full[i, (t-1) - i + j]
+    bd_g = np.zeros((2, h, t, t), np.float32)
+    for i in range(t):
+        bd_g[:, :, i, :] = bd_ref[:, :, i, (t - 1) - i: (2 * t - 1) - i]
+    sin_t, cos_t = cf._rel_trig(t, d)
+    a, bb = cf._rel_factors(p, jnp.asarray(qv), h, sin_t, cos_t)
+    bd_f = (np.einsum("bihm,jm->bhij", np.asarray(a), cos_t)
+            + np.einsum("bihm,jm->bhij", np.asarray(bb), sin_t))
+    np.testing.assert_allclose(bd_f, bd_g, rtol=1e-4, atol=1e-4)
+
+
+def test_rel_attention_kernel_matches_xla(rng, monkeypatch):
+    """conformer.forward with the Pallas rel-attention kernel (interpreter on
+    CPU) must match the XLA factored path, including ragged pad masks."""
+    from chatterbox_embed_tpu.config import ConformerConfig
+    cfg = ConformerConfig(input_size=32, output_size=32, attention_heads=4,
+                          linear_units=64, num_blocks=1, num_up_blocks=1)
+    params = cf.init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(rng.standard_normal((4, 11, 32)).astype(np.float32))
+    lens = jnp.asarray([11, 7, 9, 4])
+    monkeypatch.setenv("CHATTERBOX_PALLAS", "0")
+    xla = np.asarray(cf.forward(params, x, lens, cfg))
+    monkeypatch.setenv("CHATTERBOX_PALLAS", "1")
+    ker = np.asarray(cf.forward(params, x, lens, cfg))
+    # only compare valid positions (invalid queries differ by design)
+    for i, n in enumerate([11, 7, 9, 4]):
+        np.testing.assert_allclose(ker[i, : 2 * n], xla[i, : 2 * n],
+                                   rtol=2e-4, atol=2e-5)
