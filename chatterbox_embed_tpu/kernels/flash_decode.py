@@ -2,7 +2,7 @@
 
 Single-token decode against a static KV cache. The XLA fallback reads the
 ENTIRE padded cache every step (the compiler cannot know that slots past
-`cache_pos` are dead); this kernel walks the cache in CHUNK-sized slabs with
+`cache_pos` are dead); this kernel walks the cache in chunk-sized slabs with
 double-buffered HBM->VMEM DMAs, starts at the first live slab (`start`'s
 chunk — bucket left-padding is never read) and stops at the current
 position — on average halving decode-attention HBM traffic, the dominant
@@ -10,27 +10,33 @@ per-step cost after weight streaming.
 
 Layout: the cache is stored sequence-major, (L, B*H*D). With T3's shapes
 (B CFG rows x H=16 heads x D=64) the feature dim is B*1024, so chunk DMAs
-are tile-aligned. Per-head reductions over the packed feature dim are ONE
-matmul against a block-diagonal 0/1 matrix R (Fb x Gb): grouped sums ride
-the MXU instead of unsupported multi-batch dots.
+are full contiguous rows. Per-head reductions over the packed feature dim
+are matmuls against a block-diagonal 0/1 matrix R (Fblk x Gblk): grouped
+sums ride the MXU instead of unsupported multi-batch dots.
 
-Batching: a 1-D grid over ROW BLOCKS. Each program owns `rb` rows
-(Fb = rb*H*D features), walking its column stripe of the cache; the VMEM
-chunk buffers are sized per stripe, so fused batches of any width fit
-(the round-2 kernel was hard-limited to the single-utterance CFG pair).
+Batching: ONE program for every batch width. The chunk height shrinks as
+the row width grows (slab bytes stay inside the VMEM budget) so the DMA
+stream stays deep, contiguous and double-buffered — a row-striped GRID was
+measured 30-40us of exposed latency per (program, chunk) unit on v5e, LOSING
+to XLA at 16+ rows; the single-program walk amortises it. The feature dim is
+processed in static Fblk-wide sub-blocks so the R matrix stays ~1 MB instead
+of growing quadratically with batch.
 
 Ragged batches: an optional per-row key HOLE [hole_lo, hole_hi) masks each
 row's dead text-pad slots (batched right-padded text) — the whole batched
 serving path stays on the kernel instead of falling back to XLA.
 
-  q        (1, F)    VMEM, blocked (1, Fb) per program
-  k, v     (L, F)    HBM; stripe DMA'd in (CHUNK, Fb) slabs
+  q        (1, F)    VMEM
+  k, v     (L, F)    HBM; chunked in (C, F) contiguous slabs
   pos_ref  [cache_pos, start] SMEM: attend to slots [start, cache_pos]
-  hole     (2, G)    int32, blocked (2, Gb): per-group [lo, hi) dead range
+  hole     (2, Gp)   int32 VMEM: per-group [lo, hi) dead range (lane-padded)
 Returns (1, F), reshaped to (B, H, D) by the wrapper.
 
 Flash-style streaming softmax in fp32; fully-masked slabs (left padding) are
-kept finite by masking to -1e30 and zeroing probabilities explicitly.
+kept finite by masking to -1e30 and zeroing probabilities explicitly. The
+q*k products and the R dots run in the cache dtype (bf16 on TPU — fp32 MXU
+runs at 1/4 rate on v5e) with fp32 accumulation, matching the XLA decode
+path's w.astype(dtype) convention.
 """
 from __future__ import annotations
 
@@ -43,100 +49,120 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256
-# per-program VMEM budget for the double-buffered k/v chunk slabs (bytes);
-# VMEM is ~16 MB/core on v4/v5e — stay at half so q/out/logits tiles fit
+# per-call VMEM budget for the double-buffered k/v chunk slabs (bytes);
+# VMEM is ~16 MB/core on v4/v5e — stay at half so q/out/logits/R tiles fit
 _BUF_BUDGET = 8 << 20
+_FBLK = 4096          # feature sub-block width (keeps R at (4096, 64) ~1 MB)
+_MAX_CHUNK = 512
 
 
-def _row_block(b: int, h: int, d: int, itemsize: int) -> int:
-    """Rows per program: the largest divisor of B whose stripe (rb*H*D) is
-    128-lane-aligned AND keeps the 2(double-buffer) x 2(k,v) CHUNK slabs
-    inside the VMEM budget. Falls back to one program over all rows when no
-    aligned sub-stripe exists (tiny test configs)."""
-    cap = max(_BUF_BUDGET // (4 * CHUNK * itemsize * h * d), 1)
-    for cand in range(min(b, cap), 0, -1):
-        if b % cand == 0 and (cand * h * d) % 128 == 0:
-            return cand
-    return b
+def _feature_block(f: int, d: int) -> int:
+    """Widest stripe <= _FBLK that divides F on a head boundary with
+    128-aligned lanes (falls back to the full width)."""
+    g = f // d
+    want = max(1, -(-f // _FBLK))
+    for n in range(want, g + 1):
+        if g % n == 0 and (f // n) % 128 == 0:
+            return f // n
+    return f
 
 
-def _kernel(head_dim: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm, out_ref,
-            k_buf, v_buf, sems):
-    fb = q_ref.shape[1]                          # rb * H * D (this stripe)
-    gb = fb // head_dim                          # rb * H groups
-    # hole blocks are lane-padded to 128 (Mosaic block tiling); the live
-    # entries are the first gb lanes
-    hole_lo = hole_ref[0:1, :gb]                 # (1, Gb) int32
-    hole_hi = hole_ref[1:2, :gb]
-    g = pl.program_id(0)
+def _chunk_rows(f: int, itemsize: int, lcache: int) -> int:
+    """Slab height: largest power-of-two <= _MAX_CHUNK that divides the cache
+    length AND keeps the double-buffered k+v slabs inside the budget."""
+    cap = max(_BUF_BUDGET // (4 * f * itemsize), 8)
+    c = 8
+    while c * 2 <= min(cap, _MAX_CHUNK) and lcache % (c * 2) == 0:
+        c *= 2
+    return c
+
+
+def _kernel(head_dim: int, fblk: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm,
+            out_ref, k_buf, v_buf, sems):
+    f = q_ref.shape[1]
+    n_blk = f // fblk
+    gblk = fblk // head_dim
+    chunk = k_buf.shape[1]
     pos = pos_ref[0]
     start = pos_ref[1]
     # slots < start are dead (bucket left-padding) — skip their slabs
     # entirely instead of DMAing them and masking to zero
-    c0 = start // CHUNK
-    n_chunks = (pos + CHUNK) // CHUNK            # ceil((pos+1)/CHUNK)
+    c0 = start // chunk
+    n_chunks = (pos + chunk) // chunk            # ceil((pos+1)/chunk)
     scale = 1.0 / math.sqrt(head_dim)
 
-    q = q_ref[:].astype(jnp.float32)             # (1, Fb)
-    # block-diagonal group-reduction matrix: R[j, gg] = 1 iff j // head_dim == gg
-    r = (jax.lax.broadcasted_iota(jnp.int32, (fb, gb), 0) // head_dim
-         == jax.lax.broadcasted_iota(jnp.int32, (fb, gb), 1)).astype(jnp.float32)
-    col0 = g * fb
+    q = q_ref[:]                                 # (1, F)
+    # block-diagonal group-reduction matrix: R[j, g] = 1 iff j//head_dim == g
+    r32 = (jax.lax.broadcasted_iota(jnp.int32, (fblk, gblk), 0) // head_dim
+           == jax.lax.broadcasted_iota(jnp.int32, (fblk, gblk), 1)
+           ).astype(jnp.float32)
+    rc = r32.astype(k_buf.dtype)
 
     def dma(slot, c):
-        return (pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(c * CHUNK, CHUNK), pl.ds(col0, fb)],
-                    k_buf.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(c * CHUNK, CHUNK), pl.ds(col0, fb)],
-                    v_buf.at[slot], sems.at[slot, 1]))
+        return [pltpu.make_async_copy(k_hbm.at[pl.ds(c * chunk, chunk)],
+                                      k_buf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(c * chunk, chunk)],
+                                      v_buf.at[slot], sems.at[slot, 1])]
 
-    kd, vd = dma(c0 % 2, c0)
-    kd.start()
-    vd.start()
+    for cp in dma(c0 % 2, c0):
+        cp.start()
 
     def body(c, carry):
-        m, l, acc = carry                        # (1,Gb), (1,Gb), (1,Fb)
+        m, l, acc = carry                        # (1,G), (1,G), (1,F) fp32
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            kd_n, vd_n = dma((c + 1) % 2, c + 1)
-            kd_n.start()
-            vd_n.start()
+            for cp in dma((c + 1) % 2, c + 1):
+                cp.start()
 
-        kd_c, vd_c = dma(slot, c)
-        kd_c.wait()
-        vd_c.wait()
+        for cp in dma(slot, c):
+            cp.wait()
 
-        k = k_buf[slot]                          # (C, Fb) cache dtype
+        k = k_buf[slot]                          # (C, F) cache dtype
         v = v_buf[slot].astype(jnp.float32)
-        # q*k products in the cache dtype (bf16 on TPU), accumulated fp32 by
-        # the group-reduction matmul — halves the VPU broadcast-multiply cost
-        prod = (q.astype(k.dtype) * k)           # broadcast (C, Fb)
-        logits = jnp.dot(prod, r.astype(prod.dtype),
-                         preferred_element_type=jnp.float32) * scale  # (C, Gb)
-        idx = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        valid = ((idx <= pos) & (idx >= start)
-                 & ~((idx >= hole_lo) & (idx < hole_hi)))   # (C, Gb)
-        logits = jnp.where(valid, logits, jnp.float32(-1e30))
+        idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        in_range = (idx <= pos) & (idx >= start)               # (C, 1)
 
-        m_new = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))  # (1, Gb)
-        p = jnp.exp(logits - m_new) * valid      # (C, Gb)
-        alpha = jnp.exp(m - m_new)               # (1, Gb)
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        p_full = jnp.dot(p, r.T, preferred_element_type=jnp.float32)    # (C, Fb)
-        alpha_full = jnp.dot(alpha, r.T, preferred_element_type=jnp.float32)
-        acc_new = acc * alpha_full + jnp.sum(p_full * v, axis=0, keepdims=True)
-        return m_new, l_new, acc_new
+        m_out, l_out, acc_out = [], [], []
+        for j in range(n_blk):                   # static unroll over stripes
+            fs = slice(j * fblk, (j + 1) * fblk)
+            gs = slice(j * gblk, (j + 1) * gblk)
+            prod = q[:, fs].astype(k.dtype) * k[:, fs]         # (C, Fblk)
+            logits = jnp.dot(prod, rc,
+                             preferred_element_type=jnp.float32) * scale
+            lo = hole_ref[0:1, gs]
+            hi = hole_ref[1:2, gs]
+            valid = in_range & ~((idx >= lo) & (idx < hi))     # (C, Gblk)
+            logits = jnp.where(valid, logits, jnp.float32(-1e30))
 
-    m0 = jnp.full((1, gb), -1e30, jnp.float32)
-    l0 = jnp.zeros((1, gb), jnp.float32)
-    acc0 = jnp.zeros((1, fb), jnp.float32)
+            mj = m[:, gs]
+            lj = l[:, gs]
+            m_new = jnp.maximum(mj, jnp.max(logits, axis=0, keepdims=True))
+            p = jnp.exp(logits - m_new) * valid                # (C, Gblk) fp32
+            alpha = jnp.exp(mj - m_new)                        # (1, Gblk)
+            l_out.append(lj * alpha + jnp.sum(p, axis=0, keepdims=True))
+            m_out.append(m_new)
+            p_full = jnp.dot(p.astype(k.dtype), rc.T,
+                             preferred_element_type=jnp.float32)  # (C, Fblk)
+            # the (1, Gblk) rescale row is tiny — keep it exact in fp32
+            alpha_full = jnp.dot(alpha, r32.T,
+                                 preferred_element_type=jnp.float32)
+            acc_out.append(acc[:, fs] * alpha_full
+                           + jnp.sum(p_full * v[:, fs], axis=0, keepdims=True))
+        return (jnp.concatenate(m_out, axis=1),
+                jnp.concatenate(l_out, axis=1),
+                jnp.concatenate(acc_out, axis=1))
+
+    g_total = f // head_dim
+    m0 = jnp.full((1, g_total), -1e30, jnp.float32)
+    l0 = jnp.zeros((1, g_total), jnp.float32)
+    acc0 = jnp.zeros((1, f), jnp.float32)
     m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
-    l_full = jnp.dot(l, r.T, preferred_element_type=jnp.float32)
-    out_ref[:] = (acc / l_full).astype(out_ref.dtype)
+    l_parts = [jnp.dot(l[:, j * gblk:(j + 1) * gblk], r32.T,
+                       preferred_element_type=jnp.float32)
+               for j in range(n_blk)]
+    out_ref[:] = (acc / jnp.concatenate(l_parts, axis=1)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -148,7 +174,7 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Attends to slots [start, cache_pos], minus each row's optional
     `hole` (B, 2) int32 dead range [lo, hi) (ragged right-padded text).
-    L must be a CHUNK multiple and H*D a multiple of 128.
+    L must be a 256-multiple and B*H*D a multiple of 128.
 
     interpret=None auto-selects the Pallas interpreter on CPU backends so
     CHATTERBOX_PALLAS=1 drives the identical kernel code path in tests.
@@ -158,40 +184,35 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, h, d = q.shape
     lcache = k.shape[0]
     f = b * h * d
-    assert lcache % CHUNK == 0, f"cache length {lcache} must be a multiple of {CHUNK}"
+    assert lcache % 256 == 0, \
+        f"cache length {lcache} must be a multiple of 256"
     assert f % 128 == 0, f"B*H*D={f} must be 128-aligned for TPU tiling"
+    fblk = _feature_block(f, d)
+    g_total = f // d
+    gp = -(-g_total // 128) * 128               # lane-pad the hole vector
     pos = jnp.stack([jnp.asarray(cache_pos, jnp.int32).reshape(()),
                      jnp.asarray(start, jnp.int32).reshape(())])
-    rb = _row_block(b, h, d, k.dtype.itemsize)
-    fb = rb * h * d
-    gb = rb * h
-    # Mosaic block tiling wants 128-divisible lane dims: lay the per-group
-    # holes out as (2, nprog * gbp) with each program's gb entries at the
-    # front of a 128-lane-padded slot
-    gbp = -(-gb // 128) * 128
-    nprog = b // rb
     if hole is None:
-        hole_g = jnp.zeros((2, nprog * gbp), jnp.int32)
+        hole_g = jnp.zeros((2, gp), jnp.int32)
     else:
         # per-row [lo, hi) broadcast to the row's H head-groups
         hg = jnp.repeat(jnp.asarray(hole, jnp.int32).T, h, axis=1)  # (2, B*H)
-        hg = hg.reshape(2, nprog, gb)
-        hole_g = jnp.pad(hg, ((0, 0), (0, 0), (0, gbp - gb))).reshape(2, -1)
+        hole_g = jnp.pad(hg, ((0, 0), (0, gp - g_total)))
+    chunk = _chunk_rows(f, k.dtype.itemsize, lcache)
     out = pl.pallas_call(
-        functools.partial(_kernel, d),
-        grid=(nprog,),
+        functools.partial(_kernel, d, fblk),
         out_shape=jax.ShapeDtypeStruct((1, f), q.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fb), lambda g: (0, g)),
-            pl.BlockSpec((2, gbp), lambda g: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, fb), lambda g: (0, g)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, fb), k.dtype),
-            pltpu.VMEM((2, CHUNK, fb), v.dtype),
+            pltpu.VMEM((2, chunk, f), k.dtype),
+            pltpu.VMEM((2, chunk, f), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,

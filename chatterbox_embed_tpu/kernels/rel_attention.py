@@ -43,20 +43,21 @@ BQ = 128  # query tile rows
 
 
 def _kernel(scale: float, q_ref, k_ref, v_ref, m_ref, o_ref):
-    # q (1, BQ, 1, Da)  k (1, Tp, 1, Da)  v (1, Tp, 1, Dv)  m (1, Tp) int32
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
+    # layout (B, H, T, D): q (1, 1, BQ, Da)  k (1, 1, Tp, Da)
+    # v (1, 1, Tp, Dv)  m (1, 1, Tp) int32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    valid = m_ref[0, :][None, :] > 0                      # (1, Tp)
+    valid = m_ref[0, 0, :][None, :] > 0                   # (1, Tp)
     s = jnp.where(valid, s, jnp.float32(-1e30))
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s) * valid                                # (BQ, Tp) fp32
     den = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, :, 0, :],
+    o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = (o / den).astype(o_ref.dtype)
+    o_ref[0, 0] = (o / den).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -83,19 +84,24 @@ def rel_attention(q_aug: jnp.ndarray, k_aug: jnp.ndarray, v: jnp.ndarray,
         q_aug = jnp.pad(q_aug, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
         k_aug = jnp.pad(k_aug, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
         v = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
-    mask = jnp.pad(key_valid, ((0, 0), (0, pad_t))).astype(jnp.int32)
+    mask = jnp.pad(key_valid, ((0, 0), (0, pad_t))).astype(jnp.int32)[:, None, :]
+    # (B, H, T, D): Mosaic block tiling wants the T/D axes as the last two
+    q_aug = jnp.swapaxes(q_aug, 1, 2)
+    k_aug = jnp.swapaxes(k_aug, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale),
         grid=(b * h, tp // BQ),
-        out_shape=jax.ShapeDtypeStruct((b, tp, h, dv), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, dv), v.dtype),
         in_specs=[
-            pl.BlockSpec((1, BQ, 1, dap), lambda bh, qi: (bh // h, qi, bh % h, 0)),
-            pl.BlockSpec((1, tp, 1, dap), lambda bh, qi: (bh // h, 0, bh % h, 0)),
-            pl.BlockSpec((1, tp, 1, dv), lambda bh, qi: (bh // h, 0, bh % h, 0)),
-            pl.BlockSpec((1, tp), lambda bh, qi: (bh // h, 0)),
+            pl.BlockSpec((1, 1, BQ, dap), lambda bh, qi: (bh // h, bh % h, qi, 0)),
+            pl.BlockSpec((1, 1, tp, dap), lambda bh, qi: (bh // h, bh % h, 0, 0)),
+            pl.BlockSpec((1, 1, tp, dv), lambda bh, qi: (bh // h, bh % h, 0, 0)),
+            pl.BlockSpec((1, 1, tp), lambda bh, qi: (bh // h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, 1, dv), lambda bh, qi: (bh // h, qi, bh % h, 0)),
+        out_specs=pl.BlockSpec((1, 1, BQ, dv),
+                               lambda bh, qi: (bh // h, bh % h, qi, 0)),
         interpret=interpret,
     )(q_aug, k_aug, v, mask)
-    return out[:, :t]
+    return jnp.swapaxes(out, 1, 2)[:, :t]

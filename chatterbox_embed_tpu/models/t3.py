@@ -492,6 +492,9 @@ def _bucket(n: int) -> int:
 # smaller block for early emission.
 DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
+# flash decode beats XLA up to 8 fused CFG rows on v5e (round-3 microbench);
+# bigger batches are throughput-bound and stay on the XLA attention
+FLASH_DECODE_MAX_UTTERANCES = 4
 
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
@@ -533,9 +536,12 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             f"(sub-batches automatically) or pass a dp mesh.")
     # cache capacity: fixed per bucket so one block program serves all lengths
     cap = p_len + max(max_new_tokens, DECODE_BLOCK)
-    # the Pallas decode kernel grids over row blocks (kernels/flash_decode):
-    # every fused batch up to the single-chip cap runs on it
-    use_flash = _use_pallas_decode() and n_utt <= MAX_DECODE_UTTERANCES
+    # Pallas decode kernel gate: measured crossover on v5e at the 1024-slot
+    # cache (PERF_NOTES.md round-3 study) — the kernel wins 2.0x/1.7x/1.2x
+    # at 2/8 rows and loses at 32 (its chunk walk is invocation-overhead
+    # bound once the VMEM cap shrinks the slabs); large fused batches keep
+    # the XLA attention, which wins per-utterance throughput at 16 utts
+    use_flash = _use_pallas_decode() and n_utt <= FLASH_DECODE_MAX_UTTERANCES
     align_layer = None
     text_start = text_len = None
     if alignment:

@@ -122,8 +122,18 @@ class RedisWorker:
                 self._tts_factory = ChatterboxTTS.from_pretrained
             self._tts = self._tts_factory()
             if os.getenv("WORKER_WARMUP", "0") == "1" and hasattr(self._tts, "warmup"):
-                # pre-compile the serving buckets before taking traffic
-                self._tts.warmup()
+                # pre-compile the serving buckets before taking traffic;
+                # deployments pin THEIR bucket lists via env so the warmed
+                # programs are exactly the ones traffic will hit
+                def _ints(key, default):
+                    raw = os.getenv(key)
+                    if not raw:
+                        return default
+                    return tuple(int(x) for x in raw.split(",") if x.strip())
+                self._tts.warmup(
+                    batch_sizes=_ints("WORKER_WARMUP_BATCHES", (1,)),
+                    token_buckets=_ints("WORKER_WARMUP_TOKEN_BUCKETS", (256,)),
+                    stream=os.getenv("WORKER_WARMUP_STREAM", "0") == "1")
         return self._tts
 
     def _get_vc(self):

@@ -403,6 +403,15 @@ class ChatterboxTTS:
         tok = self.tokenizer.text_to_tokens(text)[0]
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
         text_tokens = np.concatenate([[sot], tok, [eot]]).astype(np.int32)[None]
+        # CHATTERBOX_ALIGNMENT=1 turns on the on-device alignment guard
+        # (attention-spy EOS policy, models/alignment.py): production-grade
+        # since round 3 — traced text spans (zero recompiles across text
+        # lengths), per-row spans for batched rows, composes with the flash
+        # decode kernel. Cost: one spy layer runs XLA attention instead of
+        # the Pallas kernel (~3% of a step). Enable it for long-form /
+        # unattended synthesis where runaway or truncated chunks are worse
+        # than the overhead; default off matches the reference (which ships
+        # the analyzer unwired).
         speech = t3_mod.generate(
             self.t3_params, conds.t3, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
@@ -500,7 +509,9 @@ class ChatterboxTTS:
             self.t3_params, t3_cond, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
-            seed=seed, text_lens=text_lens, cfg=self.cfg.t3, dtype=self.dtype)
+            seed=seed, text_lens=text_lens,
+            alignment=_env_bool("CHATTERBOX_ALIGNMENT", False),
+            cfg=self.cfg.t3, dtype=self.dtype)
 
         gen = conds.gen
         u = len(texts)

@@ -1,0 +1,133 @@
+"""int8 T3 quality gate: teacher-forced logit agreement vs the bf16 backbone.
+
+The listening-check proxy for promoting int8 decode (PERF_NOTES.md, ~20%
+faster steps): generate token streams with the bf16 model, then teacher-force
+the SAME sequences through both backbones and compare the next-token
+distributions step by step. Teacher forcing isolates the quantization error
+from sampling cascades (a single flipped sample diverges the free-running
+streams by construction, telling you nothing about audio quality).
+
+Gate (documented bound, also enforced by tests/test_int8.py on the tiny
+model): top-1 agreement >= 97% of steps and median KL(bf16 || int8) < 0.02
+nats over >= 3 utterances. With real converted checkpoints pass --ckpt to
+measure the deployed weights instead of random ones.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_quality_gate.py
+  ... [--ckpt /path/to/converted] [--smoke]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None, help="converted checkpoint dir")
+    ap.add_argument("--smoke", action="store_true", help="tiny config on CPU")
+    ap.add_argument("--utterances", type=int, default=3)
+    ap.add_argument("--tokens", type=int, default=120)
+    args = ap.parse_args()
+    if args.smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from chatterbox_embed_tpu.config import T3Config, LlamaConfig
+    from chatterbox_embed_tpu.models import t3 as t3_mod
+    from chatterbox_embed_tpu.utils.device import init_on_cpu, to_default_device
+    from chatterbox_embed_tpu.utils.quantize import quantize_t3
+
+    if args.smoke:
+        cfg = T3Config(llama=LlamaConfig(hidden_size=64, intermediate_size=128,
+                                         num_layers=2, num_heads=4, num_kv_heads=4,
+                                         head_dim=16),
+                       max_text_tokens=64, max_speech_tokens=256,
+                       speech_cond_prompt_len=6)
+        dtype = jnp.float32
+    else:
+        cfg = T3Config()
+        dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    if args.ckpt:
+        from chatterbox_embed_tpu.utils import weights as W
+        sd = W.load_safetensors(f"{args.ckpt}/t3_cfg.safetensors")
+        params = W.convert_t3(sd, num_layers=cfg.llama.num_layers)
+    else:
+        params = init_on_cpu(t3_mod.init, jax.random.PRNGKey(0), cfg)
+    qparams = quantize_t3(params)
+    cast = (lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x, t)
+        ) if dtype == jnp.bfloat16 else (lambda t: t)
+    params = to_default_device(cast(params))
+    qparams = to_default_device(cast(qparams))
+    print(f"[gate] params ready {time.time() - t0:.1f}s", file=sys.stderr)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def tf_logits(p, cond, text, tlen, speech, slen):
+        _, sl = t3_mod.forward(p, cond, text, tlen, speech, slen, cfg, dtype)
+        return sl.astype(jnp.float32)
+
+    agree, kls, rel = [], [], []
+    for u in range(args.utterances):
+        cond = t3_mod.T3Cond(
+            speaker_emb=jnp.asarray(rng.standard_normal((1, cfg.speaker_embed_size)),
+                                    jnp.float32),
+            cond_prompt_speech_tokens=jnp.asarray(
+                rng.integers(0, 100, (1, cfg.speech_cond_prompt_len)), jnp.int32),
+            emotion_adv=0.5)
+        lt = 24
+        text = np.concatenate([[cfg.start_text_token],
+                               rng.integers(1, min(cfg.text_tokens_dict_size, 200),
+                                            lt - 2),
+                               [cfg.stop_text_token]]).astype(np.int32)[None]
+        # free-running bf16 stream = the teacher sequence
+        toks = t3_mod.generate(params, cond, text, max_new_tokens=args.tokens,
+                               temperature=0.7, cfg_weight=0.5, seed=u,
+                               cfg=cfg, dtype=dtype)
+        toks = toks[toks < cfg.start_speech_token]
+        if toks.size < 8:
+            continue
+        speech = jnp.asarray(toks[None].astype(np.int32))
+        slen = jnp.asarray([toks.size])
+        tlen = jnp.asarray([lt])
+        la = np.asarray(tf_logits(params, cond, jnp.asarray(text), tlen, speech, slen))
+        lb = np.asarray(tf_logits(qparams, cond, jnp.asarray(text), tlen, speech, slen))
+        la, lb = la[0, : toks.size], lb[0, : toks.size]
+        agree.append(float((la.argmax(-1) == lb.argmax(-1)).mean()))
+        pa = np.exp(la - la.max(-1, keepdims=True))
+        pa /= pa.sum(-1, keepdims=True)
+        logza = np.log(np.exp(la - la.max(-1, keepdims=True)).sum(-1)) + la.max(-1)
+        logzb = np.log(np.exp(lb - lb.max(-1, keepdims=True)).sum(-1)) + lb.max(-1)
+        kl = ((pa * (la - lb)).sum(-1) - logza + logzb)
+        kls.append(float(np.median(kl)))
+        rel.append(float(np.abs(la - lb).mean() / (np.abs(la).mean() + 1e-9)))
+        print(f"[gate] utt {u}: {toks.size} toks, top1 {agree[-1]:.4f}, "
+              f"median KL {kls[-1]:.5f}", file=sys.stderr)
+
+    result = {
+        "top1_agreement": float(np.mean(agree)) if agree else 0.0,
+        "median_kl_nats": float(np.median(kls)) if kls else 1e9,
+        "mean_rel_logit_err": float(np.mean(rel)) if rel else 1e9,
+        "utterances": len(agree),
+        "weights": "checkpoint" if args.ckpt else "random",
+    }
+    result["pass"] = (result["top1_agreement"] >= 0.97
+                      and result["median_kl_nats"] < 0.02
+                      and result["utterances"] >= min(args.utterances, 3))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,19 +63,28 @@ def main():
     print("[mb] transfer...", file=sys.stderr)
     params = to_default_device(params)
     results = {}
-    for b in (2, 16, 32):
-        cache = llama.init_cache(CFG, b, TOTAL, jnp.bfloat16)
-        results[f"b{b}_xla_ms"] = run_loop(params, cache, b, False)
-        print(f"[mb] b{b} xla", results[f"b{b}_xla_ms"], file=sys.stderr)
-        results[f"b{b}_flash_ms"] = run_loop(params, cache, b, True)
-        print(f"[mb] b{b} flash", results[f"b{b}_flash_ms"], file=sys.stderr)
+    # flash first: the b=32 XLA variant can fault the worker (the known
+    # large-fused-batch libtpu issue) and must not sink the other configs
+    for b in (2, 4, 8, 16):
+        for use_flash in (True, False):
+            tag = f"b{b}_{'flash' if use_flash else 'xla'}_ms"
+            try:
+                cache = llama.init_cache(CFG, b, TOTAL, jnp.bfloat16)
+                results[tag] = run_loop(params, cache, b, use_flash)
+                print(f"[mb] {tag}", results[tag], file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                results[tag + "_err"] = str(e)[:120]
+                print(f"[mb] {tag} ERR {e}", file=sys.stderr)
     # ragged holes at batch 16 (32 CFG rows)
     b = 32
-    cache = llama.init_cache(CFG, b, TOTAL, jnp.bfloat16)
-    hole = jnp.stack([jnp.full((b,), 100, jnp.int32),
-                      jnp.full((b,), 150, jnp.int32)], axis=1)
-    results["b32_flash_hole_ms"] = run_loop(params, cache, b, True, hole)
-    print("[mb] b32 flash+hole", results["b32_flash_hole_ms"], file=sys.stderr)
+    try:
+        cache = llama.init_cache(CFG, b, TOTAL, jnp.bfloat16)
+        hole = jnp.stack([jnp.full((b,), 100, jnp.int32),
+                          jnp.full((b,), 150, jnp.int32)], axis=1)
+        results["b32_flash_hole_ms"] = run_loop(params, cache, b, True, hole)
+        print("[mb] b32 flash+hole", results["b32_flash_hole_ms"], file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        results["b32_flash_hole_err"] = str(e)[:120]
     print(json.dumps(results))
 
 

@@ -78,3 +78,32 @@ def test_decode_fence_raises_beyond_cap(pair, rng):
     outs = t3.generate_batch(params, _cond(rng), texts, max_new_tokens=4,
                              cfg_weight=0.5, seed=0, cfg=TINY)
     assert len(outs) == t3.MAX_DECODE_UTTERANCES + 1
+
+
+def test_int8_teacher_forced_gate_metrics(pair, rng):
+    """The promotion gate's metrics (scripts/int8_quality_gate.py): teacher-
+    force a generated stream through both backbones and require high top-1
+    next-token agreement and low KL — the listening-check proxy that
+    isolates quantization error from sampling cascades."""
+    params, qparams = pair
+    cond = _cond(rng)
+    text = np.concatenate([[5], rng.integers(1, 50, 8), [0]])[None].astype(np.int32)
+    toks = t3.generate(params, cond, text, max_new_tokens=64, temperature=0.7,
+                       cfg_weight=0.5, seed=0, cfg=TINY)
+    toks = toks[toks < TINY.start_speech_token]
+    assert toks.size >= 8
+    speech = jnp.asarray(toks[None].astype(np.int32))
+    slen = jnp.asarray([toks.size])
+    tlen = jnp.asarray([text.shape[1]])
+    _, la = t3.forward(params, cond, jnp.asarray(text), tlen, speech, slen, TINY)
+    _, lb = t3.forward(qparams, cond, jnp.asarray(text), tlen, speech, slen, TINY)
+    la = np.asarray(la, np.float64)[0, : toks.size]
+    lb = np.asarray(lb, np.float64)[0, : toks.size]
+    top1 = (la.argmax(-1) == lb.argmax(-1)).mean()
+    assert top1 >= 0.9, top1
+    pa = np.exp(la - la.max(-1, keepdims=True))
+    pa /= pa.sum(-1, keepdims=True)
+    logza = np.log(np.exp(la - la.max(-1, keepdims=True)).sum(-1)) + la.max(-1)
+    logzb = np.log(np.exp(lb - lb.max(-1, keepdims=True)).sum(-1)) + lb.max(-1)
+    kl = (pa * (la - lb)).sum(-1) - logza + logzb
+    assert np.median(kl) < 5e-3, np.median(kl)

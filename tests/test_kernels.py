@@ -30,12 +30,13 @@ def test_decode_attention_start_offset(rng, start, pos):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
-def test_decode_attention_multi_row_grid(rng):
-    """Batched rows run as a grid of row-block programs, each DMA-walking its
-    own column stripe of the (L, F) cache — results must match the reference
-    for every row (b=16, fp32 -> 2 programs of 8 rows under the VMEM cap)."""
-    b, l, h, d = 16, 512, 4, 64
-    assert fd._row_block(b, h, d, 4) < b, "test must exercise a multi-program grid"
+def test_decode_attention_multi_row_blocks(rng):
+    """Batched rows run as ONE program with the feature dim processed in
+    static sub-blocks — results must match the reference for every row
+    (b=32 rows -> F=8192 -> 2 feature blocks)."""
+    b, l, h, d = 32, 512, 4, 64
+    assert fd._feature_block(b * h * d, d) < b * h * d, \
+        "test must exercise the multi-block unroll"
     q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((l, b, h, d)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((l, b, h, d)).astype(np.float32))
