@@ -97,6 +97,11 @@ class ChatterboxTTS:
         self._cache_key = None
         self._conditional_cache_hits = 0
         self._conditional_cache_misses = 0
+        # device-resident copies of the prompt arrays: on remote-dispatch
+        # backends every per-request host->device conversion is a full RTT
+        # (3 of them put ~0.1 s on the round-2 TTFA path)
+        self._gen_dev_key = None
+        self._gen_dev: Optional[Dict[str, jnp.ndarray]] = None
 
         # perf counters
         self.perf: Dict[str, float] = {}
@@ -421,6 +426,21 @@ class ChatterboxTTS:
         speech = s3tok_mod.drop_invalid_tokens(speech)
         return speech[speech < SPEECH_VOCAB_SIZE]
 
+    def _gen_device(self, gen: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Device-resident prompt arrays for this conditionals dict — ONE
+        transfer per voice instead of one per request (each host->device
+        conversion is a full RTT on remote backends)."""
+        key = id(gen)
+        if self._gen_dev_key != key:
+            self._gen_dev = dict(
+                prompt_token=jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32),
+                prompt_feat=jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32),
+                embedding=jnp.asarray(np.asarray(gen["embedding"]), jnp.float32))
+            jax.block_until_ready(self._gen_dev["prompt_feat"])
+            self._gen_dev_key = key
+            self._gen_dev_ref = gen   # pin the dict so its id can't recycle
+        return self._gen_dev
+
     def _run_s3gen(self, speech_tokens: np.ndarray, gen: Dict[str, Any],
                    seed: int = 0) -> np.ndarray:
         """tokens -> wav via the bucketed jitted graph; returns (T,) float32."""
@@ -428,9 +448,10 @@ class ChatterboxTTS:
         bkt = _bucket_tokens(n)
         toks = np.zeros((1, bkt), np.int32)
         toks[0, :n] = speech_tokens
-        prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
-        prompt_feat = jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32)
-        embedding = jnp.asarray(np.asarray(gen["embedding"]), jnp.float32)
+        dev = self._gen_device(gen)
+        prompt_token = dev["prompt_token"]
+        prompt_feat = dev["prompt_feat"]
+        embedding = dev["embedding"]
         token_len = jnp.asarray([int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0]) + n])
         wav = s3gen_mod.token_to_wav(
             self.s3gen_params, jnp.asarray(toks), token_len, prompt_token, prompt_feat,
@@ -528,12 +549,15 @@ class ChatterboxTTS:
         for i, toks in enumerate(token_lists):
             toks_arr[i, :len(toks)] = toks
         n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
-        prompt_token = jnp.asarray(
-            np.broadcast_to(np.asarray(gen["prompt_token"]), (u,) + np.asarray(gen["prompt_token"]).shape[1:]), jnp.int32)
-        prompt_feat = jnp.asarray(
-            np.broadcast_to(np.asarray(gen["prompt_feat"]), (u,) + np.asarray(gen["prompt_feat"]).shape[1:]), jnp.float32)
-        embedding = jnp.asarray(
-            np.broadcast_to(np.asarray(gen["embedding"]), (u,) + np.asarray(gen["embedding"]).shape[1:]), jnp.float32)
+        # transfer the 1-row prompt arrays once (device cache), broadcast on
+        # DEVICE — host-side broadcast_to shipped u copies over the wire
+        dev = self._gen_device(gen)
+        prompt_token = jnp.broadcast_to(dev["prompt_token"],
+                                        (u,) + dev["prompt_token"].shape[1:])
+        prompt_feat = jnp.broadcast_to(dev["prompt_feat"],
+                                       (u,) + dev["prompt_feat"].shape[1:])
+        embedding = jnp.broadcast_to(dev["embedding"],
+                                     (u,) + dev["embedding"].shape[1:])
         token_len_all = np.asarray([n_prompt + n for n in lens])
         # S3Gen sub-batches: the CFM estimator's full attention materialises
         # (2B, H, T, T) logits — cap the live batch so long utterances fit HBM
@@ -591,9 +615,10 @@ class ChatterboxTTS:
         from . import streaming
 
         gen = self.conds.gen
-        prompt_token = jnp.asarray(np.asarray(gen["prompt_token"]), jnp.int32)
-        prompt_feat = jnp.asarray(np.asarray(gen["prompt_feat"]), jnp.float32)
-        embedding = jnp.asarray(np.asarray(gen["embedding"]), jnp.float32)
+        dev = self._gen_device(gen)
+        prompt_token = dev["prompt_token"]
+        prompt_feat = dev["prompt_feat"]
+        embedding = dev["embedding"]
 
         tok = self.tokenizer.text_to_tokens(text)[0]
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
@@ -632,17 +657,22 @@ class ChatterboxTTS:
                 cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
                 min_p=min_p, top_p=top_p, seed=seed, voc_ctx=M,
                 cfg=self.cfg, dtype=self.dtype)
-            n_new = int(fc.n_new)
-            toks = np.asarray(fc.tokens)[:n_new, 0]
+            # ONE batched device->host fetch: separate np.asarray pulls cost
+            # a full RTT each on remote backends (~30 ms/array through the
+            # tunnel — they dominated TTFA before batching)
+            toks_h, n_new_h, n_valid_h, wav_h, mel_tail_h = jax.device_get(
+                (fc.tokens, fc.n_new, fc.n_valid_mel, fc.wav, fc.mel_tail))
+            n_new = int(n_new_h)
+            toks = toks_h[:n_new, 0]
             valid = toks[toks < SPEECH_VOCAB_SIZE].astype(np.int32)
-            n_valid_mel = int(fc.n_valid_mel)
+            n_valid_mel = int(n_valid_h)
             # seed the windowed loop exactly where the fused program left off
             state.update(
                 n=len(valid), recent=valid[-C:],
                 mu_pin=fc.mu_tail,
-                mel_tail=np.asarray(fc.mel_tail)[:, :min(M, n_valid_mel)],
+                mel_tail=mel_tail_h[:, :min(M, n_valid_mel)],
                 phase=fc.phase_carry, first_voc=False, vidx=1)
-            first_wav = np.asarray(fc.wav[0, : n_valid_mel * up]).copy()
+            first_wav = wav_h[0, : n_valid_mel * up].copy()
             token_stream = streaming.continue_tokens(
                 self.t3_params, fc, resume, cfg=self.cfg, dtype=self.dtype)
         else:
