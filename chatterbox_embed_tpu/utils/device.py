@@ -39,8 +39,9 @@ def to_default_device(tree):
     Naive jax.device_put(tree) issues one transfer per leaf; over a
     high-latency tunnel ~1800 leaves take minutes. Instead we pack the leaves
     into one flat buffer per dtype on the host, ship those, and carve them
-    back up on-device inside one jitted program of static slices + reshapes
-    (free for XLA; no byte-level bitcasts, which tile catastrophically).
+    back up on-device with chunked jitted programs of static slices +
+    reshapes (free for XLA; no byte-level bitcasts, which tile
+    catastrophically).
     """
     import numpy as np
 
@@ -70,17 +71,32 @@ def to_default_device(tree):
         offsets[dt] = off + arr.size
     bufs = {str(dt): np.concatenate(ch) for dt, ch in chunks.items()}
 
-    def unpack(bufs):
-        out = [None] * len(arrays)
-        for dt, entries in order.items():
-            buf = bufs[str(dt)]
-            for i, off, shape in entries:
-                n = int(np.prod(shape, dtype=np.int64))
-                out[i] = jax.lax.slice(buf, (off,), (off + n,)).reshape(shape)
-        return out
-
     bufs_dev = jax.device_put(bufs, dev)
-    leaves_dev = jax.jit(unpack)(bufs_dev)
+
+    # carve each dtype buffer back into leaves with SMALL jitted programs
+    # (<=256 slices each): one monolithic program's XLA compile time grows
+    # superlinearly in the slice count — the ~1500-leaf s3gen tree took 20 s
+    # of XLA compile per process, vs well under a second per chunk on a
+    # local host. (Through the axon tunnel each chunk still pays a remote
+    # compile RTT and the tunnel's compile-option hash is session-unstable,
+    # so the persistent cache only helps within a session there; on real
+    # hosts the chunks compile fast AND cache deterministically.)
+    group = 256
+    leaves_dev = [None] * len(arrays)
+    for dt, entries in order.items():
+        buf = bufs_dev[str(dt)]
+        for g0 in range(0, len(entries), group):
+            part = entries[g0:g0 + group]
+
+            def unpack_part(buf, _part=tuple((off, shape) for _, off, shape in part)):
+                return [jax.lax.slice(buf, (off,),
+                                      (off + int(np.prod(shape, dtype=np.int64)),)
+                                      ).reshape(shape)
+                        for off, shape in _part]
+
+            outs = jax.jit(unpack_part)(buf)
+            for (i, _, _), o in zip(part, outs):
+                leaves_dev[i] = o
     return jax.tree.unflatten(treedef, leaves_dev)
 
 
