@@ -440,3 +440,35 @@ def test_first_chunk_one_program_per_bucket(tts, ref_voice_wav):
             cfg=tts.cfg)
         assert np.isfinite(np.asarray(fc.wav)).all()
     assert streaming._first_chunk_impl._cache_size() == 1
+
+
+def test_worker_vc_mode(tmp_path, monkeypatch):
+    """VC-mode worker: a clone job flows stream -> clone_voice -> done status
+    with the result payload (reference: worker_redis vc branch)."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker, InMemoryStreams,
+                                                     STREAM_VC)
+    monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
+    calls = {}
+
+    class FakeVC:
+        sr = 24_000
+        def create_voice_clone(self, audio_path, voice_id, voice_name,
+                               user_id=None, language="en", bucket=None,
+                               metadata=None):
+            calls.update(voice_id=voice_id, voice_name=voice_name,
+                         user_id=user_id)
+            return {"status": "success", "voice_id": voice_id,
+                    "profile_url": "local://p.npy", "sample_url": "local://s.wav"}
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="vc", client=client, vc_factory=lambda: FakeVC())
+    wav_bytes = b"RIFF0000WAVEfmt "  # content never parsed by the fake
+    client.xadd(STREAM_VC, {"payload": json.dumps({
+        "job_id": "v1", "type": "vc", "voice_id": "vid9", "voice_name": "Nine",
+        "user_id": "u7", "audio_b64": base64.b64encode(wav_bytes).decode()})})
+    assert worker.run_once() == 1
+    assert calls["voice_id"] == "vid9" and calls["user_id"] == "u7"
+    status = client.hgetall("runpod:job:v1")
+    assert status["status"] == "done"
+    assert "vid9" in status["result"]
