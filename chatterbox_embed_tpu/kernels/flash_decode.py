@@ -69,8 +69,13 @@ def _feature_block(f: int, d: int) -> int:
 
 def _chunk_rows(f: int, itemsize: int, lcache: int) -> int:
     """Slab height: largest power-of-two <= _MAX_CHUNK that divides the cache
-    length AND keeps the double-buffered k+v slabs inside the budget."""
-    cap = max(_BUF_BUDGET // (4 * f * itemsize), 8)
+    length AND keeps the double-buffered k+v slabs inside the budget. Very
+    wide rows (>16K features, i.e. forced fused batches beyond the measured
+    crossover gate) get a reduced budget: the compiler's stack temps for the
+    wide accumulators eat the headroom (observed scoped-vmem OOM at 16.18M
+    with the full budget at F=32768)."""
+    budget = _BUF_BUDGET if f <= (16 << 10) else (6 << 20)
+    cap = max(budget // (4 * f * itemsize), 8)
     c = 8
     while c * 2 <= min(cap, _MAX_CHUNK) and lcache % (c * 2) == 0:
         c *= 2

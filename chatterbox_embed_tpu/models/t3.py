@@ -493,8 +493,9 @@ def _bucket(n: int) -> int:
 DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 # flash decode beats XLA up to 8 fused CFG rows on v5e (round-3 microbench);
-# bigger batches are throughput-bound and stay on the XLA attention
-FLASH_DECODE_MAX_UTTERANCES = 4
+# bigger batches are throughput-bound and stay on the XLA attention.
+# CHATTERBOX_FLASH_MAX_UTT overrides for ops tuning / re-measurement.
+FLASH_DECODE_MAX_UTTERANCES = int(os.getenv("CHATTERBOX_FLASH_MAX_UTT", "4"))
 
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
