@@ -39,7 +39,7 @@ def t_span_cosine(n_timesteps: int) -> np.ndarray:
 def solve_euler(params, z, mu, spks, cond, mask=None,
                 cfm: CFMConfig = CFMConfig(),
                 dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
-                dtype=jnp.float32):
+                dtype=jnp.float32, comm=None):
     """Integrate dx/dt = v(x, t) from noise to mel.
 
     Args (channel-last):
@@ -68,7 +68,7 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((2 * b,), t, jnp.float32)
         v = flow_decoder.forward(params, x2, mu2, t2, spks2, cond2, mask2,
-                                 dec_cfg, dtype)
+                                 dec_cfg, dtype, comm=comm)
         v_cond, v_uncond = v[:b], v[b:]
         v_cfg = (1.0 + w) * v_cond - w * v_uncond
         return x + dt * v_cfg, None

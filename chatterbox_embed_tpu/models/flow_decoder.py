@@ -81,28 +81,47 @@ def _sinusoidal_t(t, dim, scale=1000.0):
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
-def _causal_block(p, x, mask, dtype):
+def _causal_conv3(p, xm, dtype, comm):
+    """k=3 causal conv on a pre-masked input. Single-device: left-pad 2
+    zeros. Sequence-parallel (comm set): the 2-column left halo comes from
+    the previous shard via ppermute (the first shard's ppermute fill is
+    zeros — exactly the causal pad), so the sharded conv is bit-identical
+    to the unsharded one."""
+    if comm is None:
+        return L.conv1d(p, xm, padding=(2, 0), dtype=dtype)
+    return L.conv1d(p, comm.halo(xm, 2), padding=(0, 0), dtype=dtype)
+
+
+def _causal_block(p, x, mask, dtype, comm=None):
     """causal conv(k3) -> LayerNorm -> Mish, masked (decoder.py:48-61)."""
-    h = L.conv1d(p["conv"], x * mask, padding=(2, 0), dtype=dtype)
+    h = _causal_conv3(p["conv"], x * mask, dtype, comm)
     h = L.layer_norm(p["ln"], h)
     return L.mish(h) * mask
 
 
-def _resnet(p, x, mask, t_emb, dtype):
-    h = _causal_block(p["block1"], x, mask, dtype)
+def _resnet(p, x, mask, t_emb, dtype, comm=None):
+    h = _causal_block(p["block1"], x, mask, dtype, comm)
     h = h + L.linear(p["mlp"], L.mish(t_emb), dtype)[:, None, :]
-    h = _causal_block(p["block2"], h, mask, dtype)
+    h = _causal_block(p["block2"], h, mask, dtype, comm)
     return h + L.conv1d(p["res_conv"], x * mask, dtype=dtype)
 
 
-def _tblock(p, x, n_heads, dtype, key_mask=None):
+def _tblock(p, x, n_heads, dtype, key_mask=None, comm=None):
     h = L.layer_norm(p["ln1"], x)
     q = L.split_heads(L.linear(p["q"], h, dtype), n_heads)
     k = L.split_heads(L.linear(p["k"], h, dtype), n_heads)
     v = L.split_heads(L.linear(p["v"], h, dtype), n_heads)
+    if comm is not None:
+        # sequence-parallel: queries stay sharded over T, keys/values are
+        # all-gathered over the sp axis (at mel lengths K/V are ~1-2 MB —
+        # one ICI all-gather beats a ring-attention schedule by a mile);
+        # key_mask is already full-width (gathered once in forward)
+        k = comm.gather(k)
+        v = comm.gather(v)
+        attn = L.mha(q, k, v, mask=key_mask)
     # flash halves batched S3Gen (the (B,H,T,T) logits are 58% of a pass —
     # microbench_cfm; bench batch16 s3gen 4.97 -> 1.89 s)
-    if L.use_flash_attention(x.shape[0]):
+    elif L.use_flash_attention(x.shape[0]):
         attn = L.mha_flash(q, k, v, None if key_mask is None
                            else key_mask[:, 0, 0, :])
     else:
@@ -117,15 +136,16 @@ def _tblock(p, x, n_heads, dtype, key_mask=None):
     return x + h
 
 
-def _stage(p, x, mask, t_emb, n_heads, dtype, key_mask=None):
-    x = _resnet(p["resnet"], x, mask, t_emb, dtype)
+def _stage(p, x, mask, t_emb, n_heads, dtype, key_mask=None, comm=None):
+    x = _resnet(p["resnet"], x, mask, t_emb, dtype, comm)
     for tb in p["tblocks"]:
-        x = _tblock(tb, x, n_heads, dtype, key_mask)
+        x = _tblock(tb, x, n_heads, dtype, key_mask, comm)
     return x
 
 
 def forward(params, x, mu, t, spks, cond, mask=None,
-            cfg: FlowDecoderConfig = FlowDecoderConfig(), dtype=jnp.float32):
+            cfg: FlowDecoderConfig = FlowDecoderConfig(), dtype=jnp.float32,
+            comm=None):
     """Velocity estimate.
 
     Args (all channel-last, unlike the torch reference's (B, C, T)):
@@ -135,6 +155,9 @@ def forward(params, x, mu, t, spks, cond, mask=None,
       spks: (B, 80) speaker embedding
       cond: (B, T, 80) prompt-mel conditioning
       mask: (B, T, 1) or None
+      comm: optional parallel.sp.SeqComm — the call is running inside a
+        shard_map with T sharded over comm's mesh axis; convs halo-exchange
+        and attention all-gathers K/V (see parallel/sp.py).
     Returns (B, T, 80).
     """
     b, tlen, _ = x.shape
@@ -143,7 +166,8 @@ def forward(params, x, mu, t, spks, cond, mask=None,
         mask = jnp.ones((b, tlen, 1), x.dtype)
     else:
         # bucket-padding exactness: pad positions must not be attended to
-        key_mask = (mask[..., 0] > 0)[:, None, None, :]      # (B, 1, 1, T)
+        km = mask if comm is None else comm.gather(mask)
+        key_mask = (km[..., 0] > 0)[:, None, None, :]        # (B, 1, 1, T_full)
     t_emb = _sinusoidal_t(t, cfg.in_channels)
     t_emb = L.linear(params["time_mlp"]["lin2"],
                      jax.nn.silu(L.linear(params["time_mlp"]["lin1"], t_emb)))
@@ -152,17 +176,17 @@ def forward(params, x, mu, t, spks, cond, mask=None,
         [x, mu, jnp.broadcast_to(spks[:, None, :], (b, tlen, spks.shape[-1])), cond],
         axis=-1).astype(dtype)
 
-    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
+    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype, key_mask, comm)
     skip = h
-    h = L.conv1d(params["down"]["downsample"], h * mask, padding=(2, 0), dtype=dtype)
+    h = _causal_conv3(params["down"]["downsample"], h * mask, dtype, comm)
 
     for st in params["mid"]:
-        h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype, key_mask)
+        h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype, key_mask, comm)
 
     h = jnp.concatenate([h, skip], axis=-1)
-    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
-    h = L.conv1d(params["up"]["upsample"], h * mask, padding=(2, 0), dtype=dtype)
+    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype, key_mask, comm)
+    h = _causal_conv3(params["up"]["upsample"], h * mask, dtype, comm)
 
-    h = _causal_block(params["final_block"], h, mask, dtype)
+    h = _causal_block(params["final_block"], h, mask, dtype, comm)
     out = L.conv1d(params["final_proj"], h * mask, dtype=dtype)
     return (out * mask).astype(jnp.float32)
