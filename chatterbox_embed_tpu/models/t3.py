@@ -347,14 +347,15 @@ def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block", "p_len", "cfg_on",
                                     "use_top_p", "stop_on_eos", "use_flash", "dtype",
-                                    "align_layer"),
+                                    "align_layer", "use_fused"),
                    donate_argnames=("state",))
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
                  cfg: T3Config, block: int, p_len: int, pad_len, cfg_on: bool,
                  use_top_p: bool, stop_on_eos: bool, use_flash: bool,
                  dtype=jnp.float32, key_valid=None,
                  align_layer: int | None = None,
-                 text_start=None, text_len=None, hole=None):
+                 text_start=None, text_len=None, hole=None,
+                 use_fused: bool = False, fused=None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
@@ -454,6 +455,18 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                 jnp.concatenate([s.align.ring[:, 1:], pos[:, None]], axis=1),
                 s.align.complete | reached,
                 jnp.where(newly, s.i + 1, s.align.completed_at))
+        elif use_fused:
+            # monolithic weight-streaming step: the whole backbone as ONE
+            # Pallas program (kernels/fused_decode.py) — lmask semantics are
+            # reproduced in-kernel ([pad_len, cache_pos] walk), so key_valid /
+            # hole / alignment must be absent (start_generation gates this)
+            from ..kernels.fused_decode import fused_decode_step
+            h1, k2, v2 = fused_decode_step(
+                fused, emb[:, 0].astype(dtype), s.cache.k, s.cache.v,
+                cache_pos, pad_len, cfg.llama, dtype=dtype)
+            hh = h1[:, None]
+            cache2 = llama.KVCache(k2, v2)
+            align2 = s.align
         else:
             hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id,
                                        lmask, cache=s.cache, cache_pos=cache_pos,
@@ -476,6 +489,31 @@ def _use_pallas_decode() -> bool:
     return L.pallas_gate(True)
 
 
+def _use_fused_step() -> bool:
+    """Monolithic weight-streaming decode-step kernel (kernels/fused_decode):
+    the whole 30-layer token step as ONE Pallas program riding a 767 GB/s
+    weight DMA ring. Kill-switch CHATTERBOX_FUSED_STEP=0."""
+    return os.getenv("CHATTERBOX_FUSED_STEP", "1") != "0" and L.pallas_gate(True)
+
+
+# stacked wall-layout weights per llama-params identity (built once per model
+# load; the entry keeps a strong ref to its source so the id cannot be reused)
+_FUSED_STACK_CACHE: dict = {}
+
+
+def _fused_params(params, cfg: T3Config, dtype):
+    from ..kernels.fused_decode import stack_for_fused
+    key = (id(params["llama"]), jnp.dtype(dtype).name)
+    ent = _FUSED_STACK_CACHE.get(key)
+    if ent is None:
+        if len(_FUSED_STACK_CACHE) >= 4:
+            _FUSED_STACK_CACHE.pop(next(iter(_FUSED_STACK_CACHE)))
+        ent = (stack_for_fused(params["llama"], cfg.llama, dtype),
+               params["llama"])
+        _FUSED_STACK_CACHE[key] = ent
+    return ent[0]
+
+
 _TEXT_BUCKETS = (48, 96, 192, 384, 768)
 
 
@@ -496,6 +534,11 @@ MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 # bigger batches are throughput-bound and stay on the XLA attention.
 # CHATTERBOX_FLASH_MAX_UTT overrides for ops tuning / re-measurement.
 FLASH_DECODE_MAX_UTTERANCES = int(os.getenv("CHATTERBOX_FLASH_MAX_UTT", "4"))
+# monolithic weight-streaming step (kernels/fused_decode.py): proven target is
+# the single-utterance CFG pair (the 2.3 ms/step -> ~1.4 ms weight-stream
+# floor); larger fused batches scale the cache-walk DMA traffic per step and
+# need a measured crossover before raising this.
+FUSED_STEP_MAX_UTTERANCES = int(os.getenv("CHATTERBOX_FUSED_MAX_UTT", "1"))
 
 
 def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
@@ -543,6 +586,14 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # bound once the VMEM cap shrinks the slabs); large fused batches keep
     # the XLA attention, which wins per-utterance throughput at 16 utts
     use_flash = _use_pallas_decode() and n_utt <= FLASH_DECODE_MAX_UTTERANCES
+    # monolithic weight-streaming step: subsumes the flash attention kernel
+    # (attention runs in-kernel); requires the plain [pad, pos] mask — ragged
+    # text / alignment / mesh fall back to the per-op paths below
+    use_fused = False
+    if (_use_fused_step() and not alignment and mesh is None
+            and n_utt <= FUSED_STEP_MAX_UTTERANCES):
+        from ..kernels.fused_decode import plan as _fused_plan
+        use_fused = _fused_plan(cfg.llama, (2 if cfg_on else 1) * n_utt) is not None
     align_layer = None
     text_start = text_len = None
     if alignment:
@@ -554,11 +605,12 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         lens_np = (np.asarray(text_lens, np.int32) if text_lens is not None
                    else np.full((u,), lt, np.int32))
         text_len = jnp.asarray(lens_np)
-    total = -(-cap // 256) * 256 if use_flash else cap
+    total = -(-cap // 256) * 256 if (use_flash or use_fused) else cap
 
     key_valid = None
     hole = None
     if text_lens is not None and (np.asarray(text_lens) < lt).any():
+        use_fused = False  # ragged rows need per-row key masks
         lens = jnp.asarray(np.asarray(text_lens), jnp.int32)
         if cfg_on:
             lens = jnp.concatenate([lens, lens])
@@ -596,11 +648,14 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
                                  cfg, total, cfg_on, dtype)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer,
-                text_start=text_start, text_len=text_len, hole=hole)
+                text_start=text_start, text_len=text_len, hole=hole,
+                use_fused=use_fused,
+                fused=_fused_params(params, cfg, dtype) if use_fused else None)
     global LAST_GENERATION_INFO
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                             "cache_total": total, "n_utt": n_utt,
-                            "alignment": align_layer is not None}
+                            "alignment": align_layer is not None,
+                            "use_fused": use_fused}
     return state, info
 
 
@@ -643,7 +698,8 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
             info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
             info["use_flash"], dtype, info["key_valid"],
             align_layer=info["align_layer"], text_start=info["text_start"],
-            text_len=info["text_len"], hole=info["hole"])
+            text_len=info["text_len"], hole=info["hole"],
+            use_fused=info["use_fused"], fused=info["fused"])
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]

@@ -46,11 +46,12 @@ class FirstChunk(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block", "total", "use_flash", "use_top_p",
-                     "voc_ctx", "dtype"))
+                     "voc_ctx", "dtype", "use_fused"))
 def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, top_p,
                       limit, prompt_tokens, prompt_feat, embedding, phase_key,
                       pad, cfg: ChatterboxConfig, block: int, total: int,
-                      use_flash: bool, use_top_p: bool, voc_ctx: int, dtype):
+                      use_flash: bool, use_top_p: bool, voc_ctx: int, dtype,
+                      use_fused: bool = False, fused=None):
     t3c = cfg.t3
     s3c = cfg.s3gen
     r = s3c.flow.token_mel_ratio
@@ -68,7 +69,7 @@ def _first_chunk_impl(t3_params, s3_params, cond, text_tokens, key, sp, top_p,
     state, tokens, n_new = t3_mod.decode_block.__wrapped__(
         t3_params, state, key, sp, top_p, limit, t3c, block,
         p_len, pad, True, use_top_p, True, use_flash, dtype, None, None,
-        None, None)
+        None, None, use_fused=use_fused, fused=fused)
 
     # --- flow window (first window: no context, absolute frame 0)
     win = jnp.swapaxes(tokens, 0, 1)                       # (1, block)
@@ -140,7 +141,13 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     p_len = pad + lt + t3_mod.cond_width(cond, cfg.t3) + 2
     cap = p_len + max(max_new_tokens, block_tokens)
     use_flash = t3_mod._use_pallas_decode()
-    total = -(-cap // 256) * 256 if use_flash else cap
+    use_fused = False
+    if t3_mod._use_fused_step():
+        from .kernels.fused_decode import plan as _fused_plan
+        use_fused = _fused_plan(cfg.t3.llama, 2) is not None   # CFG pair
+    fused = (t3_mod._fused_params(t3_params, cfg.t3, dtype)
+             if use_fused else None)
+    total = -(-cap // 256) * 256 if (use_flash or use_fused) else cap
     use_top_p = float(np.asarray(top_p)) < 1.0
     sp = t3_mod.SamplingParams(jnp.float32(temperature), jnp.float32(cfg_weight),
                                jnp.float32(repetition_penalty), jnp.float32(min_p))
@@ -151,13 +158,15 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
         t3_params, s3_params, cond, text_tokens, key, sp, top_p_v,
         limit, prompt_tokens, prompt_feat, embedding,
         jax.random.PRNGKey(seed), jnp.int32(pad), cfg, block_tokens, total,
-        use_flash, use_top_p, voc_ctx, dtype)
+        use_flash, use_top_p, voc_ctx, dtype, use_fused=use_fused, fused=fused)
     resume = dict(key=key, sp=sp, top_p=top_p_v, use_top_p=use_top_p,
                   limit=limit, p_len=p_len, pad=pad, use_flash=use_flash,
-                  block=block_tokens, max_new_tokens=max_new_tokens)
+                  block=block_tokens, max_new_tokens=max_new_tokens,
+                  use_fused=use_fused, fused=fused)
     t3_mod.LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                                    "cache_total": total, "n_utt": 1,
-                                   "fused_first_chunk": True}
+                                   "fused_first_chunk": True,
+                                   "use_fused": use_fused}
     return fc, resume
 
 
@@ -179,7 +188,8 @@ def continue_tokens(t3_params, fc: FirstChunk, resume: dict, *,
             t3_params, state, resume["key"], resume["sp"], resume["top_p"],
             resume["limit"], cfg.t3, resume["block"], resume["p_len"],
             resume["pad"], True, resume["use_top_p"], True,
-            resume["use_flash"], dtype, None, None, None, None)
+            resume["use_flash"], dtype, None, None, None, None,
+            use_fused=resume.get("use_fused", False), fused=resume.get("fused"))
         n = int(n_new)
         if n > 0:
             yield np.asarray(tokens)[:n, 0]
