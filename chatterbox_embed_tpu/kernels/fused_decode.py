@@ -21,10 +21,11 @@ its blocks are in-row slabs consumed as dot(m[:, rows], blk) partial sums.
 In-kernel attention: the flash-decode chunk walk (kernels/flash_decode.py)
 inlined — sequence-major cache (L, Lc, F=b*qo), fp32 streaming softmax over
 slots [start, pos-1], then the CURRENT token's roped k/v (still in VMEM)
-folded in as one extra flash term: the kernel never reads the cache row it
-is about to write, so the row write DMA can fly concurrently. The cache is
-input_output-aliased — the row write is a true in-place update, and the
-while_loop carry keeps donating it.
+folded in as one extra flash term. The kernel READS the cache only; the new
+row per layer is returned as a tiny (L, F) VMEM output and inserted by an
+XLA dynamic_update_slice outside (in-place under the decode while_loop
+carry, like the plain XLA path) — Mosaic cannot express a single-row HBM
+write into an (8,128)-tiled cache memref.
 
 RoPE without lane shuffles: rotate_half is a (d, d) +/-1 permutation, so
 rope(x) = x*cos_t + (x @ P)*sin_t — one tiny MXU matmul instead of
@@ -101,10 +102,10 @@ def _group_r(f: int, hd: int):
 
 def _kernel(p, n_layers, eps, b,
             pos_ref, x_ref, cos_ref, sin_ref, ln1_ref, ln2_ref, fnorm_ref,
-            wall_hbm, k_in, v_in,
-            hout_ref, k_hbm, v_hbm,
-            ring, kbuf, vbuf, knew, vnew,
-            ring_sem, kv_sem, w_sem):
+            wall_hbm, k_hbm, v_hbm,
+            hout_ref, knew_ref, vnew_ref,
+            ring, kbuf, vbuf,
+            ring_sem, kv_sem):
     d, qo, inter = p["d"], p["qo"], p["inter"]
     hd, f, bc = p["hd"], p["f"], p["bc"]
     blocks = p["blocks"]
@@ -178,7 +179,15 @@ def _kernel(p, n_layers, eps, b,
         return (x.astype(jnp.float32) * cos_t + xr * sin_t).astype(x.dtype)
 
     def to_flat(rows):                          # (b, qo) -> (1, F) lane-major
-        return jnp.concatenate([rows[r:r + 1] for r in range(b)], axis=1)
+        # row extraction via one-hot matvec: a direct rows[r:r+1] slice has
+        # sublane offset r, and Mosaic rejects lane-concats whose operands
+        # disagree on the non-concat (sublane) offset — iota-built selectors
+        # sit at offset 0
+        ib = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        return jnp.concatenate(
+            [jnp.dot((ib == r).astype(rows.dtype), rows,
+                     preferred_element_type=jnp.float32).astype(rows.dtype)
+             for r in range(b)], axis=1)
 
     def to_rows(flat):                          # (1, F) -> (b, qo)
         return jnp.concatenate(
@@ -231,7 +240,7 @@ def _kernel(p, n_layers, eps, b,
         m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, a0))
 
         # current-token term (k/v still in VMEM — the cache row at `pos` is
-        # being written concurrently and is never read here)
+        # inserted by the caller after the kernel and is never read here)
         prod = (q_flat.astype(wdtype) * k_flat.astype(wdtype))
         l_cur = jnp.dot(prod, rc, preferred_element_type=jnp.float32) * scale
         m_f = jnp.maximum(m, l_cur)
@@ -244,7 +253,8 @@ def _kernel(p, n_layers, eps, b,
         l_full = jnp.dot(l_f, r32.T, preferred_element_type=jnp.float32)
         return acc / (l_full + 1e-30)
 
-    def layer(i, h):
+    def layer(i, carry):
+        h, kacc, vacc = carry
         xn = rmsnorm(h, ln1_ref, i)
         parts = [consume(i, j, xn) for j in range(p["nq"])]
         qkv = jnp.concatenate(parts, axis=1)               # (b, 3*qo) fp32
@@ -255,12 +265,14 @@ def _kernel(p, n_layers, eps, b,
         q_flat = to_flat(q)
         k_flat = to_flat(k)
         v_flat = to_flat(v)
-        knew[:] = k_flat.astype(knew.dtype)
-        vnew[:] = v_flat.astype(vnew.dtype)
-        wk = pltpu.make_async_copy(knew, k_hbm.at[i, pl.ds(pos, 1)], w_sem.at[0])
-        wv = pltpu.make_async_copy(vnew, v_hbm.at[i, pl.ds(pos, 1)], w_sem.at[1])
-        wk.start()
-        wv.start()
+        # collect the new row for layer i via one-hot accumulate (a direct
+        # knew_ref[pl.ds(i, 1)] store needs an 8-aligned dynamic sublane
+        # offset, and an (L,1) i1 where-mask hits a Mosaic relayout bug —
+        # a full 2D iota mask multiply lowers cleanly)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (n_layers, f), 0) == i
+               ).astype(kacc.dtype)
+        kacc = kacc + sel * k_flat.astype(kacc.dtype)
+        vacc = vacc + sel * v_flat.astype(vacc.dtype)
 
         att = attention(i, q_flat, k_flat, v_flat)         # (1, F) fp32
         att_rows = to_rows(att).astype(wdtype)             # (b, qo)
@@ -273,21 +285,22 @@ def _kernel(p, n_layers, eps, b,
         j1 = j0 + p["no"]
         gu_parts = [consume(i, j1 + j, xn2) for j in range(p["ngu"])]
         gu = jnp.concatenate(gu_parts, axis=1)             # (b, 2*I) fp32
-        gate = gu[:, :inter].astype(wdtype)
-        up = gu[:, inter:].astype(wdtype)
-        mm = jax.nn.silu(gate) * up                        # (b, I) wdtype
+        # silu in fp32: Mosaic's logistic lowering broadcasts an f32 scalar
+        # and cannot verify it into a bf16 vector
+        mm = (jax.nn.silu(gu[:, :inter]) * gu[:, inter:]).astype(wdtype)
 
         j2 = j1 + p["ngu"]
         dacc = jnp.zeros((b, d), jnp.float32)
         for j in range(p["nd"]):
             dacc = dacc + consume(i, j2 + j, mm[:, j * bc:(j + 1) * bc])
         h = h + dacc.astype(h.dtype)
+        return h, kacc, vacc
 
-        wk.wait()
-        wv.wait()
-        return h
-
-    h = jax.lax.fori_loop(0, n_layers, layer, x_ref[:])
+    kv0 = jnp.zeros((n_layers, f), knew_ref.dtype)
+    h, kacc, vacc = jax.lax.fori_loop(0, n_layers, layer,
+                                      (x_ref[:], kv0, kv0))
+    knew_ref[:] = kacc
+    vnew_ref[:] = vacc
     hf = h.astype(jnp.float32)
     var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True)
     hout_ref[:] = (hf * jax.lax.rsqrt(var + eps) * fnorm_ref[:]
@@ -349,11 +362,11 @@ def fused_decode_step(fused, x, cache_k, cache_v, cache_pos, start,
 
     kernel = functools.partial(_kernel, p, n_layers,
                                float(cfg.rms_norm_eps), b)
-    hout, k2, v2 = pl.pallas_call(
+    hout, knew, vnew = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((b, d), dtype),
-                   jax.ShapeDtypeStruct(kf.shape, kf.dtype),
-                   jax.ShapeDtypeStruct(vf.shape, vf.dtype)),
+                   jax.ShapeDtypeStruct((n_layers, f), kf.dtype),
+                   jax.ShapeDtypeStruct((n_layers, f), vf.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -365,21 +378,22 @@ def fused_decode_step(fused, x, cache_k, cache_v, cache_pos, start,
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
-        input_output_aliases={8: 1, 9: 2},
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, p["bc"], d), fused["wall"].dtype),
             pltpu.VMEM((2, _KV_CHUNK, f), kf.dtype),
             pltpu.VMEM((2, _KV_CHUNK, f), vf.dtype),
-            pltpu.VMEM((1, f), kf.dtype),
-            pltpu.VMEM((1, f), vf.dtype),
             pltpu.SemaphoreType.DMA((_NBUF,)),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(pos2, x.astype(dtype), cos_t, sin_t, fused["ln1"], fused["ln2"],
       fused["fnorm"], fused["wall"], kf, vf)
+    pos_i = jnp.asarray(cache_pos, jnp.int32).reshape(())
+    k2 = jax.lax.dynamic_update_slice(kf, knew[:, None, :],
+                                      (jnp.int32(0), pos_i, jnp.int32(0)))
+    v2 = jax.lax.dynamic_update_slice(vf, vnew[:, None, :],
+                                      (jnp.int32(0), pos_i, jnp.int32(0)))
     return (hout,
             k2.reshape(cache_k.shape), v2.reshape(cache_v.shape))
