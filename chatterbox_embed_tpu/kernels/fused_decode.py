@@ -47,9 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LlamaConfig
 
-_BC_TARGET = 512     # wall block rows: 512*1024*2B = 1 MB (measured optimum)
-_NBUF = 4            # ring depth (767 GB/s at 1 MB x 4 on v5e)
-_KV_CHUNK = 128      # cache walk slab rows
+import os
+
+_BC_TARGET = int(os.getenv("CHATTERBOX_FUSED_BC", "512"))   # wall block rows
+_NBUF = int(os.getenv("CHATTERBOX_FUSED_NBUF", "4"))        # ring depth
+_KV_CHUNK = int(os.getenv("CHATTERBOX_FUSED_KV_CHUNK", "128"))
 
 
 def plan(cfg: LlamaConfig, b: int):

@@ -491,9 +491,12 @@ def _use_pallas_decode() -> bool:
 
 def _use_fused_step() -> bool:
     """Monolithic weight-streaming decode-step kernel (kernels/fused_decode):
-    the whole 30-layer token step as ONE Pallas program riding a 767 GB/s
-    weight DMA ring. Kill-switch CHATTERBOX_FUSED_STEP=0."""
-    return os.getenv("CHATTERBOX_FUSED_STEP", "1") != "0" and L.pallas_gate(True)
+    the whole 30-layer token step as ONE Pallas program riding a weight DMA
+    ring. OPT-IN (CHATTERBOX_FUSED_STEP=1): the round-3 sweep measured it at
+    2.70 ms/step vs 2.61 for the per-op path — per-block-iteration overhead
+    eats the dispatch savings (ring depth 4 vs 8 identical, so the DMA is
+    already hidden; see PERF_NOTES.md round-3 fused-step study)."""
+    return os.getenv("CHATTERBOX_FUSED_STEP", "0") == "1" and L.pallas_gate(True)
 
 
 # stacked wall-layout weights per llama-params identity (built once per model

@@ -106,7 +106,14 @@ def test_generate_with_fused_step_matches_xla(rng, monkeypatch):
     ref = t3.generate(params, cond, text, **kw)
     assert t3.LAST_GENERATION_INFO["use_fused"] is False
 
+    # fused step is OPT-IN (measured slower than the per-op path on v5e;
+    # PERF_NOTES.md round-3 fused-step study) — pallas alone must not engage it
     monkeypatch.setenv("CHATTERBOX_PALLAS", "1")
+    out_default = t3.generate(params, cond, text, **kw)
+    assert t3.LAST_GENERATION_INFO["use_fused"] is False
+    np.testing.assert_array_equal(out_default, ref)
+
+    monkeypatch.setenv("CHATTERBOX_FUSED_STEP", "1")
     out = t3.generate(params, cond, text, **kw)
     assert t3.LAST_GENERATION_INFO["use_fused"] is True
     np.testing.assert_array_equal(out, ref)
