@@ -119,6 +119,36 @@ def test_generate_with_fused_step_matches_xla(rng, monkeypatch):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("bc,nbuf,kvchunk", [(64, 2, 64), (128, 3, 128),
+                                             (32, 6, 256)])
+def test_fused_step_geometry_variants(rng, monkeypatch, bc, nbuf, kvchunk):
+    """Non-default CHATTERBOX_FUSED_{BC,NBUF,KV_CHUNK} geometries must stay
+    bit-equivalent to the XLA step — a re-sweep (scripts/
+    sweep_fused_geometry.py) must not be able to pick a broken config.
+    Calls __wrapped__ because the jit cache cannot see module-global
+    geometry changes (same trap the sweep script dodges)."""
+    monkeypatch.setattr(fused_decode, "_BC_TARGET", bc)
+    monkeypatch.setattr(fused_decode, "_NBUF", nbuf)
+    monkeypatch.setattr(fused_decode, "_KV_CHUNK", kvchunk)
+    b, total, p_len, pad = 2, 256, 33, 5
+    assert fused_decode.plan(CFG, b)["bc"] == bc
+    params = llama.init(jax.random.PRNGKey(2), CFG)
+    _, cache = _prefill(params, CFG, b, p_len, pad, total, rng)
+    fused = fused_decode.stack_for_fused(params, CFG, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, CFG.hidden_size)), jnp.float32)
+    cache_pos = jnp.int32(p_len)
+    ref_h, ref_cache = _xla_step(params, CFG, x, cache, cache_pos, pad, total)
+    out_h, k2, v2 = fused_decode.fused_decode_step.__wrapped__(
+        fused, x, cache.k, cache.v, cache_pos, jnp.int32(pad), CFG,
+        dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h[:, 0]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(ref_cache.k),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(ref_cache.v),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_plan_rejects_unsupported():
     assert fused_decode.plan(LlamaConfig(hidden_size=128, num_heads=4,
                                          num_kv_heads=2, head_dim=32), 2) is None
