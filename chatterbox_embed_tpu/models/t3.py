@@ -574,7 +574,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     if mesh is None and n_utt > MAX_DECODE_UTTERANCES:
         # hard fence, not a silent cap: >32 fused CFG rows fault the v5e
         # runtime inside while_loop decode (scripts/repro_b64_decode_fault.py,
-        # PERF_NOTES.md §4). generate_batch sub-batches transparently; direct
+        # PERF_NOTES.md B=64 study). generate_batch sub-batches transparently; direct
         # callers must do the same or shard rows over a dp mesh.
         raise ValueError(
             f"{n_utt} utterances > MAX_DECODE_UTTERANCES={MAX_DECODE_UTTERANCES} "
@@ -733,7 +733,7 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     weight streaming across the whole batch.
 
     Single-chip decode is capped at MAX_DECODE_UTTERANCES per fused program
-    (v5e falls over beyond 2*16 CFG rows — PERF_NOTES.md §4); larger batches
+    (v5e falls over beyond 2*16 CFG rows — PERF_NOTES.md B=64 study); larger batches
     are processed in sequential sub-batches. For true large-batch scaling use
     `mesh=` (dp sharding across chips).
     """

@@ -1,5 +1,5 @@
 """Minimal repro: B=64-row single-token decode inside a while_loop faults the
-TPU runtime on v5e (PERF_NOTES.md §4; the reason t3.MAX_DECODE_UTTERANCES=16).
+TPU runtime on v5e (PERF_NOTES.md B=64 study; the reason t3.MAX_DECODE_UTTERANCES=16).
 
 Observed behavior (v5e via remote runtime, libtpu of 2026-01):
   - ONE un-looped decode step at B=64 rows *runs* but at ~1.9 s/step
