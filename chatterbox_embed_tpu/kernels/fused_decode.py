@@ -49,6 +49,12 @@ from ..config import LlamaConfig
 
 import os
 
+# Geometry env vars are read ONCE at import time and baked into every
+# compiled program (trace-time constants; the jit cache is not keyed on
+# them).  Set CHATTERBOX_FUSED_{BC,NBUF,KV_CHUNK} BEFORE the first import,
+# or monkeypatch the module attributes AND call
+# fused_decode_step.__wrapped__ to bypass the jit cache (what
+# scripts/sweep_fused_geometry.py and tests/test_fused_decode.py do).
 _BC_TARGET = int(os.getenv("CHATTERBOX_FUSED_BC", "512"))   # wall block rows
 _NBUF = int(os.getenv("CHATTERBOX_FUSED_NBUF", "4"))        # ring depth
 _KV_CHUNK = int(os.getenv("CHATTERBOX_FUSED_KV_CHUNK", "128"))
@@ -334,7 +340,9 @@ def fused_decode_step(fused, x, cache_k, cache_v, cache_pos, start,
                       interpret: bool | None = None):
     """One token step for B rows. x (B, d) compute-dtype; cache_k/v
     sequence-major (L_layers, Lc, B, H, D). Returns (h (B, d) post-norm,
-    new cache_k, cache_v) — caches are aliased in-place.
+    new cache_k, cache_v).  The caches alias in place ONLY under
+    decode_block's donated while_loop carry; a standalone call (tests,
+    microbenches) copies both full (L, Lc, B, H, D) buffers per step.
 
     Fallback conditions are the caller's job (plan(cfg, b) is not None,
     Lc % _KV_CHUNK == 0)."""

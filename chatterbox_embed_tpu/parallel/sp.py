@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import CFMConfig, FlowDecoderConfig
@@ -93,7 +93,7 @@ def sp_generate_mel(mesh: Mesh, params, mu, spks, cond, mask=None,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(pspec, seq, seq, P(), seq, seq),
-        out_specs=seq, check_rep=False)
+        out_specs=seq, check_vma=False)
     def run(p, z_s, mu_s, spks_r, cond_s, mask_s):
         return cfm.solve_euler(p, z_s, mu_s, spks_r, cond_s, mask_s,
                                cfm_cfg, dec_cfg, dtype, comm=SeqComm("sp"))

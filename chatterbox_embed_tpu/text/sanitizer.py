@@ -228,6 +228,57 @@ class AdvancedTextSanitizer:
             text = text.replace(key, val)
         return text
 
+    def expand_contractions_possessives(self, text: str) -> str:
+        """Strip intra-word apostrophes so the model never spells them as a
+        separate token ("Carl s"): Carl's -> Carls, boys' -> boys,
+        don't -> dont, rock'n'roll -> rocknroll (reference:
+        chunking/text_sanitizer.py:663-681
+        _expand_contractions_and_possessives)."""
+        text = re.sub(r"\b([A-Za-z]+)'s\b", r"\1s", text)
+        text = re.sub(r"\b([A-Za-z]+)s'\b", r"\1s", text)
+        text = re.sub(r"(?<=\w)'(?=\w)", "", text)
+        return text
+
+    def verbalize_equations(self, text: str) -> str:
+        """Light inline-equation verbalization — E=mc^2, x_1=3.14, a*b=c —
+        not a math parser (reference: text_sanitizer.py:325-392
+        _verbalize_simple_equations). Only runs when the text looks math-ish
+        (contains one of = ^ _ { }) so prose with '-' or '/' is untouched."""
+        if not any(ch in text for ch in ("=", "^", "_", "{", "}")):
+            return text
+
+        def _exp(m: re.Match) -> str:
+            base, exp = m.group(1), m.group(2)
+            if exp == "2":
+                return f"{base} squared"
+            if exp == "3":
+                return f"{base} cubed"
+            return f"{base} to the power of {exp}"
+
+        text = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*\{\s*([0-9]+)\s*\}", _exp, text)
+        text = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*([0-9]+)", _exp, text)
+        # subscripts (skip the sanitizer's own __PLACEHOLDER__ keys and
+        # snake_case words: require a SINGLE-letter base at a word boundary)
+        text = re.sub(r"\b([A-Za-z])\s*_\s*\{\s*([A-Za-z0-9]+)\s*\}", r"\1 sub \2", text)
+        text = re.sub(r"\b([A-Za-z])\s*_\s*([A-Za-z0-9]+)\b", r"\1 sub \2", text)
+        if "=" in text:
+            # split compact products next to a verbalized exponent: mc squared
+            text = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(squared|cubed)\b",
+                          r"\1 \2 \3", text)
+            text = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(to the power of)\b",
+                          r"\1 \2 \3", text)
+        text = text.replace("{", " ").replace("}", " ")
+        text = re.sub(r"(?<=[A-Za-z0-9\)\]])\s*=\s*(?=[A-Za-z0-9\(\[\]-])",
+                      " equals ", text)
+        text = re.sub(r"(?<=\w)\s*\+\s*(?=\w)", " plus ", text)
+        text = re.sub(r"(?<=\w)\s*-\s*(?=\w)", " minus ", text)
+        text = re.sub(r"\bequals\s*-\s*(\d+)\b", r"equals minus \1", text)
+        text = re.sub(r"(?<=\w)\s*\*\s*(?=\w)", " times ", text)
+        text = re.sub(r"(\d)\s*/\s*(\w)", r"\1 divided by \2", text)
+        text = re.sub(r"(\w)\s*/\s*(\d)", r"\1 divided by \2", text)
+        text = re.sub(r"\b([A-Za-z])\s*/\s*([A-Za-z])\b", r"\1 divided by \2", text)
+        return text
+
     def expand_abbreviations(self, text: str) -> str:
         def repl(m: re.Match) -> str:
             word = m.group(0)
@@ -259,14 +310,38 @@ class AdvancedTextSanitizer:
         return True, None, None
 
     def deep_clean(self, text: str) -> str:
-        """Full pipeline (reference: deep_clean at text_sanitizer.py:805+)."""
-        if not text:
-            return ""
+        """Full pipeline (reference: deep_clean at text_sanitizer.py:805-860).
+
+        Stage order follows the reference: unicode -> markup -> contractions
+        -> URLs -> equations -> numbers -> abbreviations -> spacing -> final
+        normalization (capitalize, guaranteed terminal punctuation, charset
+        filter). One intentional delta: the reference strips <STORY_BREAK>
+        markers here (:841) because it re-derives break positions from
+        character offsets; we keep them — tts.chunk_text splits on the token
+        exactly (tts.py docstring explains why that is more robust)."""
+        if not text or not text.strip():
+            # reference text_sanitizer.py:807-808
+            return "You need to add some text for me to talk."
         text = self.normalize_unicode(text)
         text = self.mark_story_breaks(text)
         text = self.remove_markup(text)
+        text = self.expand_contractions_possessives(text)
         text = self.verbalize_urls(text)
+        text = self.verbalize_equations(text)
         if self.language == "en":
             text = self.normalize_numbers(text)
             text = self.expand_abbreviations(text)
-        return self.clean_spacing(text)
+        text = self.clean_spacing(text)
+        # Final normalization (reference :844-856). A trailing story break
+        # has no content after it — drop it rather than punctuate past it.
+        while text.endswith(STORY_BREAK_TOKEN):
+            text = text[: -len(STORY_BREAK_TOKEN)].rstrip()
+        if text and text[0].islower():
+            text = text[0].upper() + text[1:]
+        if text and text[-1] not in ".!?":
+            text += "."
+        allowed_extra = _LANG_EXTRA.get(self.language, "") + "áéíóúàèìòùâêîôûäëïöüñç"
+        text = "".join(c for c in text if ord(c) < 127 or c in allowed_extra)
+        # (delta: the reference leaves a double space where a filtered char
+        # was; collapse it)
+        return re.sub(r" {2,}", " ", text).strip()

@@ -648,6 +648,7 @@ class ChatterboxTTS:
                  and float(np.asarray(cfg_weight, np.float32)) > 0.0
                  and os.getenv("CHATTERBOX_FUSED_FIRST_CHUNK", "1") != "0")
         first_wav = None
+        leftover = None
         if fused:
             fc, resume = streaming.first_chunk(
                 self.t3_params, self.s3gen_params, self.conds.t3, text_tokens,
@@ -666,13 +667,25 @@ class ChatterboxTTS:
             toks = toks_h[:n_new, 0]
             valid = toks[toks < SPEECH_VOCAB_SIZE].astype(np.int32)
             n_valid_mel = int(n_valid_h)
-            # seed the windowed loop exactly where the fused program left off
-            state.update(
-                n=len(valid), recent=valid[-C:],
-                mu_pin=fc.mu_tail,
-                mel_tail=mel_tail_h[:, :min(M, n_valid_mel)],
-                phase=fc.phase_carry, first_voc=False, vidx=1)
-            first_wav = wav_h[0, : n_valid_mel * up].copy()
+            if n_valid_mel > 0:
+                # seed the windowed loop exactly where the fused program
+                # left off
+                state.update(
+                    n=len(valid), recent=valid[-C:],
+                    mu_pin=fc.mu_tail,
+                    mel_tail=mel_tail_h[:, :min(M, n_valid_mel)],
+                    phase=fc.phase_carry, first_voc=False, vidx=1)
+                first_wav = wav_h[0, : n_valid_mel * up].copy()
+            else:
+                # Degenerate short utterance: EOS (or the max_new_tokens
+                # limit) landed within the first `look` tokens, so the fused
+                # program emitted NO audio. Leave `state` at its initial
+                # values and hand the decoded tokens back to the windowed
+                # loop instead, so the single final window reproduces the
+                # unfused first-window path exactly (pin 0, noise index 0,
+                # fade-in applied) — covered by
+                # test_stream_fused_degenerate_equals_unfused.
+                leftover = valid
             token_stream = streaming.continue_tokens(
                 self.t3_params, fc, resume, cfg=self.cfg, dtype=self.dtype)
         else:
@@ -752,7 +765,7 @@ class ChatterboxTTS:
             return chunk
 
         pending = np.zeros((0,), np.int32)
-        if fused:
+        if fused and leftover is None:
             # the fused program already consumed (and synthesised) the first
             # group — later groups follow the doubling schedule from there
             target = min(2 * block_tokens, throughput_block_tokens)
@@ -760,6 +773,8 @@ class ChatterboxTTS:
                 yield first_wav
         else:
             target = block_tokens      # first group is small (TTFA)
+            if leftover is not None:
+                pending = leftover     # degenerate fused case: re-synthesise
         for block in token_stream:
             block = block[block < SPEECH_VOCAB_SIZE]
             pending = np.concatenate([pending, block])

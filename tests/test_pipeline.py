@@ -174,6 +174,65 @@ def test_sanitizer_protected_patterns():
     assert "three point five" in out3
 
 
+def test_sanitizer_contractions_and_equations():
+    """Contraction/possessive apostrophe stripping and light equation
+    verbalization (reference: chunking/text_sanitizer.py:663-681 and
+    :325-392, wired into deep_clean at :822-830)."""
+    from chatterbox_embed_tpu.text import AdvancedTextSanitizer
+    s = AdvancedTextSanitizer()
+    # possessives and contractions lose the apostrophe, keeping letters
+    out = s.deep_clean("Don't touch John's book of rock'n'roll.")
+    assert "'" not in out
+    assert "Dont" in out and "Johns" in out and "rocknroll" in out
+    # trailing plural possessive: the reference's `s'\b` regex only fires
+    # when a word char follows the apostrophe, so "boys' room" keeps its
+    # apostrophe there too — we pin the same semantics
+    assert "boys'" in s.deep_clean("the boys' room")
+    # the flagship equation: E=mc^2 (both brace and bare exponent forms)
+    for eq in ("E=mc^2", "E=mc^{2}"):
+        out = s.deep_clean(f"Einstein wrote {eq} on the board.")
+        assert "equals" in out and "m c squared" in out and "^" not in out
+    # subscripts + decimals compose with number verbalisation
+    out = s.deep_clean("Let x_1=3.14 here.")
+    assert "x sub one equals three point one four" in out.lower()
+    # explicit operators inside math-ish text
+    out = s.deep_clean("We know a*b=c.")
+    assert "a times b equals c" in out.lower()
+    out = s.deep_clean("Set x=-2 for this.")
+    assert "x equals minus two" in out.lower()
+    # prose WITHOUT math markers is untouched by the operator rewrites
+    out = s.deep_clean("A well-known path, 5-10 pages.")
+    assert "minus" not in out and "well-known" in out
+    assert "five to ten" in out
+
+
+def test_sanitizer_final_normalization():
+    """deep_clean's final stage: empty-input fallback, first-letter
+    capitalization, guaranteed terminal punctuation, charset filter
+    (reference: text_sanitizer.py:807-808,844-856)."""
+    from chatterbox_embed_tpu.text import AdvancedTextSanitizer
+    s = AdvancedTextSanitizer()
+    fallback = "You need to add some text for me to talk."
+    assert s.deep_clean("") == fallback
+    assert s.deep_clean("   \n\t ") == fallback
+    # capitalization + guaranteed terminal punctuation
+    assert s.deep_clean("hello world") == "Hello world."
+    assert s.deep_clean("ends with exclaim!") == "Ends with exclaim!"
+    assert s.deep_clean("is this a question?") == "Is this a question?"
+    # charset filter: emoji and out-of-set symbols dropped, common accented
+    # letters kept (the reference's extended set)
+    out = s.deep_clean("the café was nice \U0001f600 really")
+    assert "café" in out and "\U0001f600" not in out
+    assert out == "The café was nice really."
+    # a trailing story break is dropped rather than punctuated past
+    out = s.deep_clean("Part one ends here. ⁂")
+    assert "<STORY_BREAK>" not in out and out.endswith(".")
+    # interior story breaks survive (tts.chunk_text splits on them)
+    out = s.deep_clean("part one ⁂ part two")
+    assert "<STORY_BREAK>" in out and out.endswith("part two.")
+    assert out.startswith("Part one")
+
+
 def test_punc_norm():
     from chatterbox_embed_tpu.text import punc_norm
     assert punc_norm("hello world") == "Hello world."

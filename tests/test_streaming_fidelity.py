@@ -282,6 +282,24 @@ def test_stream_first_chunk_single_dispatch(tts, monkeypatch):
     assert np.isfinite(total).all() and total.size % 480 == 0
 
 
+def test_stream_fused_degenerate_equals_unfused(tts, monkeypatch):
+    """Degenerate short utterance: when the decode ends within the first
+    `look` (pre-lookahead) tokens, the fused first-chunk program emits NO
+    audio (n_valid_mel == 0). The loop must then fall back to the unfused
+    first-window path exactly — fade-in applied, noise index 0, initial
+    phase — instead of seeding a context window (ADVICE r3 finding).
+    max_new_tokens=2 < look=3 forces the case deterministically."""
+    kw = dict(text="Hi.", block_tokens=8, throughput_block_tokens=8,
+              max_new_tokens=2, cfg_weight=0.3, seed=9)
+    monkeypatch.setenv("CHATTERBOX_FUSED_FIRST_CHUNK", "0")
+    plain = list(tts.stream_generate(**kw))
+    monkeypatch.setenv("CHATTERBOX_FUSED_FIRST_CHUNK", "1")
+    fused = list(tts.stream_generate(**kw))
+    assert len(fused) == len(plain) == 1
+    assert fused[0].shape == plain[0].shape and fused[0].size > 0
+    np.testing.assert_allclose(fused[0], plain[0], rtol=1e-4, atol=1e-5)
+
+
 def test_stream_fused_equals_unfused(tts, monkeypatch):
     """The fused first chunk must be numerically equivalent to the unfused
     loop: same tokens, same windows, same noise draws — chunk for chunk."""
