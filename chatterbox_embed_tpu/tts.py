@@ -103,8 +103,55 @@ class ChatterboxTTS:
         self._gen_dev_key = None
         self._gen_dev: Optional[Dict[str, jnp.ndarray]] = None
 
-        # perf counters
+        # perf counters: `perf` is the LAST request's stage timing (the
+        # runtime counterpart of the reference's per-run generation-time /
+        # audio-ratio logs, tts.py:1313-1316,1363); `_perf_acc` accumulates
+        # across a multi-chunk job and is snapshotted into
+        # generate_long_text's metadata["perf"]
         self.perf: Dict[str, float] = {}
+        self._perf_acc: Dict[str, float] = self._fresh_perf_acc()
+
+    @staticmethod
+    def _fresh_perf_acc() -> Dict[str, float]:
+        return {"t3_s": 0.0, "s3gen_s": 0.0, "speech_tokens": 0,
+                "samples": 0, "requests": 0}
+
+    def _record_perf(self, t3_s: float, s3gen_s: float, tokens: int,
+                     samples: int, batch: int = 1) -> Dict[str, float]:
+        """Write the per-request stage timings and fold them into the
+        job-level accumulator."""
+        total = t3_s + s3gen_s
+        audio_s = samples / float(self.sr)
+        self.perf = {
+            "t3_s": round(t3_s, 4), "s3gen_s": round(s3gen_s, 4),
+            "total_s": round(total, 4), "speech_tokens": int(tokens),
+            "tokens_per_s": round(tokens / t3_s, 1) if t3_s > 0 else 0.0,
+            "audio_s": round(audio_s, 3),
+            "rtf": round(total / audio_s, 4) if audio_s > 0 else 0.0,
+            "batch": int(batch),
+        }
+        acc = self._perf_acc
+        acc["t3_s"] += t3_s
+        acc["s3gen_s"] += s3gen_s
+        acc["speech_tokens"] += int(tokens)
+        acc["samples"] += int(samples)
+        acc["requests"] += int(batch)
+        return self.perf
+
+    def _perf_acc_snapshot(self) -> Dict[str, float]:
+        acc = self._perf_acc
+        audio_s = acc["samples"] / float(self.sr)
+        t3_s = acc["t3_s"]
+        total = t3_s + acc["s3gen_s"]
+        return {
+            "t3_s": round(t3_s, 4), "s3gen_s": round(acc["s3gen_s"], 4),
+            "total_s": round(total, 4),
+            "speech_tokens": int(acc["speech_tokens"]),
+            "tokens_per_s": round(acc["speech_tokens"] / t3_s, 1) if t3_s > 0 else 0.0,
+            "audio_s": round(audio_s, 3),
+            "rtf": round(total / audio_s, 4) if audio_s > 0 else 0.0,
+            "requests": int(acc["requests"]),
+        }
 
     # ------------------------------------------------------------------
     # experiment/env config (reference: tts.py:158-213)
@@ -476,12 +523,16 @@ class ChatterboxTTS:
                 raise RuntimeError(
                     "Conditionals are not prepared. Provide voice_profile_path, "
                     "(saved_voice_path + audio_prompt_path), or audio_prompt_path.")
+        t0 = time.time()
         speech_tokens = self._run_t3(
             text, self.conds, temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             max_new_tokens=max_new_tokens, seed=seed)
+        t3_s = time.time() - t0
         self._guard_tokens(speech_tokens)
+        t0 = time.time()
         wav = self._run_s3gen(speech_tokens, self.conds.gen, seed=seed)
+        self._record_perf(t3_s, time.time() - t0, speech_tokens.size, wav.size)
         return wav[None, :]
 
     def _guard_tokens(self, speech_tokens: np.ndarray):
@@ -526,6 +577,7 @@ class ChatterboxTTS:
             emo = np.asarray(exaggeration, np.float32).reshape(-1)
             t3_cond = t3_cond._replace(
                 emotion_adv=jnp.asarray(emo if emo.size > 1 else emo[0]))
+        t_t3 = time.time()
         token_lists = t3_mod.generate_batch(
             self.t3_params, t3_cond, text_tokens, max_new_tokens=max_new_tokens,
             temperature=temperature, cfg_weight=cfg_weight,
@@ -533,6 +585,7 @@ class ChatterboxTTS:
             seed=seed, text_lens=text_lens,
             alignment=_env_bool("CHATTERBOX_ALIGNMENT", False),
             cfg=self.cfg.t3, dtype=self.dtype)
+        t3_s = time.time() - t_t3
 
         gen = conds.gen
         u = len(texts)
@@ -562,6 +615,7 @@ class ChatterboxTTS:
         # S3Gen sub-batches: the CFM estimator's full attention materialises
         # (2B, H, T, T) logits — cap the live batch so long utterances fit HBM
         sub = max(1, int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")))
+        t_s3 = time.time()
         outs = []
         for s0 in range(0, u, sub):
             s1 = min(u, s0 + sub)
@@ -572,6 +626,8 @@ class ChatterboxTTS:
                 key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype)
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
+        self._record_perf(t3_s, time.time() - t_s3, int(np.sum(lens)),
+                          int(sum(w.size for w in outs)), batch=u)
         return outs
 
     # ------------------------------------------------------------------
@@ -799,12 +855,16 @@ class ChatterboxTTS:
         conds = conditionals
         if exaggeration is not None:
             conds = conds.replace_emotion(exaggeration)
+        t0 = time.time()
         speech_tokens = self._run_t3(
             text, conds, temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             max_new_tokens=max_new_tokens_override or 1000, seed=seed)
+        t3_s = time.time() - t0
         self._guard_tokens(speech_tokens)
+        t0 = time.time()
         wav = self._run_s3gen(speech_tokens, conds.gen, seed=seed)[None, :]
+        self._record_perf(t3_s, time.time() - t0, speech_tokens.size, wav.size)
         if return_token_count:
             return wav, int(speech_tokens.size)
         return wav
@@ -865,6 +925,7 @@ class ChatterboxTTS:
         max_attempts = int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS", "4"))
         fail_on_bad = _env_bool("CHATTERBOX_FAIL_ON_BAD_CHUNK", False)
 
+        self._perf_acc = self._fresh_perf_acc()   # job-level stage totals
         per_chunk: List[Dict[str, float]] = []
         for info in chunk_infos:
             params = dict(base)
@@ -925,6 +986,10 @@ class ChatterboxTTS:
                                     "samples": int(wav.size), "params": params})
             segments.append(wav)
         stats["generation_time_s"] = time.time() - t_start
+        # stage totals across the batched first pass AND every retry
+        # (accumulated by _record_perf; reference logs the per-run
+        # counterparts at tts.py:1313-1316,1363)
+        stats["perf"] = self._perf_acc_snapshot()
         return segments, stats
 
     def _chunk_gates_ok(self, flat: np.ndarray,
@@ -1032,6 +1097,9 @@ class ChatterboxTTS:
             "audio_ratio": duration / total if total > 0 else 0.0,
             "cache_stats": self.get_conditional_cache_stats(),
             "chunk_stats": gen_stats,
+            # per-stage timing for the whole job (t3/s3gen seconds, token
+            # throughput, rtf) — the reference's per-run perf logs as data
+            "perf": gen_stats.get("perf", {}),
         }
         return wav[None, :], metadata
 

@@ -100,6 +100,14 @@ def test_generate_long_text(tts, ref_voice_wav, tmp_path):
     assert meta["num_chunks"] >= 2
     assert 0 < meta["duration_s"]
     assert np.abs(wav).max() <= 1.0
+    # per-request perf counters (VERDICT r3 #10): the job metadata carries
+    # stage timings and the instance exposes the last request's timing
+    perf = meta["perf"]
+    assert {"t3_s", "s3gen_s", "total_s", "speech_tokens", "tokens_per_s",
+            "audio_s", "rtf", "requests"} <= set(perf)
+    assert perf["t3_s"] > 0 and perf["s3gen_s"] > 0
+    assert perf["speech_tokens"] > 0 and perf["requests"] >= meta["num_chunks"]
+    assert tts.perf["t3_s"] > 0 and tts.perf["batch"] >= 1
 
 
 def test_chunk_text_and_params(tts):
