@@ -39,6 +39,8 @@ def main():
                     help="measure time-to-first-audio via the streaming path")
     ap.add_argument("--int8", action="store_true",
                     help="int8-quantized T3 backbone weights (opt-in; ~25%% faster decode)")
+    ap.add_argument("--int8-s3gen", action="store_true",
+                    help="int8 conformer + CFM-estimator linears (utils.quantize.quantize_s3gen)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -103,6 +105,9 @@ def main():
     if args.int8:
         from chatterbox_embed_tpu.utils.quantize import quantize_t3
         t3_params = quantize_t3(t3_params)
+    if args.int8_s3gen:
+        from chatterbox_embed_tpu.utils.quantize import quantize_s3gen
+        s3_params = quantize_s3gen(s3_params)
     print(f"[bench] init {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     t3_params = to_default_device(cast_params(t3_params))
@@ -149,8 +154,8 @@ def main():
             pad[i, :n] = toks[:n]
         token_len = jnp.asarray([n_prompt + args.tokens])
         t_a = time.time()
-        # s3gen sub-batched at 8 (CFM attention memory; see tts.generate_batch)
-        sub = 8
+        # s3gen sub-batching (CFM attention memory; see tts.generate_batch)
+        sub = max(1, int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")))
         wavs = []
         for s0 in range(0, u, sub):
             b = min(sub, u - s0)
@@ -193,7 +198,8 @@ def main():
     # variance in the headline number).
     gen_info = dict(t3_mod.LAST_GENERATION_INFO)
     platform = jax.devices()[0].platform
-    expect_flash = (platform not in ("cpu",) and args.batch == 1
+    expect_flash = (platform not in ("cpu",)
+                    and args.batch <= t3_mod.FLASH_DECODE_MAX_UTTERANCES
                     and os.getenv("CHATTERBOX_PALLAS") != "0")
     if expect_flash and not gen_info.get("use_flash", False):
         print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
@@ -220,6 +226,8 @@ def main():
             "cache_total": gen_info.get("cache_total"),
             "batch": args.batch,
             "int8": args.int8,
+            "int8_s3gen": args.int8_s3gen,
+            "s3gen_sub_batch": int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")),
         },
     }
     print(json.dumps(result))

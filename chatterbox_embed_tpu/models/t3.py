@@ -533,10 +533,13 @@ def _bucket(n: int) -> int:
 # smaller block for early emission.
 DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
-# flash decode beats XLA up to 8 fused CFG rows on v5e (round-3 microbench);
-# bigger batches are throughput-bound and stay on the XLA attention.
-# CHATTERBOX_FLASH_MAX_UTT overrides for ops tuning / re-measurement.
-FLASH_DECODE_MAX_UTTERANCES = int(os.getenv("CHATTERBOX_FLASH_MAX_UTT", "4"))
+# Flash decode gate, set by the round-4 PRODUCT-PATH A/B (PERF_NOTES.md
+# "Round-4 flash-gate arbitration": bench.py --batch N over
+# CHATTERBOX_FLASH_MAX_UTT, superseding the RTT-contaminated round-3 scan
+# microbench): flash wins at 1-2 utterances (2.34/2.84 ms/step vs
+# 3.02+ XLA), XLA wins from 4 up (3.28 vs 4.46 at batch 4, widening with
+# batch). CHATTERBOX_FLASH_MAX_UTT overrides for ops re-measurement.
+FLASH_DECODE_MAX_UTTERANCES = int(os.getenv("CHATTERBOX_FLASH_MAX_UTT", "2"))
 # monolithic weight-streaming step (kernels/fused_decode.py): proven target is
 # the single-utterance CFG pair (the 2.3 ms/step -> ~1.4 ms weight-stream
 # floor); larger fused batches scale the cache-walk DMA traffic per step and
@@ -658,7 +661,9 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                             "cache_total": total, "n_utt": n_utt,
                             "alignment": align_layer is not None,
-                            "use_fused": use_fused}
+                            "use_fused": use_fused,
+                            "mesh": (dict(mesh.shape) if mesh is not None
+                                     else None)}
     return state, info
 
 

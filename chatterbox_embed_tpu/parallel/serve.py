@@ -30,11 +30,29 @@ def make_tp_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ("tp",))
 
 
+def make_dp_tp_mesh(n_devices: Optional[int] = None,
+                    tp: Optional[int] = None) -> Mesh:
+    """Combined serving mesh: utterance rows shard over `dp`, the T3
+    backbone's Megatron layout shards over `tp` (weights stream tp-way
+    split per step, rows scale dp-way). tp defaults per parallel.make_mesh
+    (largest power-of-two divisor <= 4)."""
+    from .mesh import make_mesh
+    return make_mesh(n_devices, tp=tp)
+
+
 def shard_t3_for_decode(mesh: Mesh, t3_params):
     """Place T3 params for a tp (or dp x tp) decode mesh: Megatron layout on
     the Llama backbone, everything else replicated (parallel/mesh.py spec)."""
     from .mesh import t3_param_spec, shard_params
     return shard_params(t3_params, t3_param_spec(t3_params), mesh)
+
+
+def shard_t3_for_serving(mesh: Mesh, t3_params):
+    """Mesh-appropriate T3 placement: Megatron over `tp` when the mesh has
+    a non-trivial tp axis, plain replication otherwise (dp-only meshes)."""
+    if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        return shard_t3_for_decode(mesh, t3_params)
+    return replicate(mesh, t3_params)
 
 
 def _rows_axis(mesh: Mesh, rows: int):

@@ -134,6 +134,13 @@ class RedisWorker:
                     batch_sizes=_ints("WORKER_WARMUP_BATCHES", (1,)),
                     token_buckets=_ints("WORKER_WARMUP_TOKEN_BUCKETS", (256,)),
                     stream=os.getenv("WORKER_WARMUP_STREAM", "0") == "1")
+            # multi-chip decode: WORKER_MESH=dpxtp (e.g. "2x4") shards
+            # utterance rows over dp and the T3 backbone Megatron-style
+            # over tp for every job this worker runs (tts.enable_mesh)
+            mesh_spec = os.getenv("WORKER_MESH")
+            if mesh_spec and hasattr(self._tts, "enable_mesh"):
+                dp, tp = (int(x) for x in mesh_spec.lower().split("x"))
+                self._tts.enable_mesh(n_devices=dp * tp, tp=tp)
         return self._tts
 
     def _get_vc(self):

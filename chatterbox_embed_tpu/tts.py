@@ -110,6 +110,28 @@ class ChatterboxTTS:
         # generate_long_text's metadata["perf"]
         self.perf: Dict[str, float] = {}
         self._perf_acc: Dict[str, float] = self._fresh_perf_acc()
+        # optional multi-chip serving mesh (enable_mesh)
+        self.mesh = None
+
+    def enable_mesh(self, n_devices: Optional[int] = None,
+                    tp: Optional[int] = None):
+        """Multi-chip serving: decode over a combined dp x tp mesh
+        (VERDICT r3 #7 / SURVEY §2.6 TPU-native mapping).
+
+        Utterance rows (CFG pairs) shard over `dp`; the T3 backbone's
+        Megatron layout shards over `tp`, so each step streams 1/tp of the
+        0.5B weights per chip and XLA rides the two per-layer psums over
+        ICI. Applies to `generate`, `generate_batch` and everything built
+        on them (long-text jobs); streaming keeps its single-chip fused
+        first-chunk program. The CFG row count (2 x utterances) must divide
+        dp — t3 raises with a clear message otherwise. Serving workers
+        enable this via WORKER_MESH=dpxtp (e.g. "2x4")."""
+        from .parallel import make_dp_tp_mesh, shard_t3_for_serving
+        self.mesh = make_dp_tp_mesh(n_devices, tp=tp)
+        self.t3_params = shard_t3_for_serving(self.mesh, self.t3_params)
+        logger.info("serving mesh enabled: dp=%d tp=%d",
+                    self.mesh.shape["dp"], self.mesh.shape["tp"])
+        return self.mesh
 
     @staticmethod
     def _fresh_perf_acc() -> Dict[str, float]:
@@ -469,7 +491,7 @@ class ChatterboxTTS:
             temperature=temperature, cfg_weight=cfg_weight,
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             seed=seed, alignment=_env_bool("CHATTERBOX_ALIGNMENT", False),
-            cfg=self.cfg.t3, dtype=self.dtype)
+            mesh=self.mesh, cfg=self.cfg.t3, dtype=self.dtype)
         speech = s3tok_mod.drop_invalid_tokens(speech)
         return speech[speech < SPEECH_VOCAB_SIZE]
 
@@ -584,7 +606,7 @@ class ChatterboxTTS:
             repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
             seed=seed, text_lens=text_lens,
             alignment=_env_bool("CHATTERBOX_ALIGNMENT", False),
-            cfg=self.cfg.t3, dtype=self.dtype)
+            mesh=self.mesh, cfg=self.cfg.t3, dtype=self.dtype)
         t3_s = time.time() - t_t3
 
         gen = conds.gen

@@ -7,10 +7,17 @@ distributions step by step. Teacher forcing isolates the quantization error
 from sampling cascades (a single flipped sample diverges the free-running
 streams by construction, telling you nothing about audio quality).
 
-Gate (documented bound, also enforced by tests/test_int8.py on the tiny
-model): top-1 agreement >= 97% of steps and median KL(bf16 || int8) < 0.02
-nats over >= 3 utterances. With real converted checkpoints pass --ckpt to
-measure the deployed weights instead of random ones.
+Gate (documented bounds, also enforced by tests/test_int8.py on the tiny
+model) — ALL must hold over >= 3 utterances:
+  - top-1 next-token agreement >= 97% of steps,
+  - median KL(bf16 || int8) < 0.02 nats,
+  - mel distance (S3Gen int8, utils.quantize.quantize_s3gen): synthesizing
+    the SAME teacher tokens through the fp and int8 flow stacks must give
+    mel cosine >= 0.995 and relative L2 error < 0.10.
+With real converted checkpoints pass --ckpt to measure the deployed weights
+instead of random ones (the one-line caveat: random weights exercise the
+identical arithmetic; a final per-voice listen on converted weights is the
+last sign-off, see scripts/verify_on_network_host.py for the runbook).
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/int8_quality_gate.py
@@ -40,10 +47,13 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from chatterbox_embed_tpu.config import T3Config, LlamaConfig
+    from chatterbox_embed_tpu.config import (T3Config, LlamaConfig, S3GenConfig,
+                                             S3TokenizerConfig, ConformerConfig,
+                                             FlowDecoderConfig, HiFTConfig, replace)
     from chatterbox_embed_tpu.models import t3 as t3_mod
+    from chatterbox_embed_tpu.models import s3gen as s3gen_mod
     from chatterbox_embed_tpu.utils.device import init_on_cpu, to_default_device
-    from chatterbox_embed_tpu.utils.quantize import quantize_t3
+    from chatterbox_embed_tpu.utils.quantize import quantize_t3, quantize_s3gen
 
     if args.smoke:
         cfg = T3Config(llama=LlamaConfig(hidden_size=64, intermediate_size=128,
@@ -51,9 +61,23 @@ def main():
                                          head_dim=16),
                        max_text_tokens=64, max_speech_tokens=256,
                        speech_cond_prompt_len=6)
+        s3cfg = S3GenConfig(
+            flow=replace(S3GenConfig().flow,
+                         encoder=ConformerConfig(input_size=32, output_size=32,
+                                                 attention_heads=4, linear_units=64,
+                                                 num_blocks=1, num_up_blocks=1),
+                         decoder=FlowDecoderConfig(in_channels=32, out_channels=8,
+                                                   channels=16, attention_head_dim=8,
+                                                   num_heads=2, n_blocks=1,
+                                                   num_mid_blocks=1, time_embed_dim=64),
+                         input_size=32, output_size=8),
+            hift=HiFTConfig(in_channels=8, base_channels=32, f0_cond_channels=16),
+            tokenizer=S3TokenizerConfig(n_state=64, n_heads=4, n_layers=1),
+            mel_num=8)
         dtype = jnp.float32
     else:
         cfg = T3Config()
+        s3cfg = S3GenConfig()
         dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
 

@@ -40,6 +40,45 @@ def test_dp_sharded_batch_matches_single_device(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_dp_tp_combined_batch(rng):
+    """Combined serving mesh (VERDICT r3 #7): rows over dp AND Megatron
+    weights over tp in one generate_batch call. tp psums reassociate, so
+    assert prefill-logit closeness vs single-device plus a valid decode."""
+    from chatterbox_embed_tpu.parallel import (make_dp_tp_mesh,
+                                               shard_t3_for_serving)
+    assert len(jax.devices()) >= 8
+    params = t3.init(jax.random.PRNGKey(0), TINY)
+    cond = _cond(rng)
+    texts = rng.integers(1, 50, (4, 10)).astype(np.int32)
+    texts[:, 0] = 5
+    texts[:, -1] = 0
+    mesh = make_dp_tp_mesh(8)            # 2x4: 8 CFG rows over dp=2
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    sv = shard_t3_for_serving(mesh, params)
+    s_ref, _ = t3.start_generation(params, cond, texts, cfg_weight=0.4,
+                                   max_new_tokens=12, cfg=TINY)
+    s_dptp, _ = t3.start_generation(sv, cond, texts, cfg_weight=0.4,
+                                    max_new_tokens=12, mesh=mesh, cfg=TINY)
+    np.testing.assert_allclose(np.asarray(s_dptp.logits),
+                               np.asarray(s_ref.logits), atol=2e-4, rtol=2e-4)
+    out = t3.generate_batch(sv, cond, texts, mesh=mesh, max_new_tokens=12,
+                            cfg_weight=0.4, seed=9, cfg=TINY)
+    assert len(out) == 4
+    for toks in out:
+        assert toks.size >= 1
+        assert np.all((toks >= 0) & (toks < TINY.speech_tokens_dict_size))
+    assert t3.LAST_GENERATION_INFO["mesh"] == {"dp": 2, "tp": 4}
+    # a dp-only serving mesh replicates instead of Megatron-sharding
+    dp_mesh = make_dp_tp_mesh(4, tp=1)
+    sv_dp = shard_t3_for_serving(dp_mesh, params)
+    plain = t3.generate_batch(params, cond, texts, max_new_tokens=12,
+                              cfg_weight=0.4, seed=9, cfg=TINY)
+    same = t3.generate_batch(sv_dp, cond, texts, mesh=dp_mesh,
+                             max_new_tokens=12, cfg_weight=0.4, seed=9, cfg=TINY)
+    for a, b in zip(plain, same):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_training_mesh_shapes():
     mesh = make_mesh(8)
     assert mesh.devices.shape in ((2, 4), (4, 2), (8, 1))

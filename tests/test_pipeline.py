@@ -344,6 +344,58 @@ def test_worker_in_memory(tmp_path, monkeypatch):
     assert status["status"] == "done"
 
 
+def test_worker_mesh_integration(ref_voice_wav, tmp_path, monkeypatch):
+    """Worker-level multi-chip serving (VERDICT r3 #7): a real TTS job goes
+    in, the decode runs over a combined dp x tp mesh (WORKER_MESH env), and
+    the finished audio comes out — asserted via the job status, the stored
+    artifact, and the decode's recorded mesh engagement."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker, InMemoryStreams,
+                                                     STREAM_TTS)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    from chatterbox_embed_tpu.models import t3 as t3_mod
+    monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
+    monkeypatch.setenv("WORKER_MESH", "2x2")
+    # fresh instance: enable_mesh shards the params in place, so don't
+    # touch the module-scoped fixture
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts = ChatterboxTTS.from_random(seed=0, config=TINY)
+    # the job API mirrors the reference (no token-cap knob); cap decode for
+    # the tiny model whose pos-emb table is 128 slots
+    orig_glt = tts.generate_long_text
+    tts.generate_long_text = (
+        lambda *a, **k: orig_glt(*a, max_new_tokens=16, **k))
+    prof = str(tmp_path / "mesh_voice.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client, tts_factory=lambda: tts)
+    # the story break forces two chunks (each under the tiny text budget),
+    # so the batched first pass engages: 2 utterances -> 4 CFG rows on dp=2
+    text = ("The knight rode far across the misty land. ⁂ "
+            "The dragon was kind and they became friends.")
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "jmesh", "type": "tts", "story_id": "sm", "user_id": "um",
+        "text": text, "voice_profile_b64": prof_b64})})
+    assert worker.run_once() == 1
+    status = client.hgetall("runpod:job:jmesh")
+    assert status["status"] == "done", status.get("error")
+    result = json.loads(status["result"])
+    assert result["status"] == "success" and result["duration"] > 0
+    # the mesh was built from WORKER_MESH and the decode actually ran on it
+    assert tts.mesh is not None and dict(tts.mesh.shape) == {"dp": 2, "tp": 2}
+    assert t3_mod.LAST_GENERATION_INFO["mesh"] == {"dp": 2, "tp": 2}
+    # local emulation returns the filesystem path as the URL
+    import pathlib
+    stored = pathlib.Path(result["storage_url"])
+    assert stored.exists() and stored.stat().st_size > 1000
+
+
 def test_worker_dlq(tmp_path):
     from chatterbox_embed_tpu.serving.worker import (RedisWorker, InMemoryStreams,
                                                      STREAM_TTS, DLQ_STREAM)
