@@ -37,8 +37,11 @@ def main():
                     help="utterances decoded in lock-step (throughput mode)")
     ap.add_argument("--stream", action="store_true",
                     help="measure time-to-first-audio via the streaming path")
-    ap.add_argument("--int8", action="store_true",
-                    help="int8-quantized T3 backbone weights (opt-in; ~25%% faster decode)")
+    ap.add_argument("--int8", action="store_true", default=None,
+                    help="int8-quantized T3 backbone weights (DEFAULT ON for TPU "
+                         "since round 4 — gated by scripts/int8_quality_gate.py; "
+                         "kill-switch --no-int8 / CHATTERBOX_INT8=0)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--int8-s3gen", action="store_true",
                     help="int8 conformer + CFM-estimator linears (utils.quantize.quantize_s3gen)")
     args = ap.parse_args()
@@ -98,6 +101,13 @@ def main():
         # backbone in bf16 anyway (reference torch_dtype=bfloat16)
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree)
+
+    if args.int8 is None:
+        # round-4 default: int8 T3 decode ON for TPU (1.94-2.03 ms/step vs
+        # 2.3-2.4 bf16; promotion gate numbers in PERF_NOTES). CPU/smoke
+        # stays fp (no weight-streaming bound there).
+        args.int8 = (jax.devices()[0].platform not in ("cpu",)
+                     and os.getenv("CHATTERBOX_INT8", "1") != "0")
 
     t0 = time.time()
     t3_params = init_on_cpu(t3_mod.init, k[0], cfg.t3)

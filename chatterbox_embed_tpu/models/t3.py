@@ -597,7 +597,10 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # text / alignment / mesh fall back to the per-op paths below
     use_fused = False
     if (_use_fused_step() and not alignment and mesh is None
-            and n_utt <= FUSED_STEP_MAX_UTTERANCES):
+            and n_utt <= FUSED_STEP_MAX_UTTERANCES
+            # int8 backbones carry w_q/scale; the fused wall restack
+            # (stack_for_fused) wants plain bf16 weights
+            and "w" in params["llama"]["layers"][0]["q"]):
         from ..kernels.fused_decode import plan as _fused_plan
         use_fused = _fused_plan(cfg.llama, (2 if cfg_on else 1) * n_utt) is not None
     align_layer = None

@@ -142,7 +142,8 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     cap = p_len + max(max_new_tokens, block_tokens)
     use_flash = t3_mod._use_pallas_decode()
     use_fused = False
-    if t3_mod._use_fused_step():
+    if (t3_mod._use_fused_step()
+            and "w" in t3_params["llama"]["layers"][0]["q"]):  # not int8
         from .kernels.fused_decode import plan as _fused_plan
         use_fused = _fused_plan(cfg.t3.llama, 2) is not None   # CFG pair
     fused = (t3_mod._fused_params(t3_params, cfg.t3, dtype)

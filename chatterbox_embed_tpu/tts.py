@@ -234,12 +234,18 @@ class ChatterboxTTS:
         tokenizer.json / conds.pt in `ckpt_dir`. `device` accepted for
         API-compatibility; JAX owns placement.
 
-        int8 (or env CHATTERBOX_INT8=1): per-channel int8 weight-only
-        quantization of the T3 backbone — ~20% faster decode (PERF_NOTES.md),
-        mechanism validated in tests/test_int8.py; listen-check a voice
-        before enabling in production."""
+        int8: per-channel int8 weight-only quantization of the T3 backbone
+        — ~20% faster decode. DEFAULT ON for TPU backends since round 4,
+        behind the quantitative promotion gate (scripts/int8_quality_gate.py:
+        teacher-forced top-1 >= 97%, median KL < 0.02, mel cos >= 0.995 —
+        measured numbers in PERF_NOTES.md). Kill-switch CHATTERBOX_INT8=0
+        or int8=False; the remaining caveat is one per-voice listen on
+        converted checkpoints (runbook: scripts/verify_on_network_host.py)."""
         if int8 is None:
-            int8 = _env_bool("CHATTERBOX_INT8", False)
+            if os.getenv("CHATTERBOX_INT8") is not None:
+                int8 = _env_bool("CHATTERBOX_INT8", False)
+            else:
+                int8 = jax.devices()[0].platform not in ("cpu",)
         ckpt_dir = Path(ckpt_dir)
         ve_sd = weights_mod.load_safetensors(str(ckpt_dir / "ve.safetensors"))
         ve_params = jax.tree.map(jnp.asarray, weights_mod.convert_voice_encoder(ve_sd))

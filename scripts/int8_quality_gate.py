@@ -86,14 +86,20 @@ def main():
         from chatterbox_embed_tpu.utils import weights as W
         sd = W.load_safetensors(f"{args.ckpt}/t3_cfg.safetensors")
         params = W.convert_t3(sd, num_layers=cfg.llama.num_layers)
+        s3_sd = W.load_safetensors(f"{args.ckpt}/s3gen.safetensors")
+        s3_params = W.convert_s3gen(s3_sd, cfg=s3cfg)
     else:
         params = init_on_cpu(t3_mod.init, jax.random.PRNGKey(0), cfg)
+        s3_params = init_on_cpu(s3gen_mod.init, jax.random.PRNGKey(1), s3cfg)
     qparams = quantize_t3(params)
+    qs3_params = quantize_s3gen(s3_params)
     cast = (lambda t: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x, t)
         ) if dtype == jnp.bfloat16 else (lambda t: t)
     params = to_default_device(cast(params))
     qparams = to_default_device(cast(qparams))
+    s3_params = to_default_device(cast(s3_params))
+    qs3_params = to_default_device(cast(qs3_params))
     print(f"[gate] params ready {time.time() - t0:.1f}s", file=sys.stderr)
 
     import functools
@@ -103,7 +109,8 @@ def main():
         _, sl = t3_mod.forward(p, cond, text, tlen, speech, slen, cfg, dtype)
         return sl.astype(jnp.float32)
 
-    agree, kls, rel = [], [], []
+    agree, kls, rel, mel_cos, mel_rel = [], [], [], [], []
+    n_prompt = 8 if args.smoke else 150
     for u in range(args.utterances):
         cond = t3_mod.T3Cond(
             speaker_emb=jnp.asarray(rng.standard_normal((1, cfg.speaker_embed_size)),
@@ -137,18 +144,41 @@ def main():
         kl = ((pa * (la - lb)).sum(-1) - logza + logzb)
         kls.append(float(np.median(kl)))
         rel.append(float(np.abs(la - lb).mean() / (np.abs(la).mean() + 1e-9)))
+        # mel distance: the SAME teacher tokens through the fp vs int8
+        # S3Gen flow stacks (gates utils.quantize.quantize_s3gen)
+        flow_toks = toks[toks < 6561].astype(np.int32)[None]
+        tl = jnp.asarray([n_prompt + flow_toks.shape[1]])
+        pt = jnp.asarray(rng.integers(0, 6561, (1, n_prompt)), jnp.int32)
+        pf = jnp.asarray(rng.standard_normal((1, 2 * n_prompt, s3cfg.mel_num)),
+                         jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((1, s3cfg.flow.spk_embed_dim)),
+                          jnp.float32)
+        m_fp = np.asarray(s3gen_mod.flow_to_mel(
+            s3_params, jnp.asarray(flow_toks), tl, pt, pf, emb,
+            finalize=True, cfg=s3cfg, dtype=dtype), np.float64)
+        m_q8 = np.asarray(s3gen_mod.flow_to_mel(
+            qs3_params, jnp.asarray(flow_toks), tl, pt, pf, emb,
+            finalize=True, cfg=s3cfg, dtype=dtype), np.float64)
+        mel_cos.append(float(np.sum(m_fp * m_q8)
+                             / (np.linalg.norm(m_fp) * np.linalg.norm(m_q8))))
+        mel_rel.append(float(np.linalg.norm(m_fp - m_q8) / np.linalg.norm(m_fp)))
         print(f"[gate] utt {u}: {toks.size} toks, top1 {agree[-1]:.4f}, "
-              f"median KL {kls[-1]:.5f}", file=sys.stderr)
+              f"median KL {kls[-1]:.5f}, mel cos {mel_cos[-1]:.4f} "
+              f"rel {mel_rel[-1]:.4f}", file=sys.stderr)
 
     result = {
         "top1_agreement": float(np.mean(agree)) if agree else 0.0,
         "median_kl_nats": float(np.median(kls)) if kls else 1e9,
         "mean_rel_logit_err": float(np.mean(rel)) if rel else 1e9,
+        "mel_cosine": float(np.min(mel_cos)) if mel_cos else 0.0,
+        "mel_rel_l2": float(np.max(mel_rel)) if mel_rel else 1e9,
         "utterances": len(agree),
         "weights": "checkpoint" if args.ckpt else "random",
     }
     result["pass"] = (result["top1_agreement"] >= 0.97
                       and result["median_kl_nats"] < 0.02
+                      and result["mel_cosine"] >= 0.995
+                      and result["mel_rel_l2"] < 0.10
                       and result["utterances"] >= min(args.utterances, 3))
     print(json.dumps(result))
 
