@@ -27,9 +27,13 @@ from .models import hifigan as hift_mod
 
 # Windowed-streaming geometry, shared with ChatterboxTTS.stream_generate
 # (the fused first chunk and the host loop MUST agree on the context width
-# or the mu_tail pin silently drifts):
-STREAM_CTX_TOKENS = 6      # window context C (> pre-lookahead 3)
-STREAM_VOC_CTX_MEL = 8     # vocoder mel context M (covers conv fields)
+# or the mu_tail pin silently drifts). Env-overridable for operators whose
+# voice/model needs a wider context — sensitivity evidence for the defaults
+# lives in PERF_NOTES.md (scripts/stream_geometry_sensitivity.py); both are
+# read ONCE at import time (set them before importing the package).
+import os as _os
+STREAM_CTX_TOKENS = int(_os.getenv("CHATTERBOX_STREAM_CTX", "6"))      # C (> pre-lookahead 3)
+STREAM_VOC_CTX_MEL = int(_os.getenv("CHATTERBOX_STREAM_VOC_CTX", "8"))  # M (covers conv fields)
 
 
 class FirstChunk(NamedTuple):
