@@ -44,10 +44,15 @@ def main():
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--int8-s3gen", action="store_true",
                     help="int8 conformer + CFM-estimator linears (utils.quantize.quantize_s3gen)")
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="int8 KV cache for the batched XLA decode "
+                         "(CHATTERBOX_INT8_KV=1; flash/fused paths keep bf16 slabs)")
     args = ap.parse_args()
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.int8_kv:
+        os.environ["CHATTERBOX_INT8_KV"] = "1"
 
     import jax
     if args.smoke:
@@ -237,6 +242,7 @@ def main():
             "batch": args.batch,
             "int8": args.int8,
             "int8_s3gen": args.int8_s3gen,
+            "kv_int8": gen_info.get("kv_int8"),
             "s3gen_sub_batch": int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")),
         },
     }

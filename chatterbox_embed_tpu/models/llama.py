@@ -25,9 +25,19 @@ from . import layers as L
 
 class KVCache(NamedTuple):
     """Sequence-major layout (layers, L, B, H, D): the flash-decode kernel
-    views each layer as a tile-aligned (L, B*H*D) slab."""
+    views each layer as a tile-aligned (L, B*H*D) slab.
+
+    int8 mode (CHATTERBOX_INT8_KV=1, batched XLA decode only): k/v are int8
+    with per-(slot, row, head) fp32 scales — batched decode is KV-bandwidth
+    bound (batch 16 measures ~6.2 ms/step ~= 1.06 GB weights + ~4 GB cache
+    reads at 819 GB/s), so halving cache bytes attacks the dominant term.
+    The scales factor OUT of both attention dots (sum_d q*kq*s = s*(q@kq);
+    sum_l w*vq*s = (w*s)@vq), so the int8 slabs feed the MXU directly and
+    no dequantized copy is materialized."""
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None    # (L, Lc, B, H) fp32 iff k int8
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init(key, cfg: LlamaConfig = LlamaConfig()):
@@ -92,6 +102,11 @@ def apply_rope(x, cos, sin):
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
+    if dtype == jnp.int8:
+        sshape = shape[:-1]
+        return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -132,6 +147,10 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             attn_mask = (idx[None] <= q_idx[None])               # (1, T, L)
 
     ck, cv = (cache.k, cache.v) if cache is not None else (None, None)
+    cks, cvs = (cache.k_scale, cache.v_scale) if cache is not None else (None, None)
+    kv_int8 = ck is not None and ck.dtype == jnp.int8
+    assert not (kv_int8 and flash_decode), \
+        "int8 KV cache requires the XLA decode path (the flash kernel walks bf16 slabs)"
     for i, lp in enumerate(params["layers"]):
         hin = L.rms_norm(lp["ln1"], h, cfg.rms_norm_eps)
         q = L.split_heads(L.linear(lp["q"], hin, dtype), cfg.num_heads)
@@ -143,10 +162,22 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         if cache is not None:
             # in-place slab update on the stacked sequence-major cache: inside
             # a while_loop carry XLA aliases this to a true in-place write
-            k_seq = jnp.swapaxes(k, 0, 1)[None].astype(ck.dtype)   # (1, T, B, H, D)
-            v_seq = jnp.swapaxes(v, 0, 1)[None].astype(cv.dtype)
-            ck = jax.lax.dynamic_update_slice(ck, k_seq, (i, cache_pos, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_seq, (i, cache_pos, 0, 0, 0))
+            if kv_int8:
+                kf = jnp.swapaxes(k, 0, 1)[None].astype(jnp.float32)
+                vf = jnp.swapaxes(v, 0, 1)[None].astype(jnp.float32)
+                ks = jnp.max(jnp.abs(kf), axis=-1) / 127.0 + 1e-12  # (1,T,B,H)
+                vs = jnp.max(jnp.abs(vf), axis=-1) / 127.0 + 1e-12
+                kq = jnp.round(kf / ks[..., None]).astype(jnp.int8)
+                vq = jnp.round(vf / vs[..., None]).astype(jnp.int8)
+                ck = jax.lax.dynamic_update_slice(ck, kq, (i, cache_pos, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq, (i, cache_pos, 0, 0, 0))
+                cks = jax.lax.dynamic_update_slice(cks, ks, (i, cache_pos, 0, 0))
+                cvs = jax.lax.dynamic_update_slice(cvs, vs, (i, cache_pos, 0, 0))
+            else:
+                k_seq = jnp.swapaxes(k, 0, 1)[None].astype(ck.dtype)   # (1, T, B, H, D)
+                v_seq = jnp.swapaxes(v, 0, 1)[None].astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(ck, k_seq, (i, cache_pos, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v_seq, (i, cache_pos, 0, 0, 0))
         # the alignment spy needs the attention probabilities of ONE layer;
         # every other layer keeps the flash kernel when it is enabled
         flash_this = flash_decode and (collect_attn_layer is None
@@ -167,17 +198,26 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)      # (L, B, H, D)
             logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
                                 preferred_element_type=jnp.float32)
+            if kv_int8:
+                # per-slot scale factors out of the dot: the int8 slab feeds
+                # the MXU directly, no dequantized copy
+                logits = logits * jnp.transpose(cks[i], (1, 2, 0))  # (B,H,L)
             logits = logits / np.sqrt(cfg.head_dim)
             km = attn_mask[:, 0]                                   # (B|1, L) key mask
             logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
             w = jax.nn.softmax(logits, axis=-1)
             if collect_attn_layer is not None and i == collect_attn_layer:
                 attn_row = jnp.mean(w, axis=1)                     # (B, L) fp32
+            if kv_int8:
+                w = w * jnp.transpose(cvs[i], (1, 2, 0))
             att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
         else:
             if cache is not None:
                 k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)
                 v_att = jnp.swapaxes(cv[i], 0, 1).astype(dtype)
+                if kv_int8:
+                    k_att = k_att * jnp.swapaxes(cks[i], 0, 1)[..., None].astype(dtype)
+                    v_att = v_att * jnp.swapaxes(cvs[i], 0, 1)[..., None].astype(dtype)
             else:
                 k_att, v_att = k, v
             att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)
@@ -191,7 +231,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
 
     h = L.rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cache is not None:
-        cache = KVCache(ck, cv)
+        cache = KVCache(ck, cv, cks, cvs)
     if collect_attn_layer is not None:
         assert attn_row is not None, \
             "collect_attn_layer requires the single-token XLA decode path"

@@ -295,10 +295,10 @@ class DecodeState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
-                                             "dtype"))
+                                             "dtype", "kv_int8"))
 def prefill(params, context, cfg: T3Config, total: int, pad_len,
             cfg_on: bool = True, dtype=jnp.float32,
-            key_valid=None) -> DecodeState:
+            key_valid=None, kv_int8: bool = False) -> DecodeState:
     """Full-context forward filling the static cache (capacity `total`).
 
     context: (B, P, D) with `pad_len` masked junk slots on the LEFT.
@@ -308,7 +308,8 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len,
     right-padded text).
     """
     b, p_len, d = context.shape
-    cache = llama.init_cache(cfg.llama, b, total, dtype)
+    cache = llama.init_cache(cfg.llama, b, total,
+                             jnp.int8 if kv_int8 else dtype)
     idx = jnp.arange(p_len)
     kidx = jnp.arange(total)
     causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))[None]
@@ -329,10 +330,10 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
-                                             "dtype"))
+                                             "dtype", "kv_int8"))
 def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
                      cfg: T3Config, total: int, cfg_on: bool,
-                     dtype=jnp.float32) -> DecodeState:
+                     dtype=jnp.float32, kv_int8: bool = False) -> DecodeState:
     """Fused cond-embed + context build + prefill (single host dispatch).
 
     text_tokens: (U, bucket) LEFT-padded to the bucket on the host; pad_len
@@ -341,7 +342,7 @@ def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
     context = _build_context(params, cond, text_tokens, cfg, cfg_on,
                              pad=pad_len)
     return prefill(params, context, cfg, total, pad_len, cfg_on, dtype,
-                   key_valid)
+                   key_valid, kv_int8)
 
 
 @functools.partial(jax.jit,
@@ -635,6 +636,13 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             hole = jnp.stack([ts_col + lens,
                               jnp.full_like(lens, ts_col + lt)], axis=1)
 
+    # int8 KV cache (opt-in): batched XLA decode is KV-bandwidth bound —
+    # halving cache bytes attacks the dominant per-step term (llama.KVCache
+    # docstring has the HBM arithmetic). The flash/fused kernels walk bf16
+    # slabs, so they take precedence when engaged (<= 2 utts), exactly
+    # where the cache is small and weights dominate instead.
+    kv_int8 = (os.getenv("CHATTERBOX_INT8_KV", "0") == "1"
+               and not use_flash and not use_fused)
     if mesh is not None:
         # multi-chip serving: rows across dp, weights replicated; GSPMD
         # propagates through prefill + the decode while-loop (no collectives
@@ -645,7 +653,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         context, key_valid = shard_generation_inputs(mesh, context, key_valid)
         use_flash = False  # the Pallas kernel is single-chip only
         state = prefill(params, context, cfg, total, pad, cfg_on, dtype,
-                        key_valid)
+                        key_valid, kv_int8)
     else:
         # ONE program for cond-embed + context + prefill (an eager context
         # build costs ~10 per-op dispatches on remote backends), with the
@@ -654,7 +662,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # (bucket, rows) pair serves every text length
         tb = jnp.asarray(np.pad(tt_np, ((0, 0), (pad, 0))))
         state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
-                                 cfg, total, cfg_on, dtype)
+                                 cfg, total, cfg_on, dtype, kv_int8)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer,
                 text_start=text_start, text_len=text_len, hole=hole,
@@ -664,7 +672,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
                             "cache_total": total, "n_utt": n_utt,
                             "alignment": align_layer is not None,
-                            "use_fused": use_fused,
+                            "use_fused": use_fused, "kv_int8": kv_int8,
                             "mesh": (dict(mesh.shape) if mesh is not None
                                      else None)}
     return state, info

@@ -10,8 +10,9 @@ decode_block donates its whole carry. This probes the real product path:
   stage 1: t3.MAX_DECODE_UTTERANCES raised to 32, generate_batch over 32
            utterances (64 CFG rows) in ONE fused program, full 250-token
            decode — timed against the shipped sub-batched (16+16) behavior.
-  stage 2 (only if stage 1 OOMs): same at 125 tokens (halved cache slots).
-  stage 3 (only if stage 2 OOMs): int8 T3 weights (frees ~0.5 GB of HBM).
+  stage 2 (only if stage 1 OOMs): PROBE_INT8_KV=1 — the int8 KV cache
+          halves the 4 GB cache slabs AND the per-step cache-read bytes.
+  stage 3 (only if stage 2 OOMs): PROBE_TOKENS=125 (halved cache slots).
 
 Each stage prints one JSON line; a worker fault kills the process, which is
 itself the recorded outcome (run under `timeout`, check the exit code).
@@ -47,6 +48,8 @@ dtype = jnp.bfloat16
 rng = np.random.default_rng(0)
 
 t0 = time.time()
+if os.getenv("PROBE_INT8_KV") == "1":
+    os.environ["CHATTERBOX_INT8_KV"] = "1"
 params = init_on_cpu(t3_mod.init, jax.random.PRNGKey(0), cfg)
 if os.getenv("PROBE_INT8") == "1":
     from chatterbox_embed_tpu.utils.quantize import quantize_t3
@@ -90,6 +93,7 @@ def run(tokens: int, label: str):
         "compile_s": round(compile_s, 1),
         "cache_total": info.get("cache_total"), "n_utt": info.get("n_utt"),
         "int8": os.getenv("PROBE_INT8") == "1",
+        "kv_int8": info.get("kv_int8"),
     }), flush=True)
     return wall
 

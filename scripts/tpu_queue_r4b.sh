@@ -42,6 +42,20 @@ timeout 2400 python scripts/repro_cache_key_instability.py --runs 3 --vary \
   > /tmp/cache_repro.json 2>/tmp/cache_repro.log
 echo "[q2] cache repro rc=$?" >&2
 
+# 3b) int8 KV cache A/B at the batch sizes where decode is KV-bandwidth
+# bound (baselines: batch 8 = 0.984 s t3, batch 16 = 1.545 s from the
+# round-4 flash A/B; expected ~-40% at 16 from the HBM arithmetic)
+for B in 8 16; do
+  for FLAGS in "--int8-kv" "--int8-kv --int8"; do
+    wait_tunnel
+    echo "[q2] kv A/B batch=$B flags='$FLAGS' $(date +%H:%M:%S)" >&2
+    LINE=$(timeout 2400 python bench.py --batch $B --iters 3 $FLAGS \
+             2>/tmp/kv_stderr_${B}.log)
+    echo "{\"batch\": $B, \"flags\": \"$FLAGS\", \"result\": ${LINE:-null}}" \
+      | tee -a /tmp/kv_ab.jsonl
+  done
+done
+
 # 4) streaming geometry sensitivity at full size (weak #7)
 wait_tunnel
 echo "[q2] geometry study $(date +%H:%M:%S)" >&2

@@ -151,3 +151,42 @@ def test_int8_s3gen_mel_close(rng):
     assert cos > 0.99, cos
     rel = np.linalg.norm(mel_fp - mel_q8) / np.linalg.norm(mel_fp)
     assert rel < 0.15, rel
+
+
+def test_int8_kv_cache_decode(pair, rng, monkeypatch):
+    """int8 KV cache (CHATTERBOX_INT8_KV=1): batched XLA decode with
+    quantized cache slabs must stay numerically faithful — prefill logits
+    close to the fp-cache path, generation well-formed, flash/fused
+    precedence respected (llama.KVCache docstring has the bandwidth case)."""
+    params, _ = pair
+    cond = _cond(rng)
+    texts = rng.integers(1, 50, (4, 10)).astype(np.int32)
+    texts[:, 0] = 5
+    texts[:, -1] = 0
+    kw = dict(cfg_weight=0.4, max_new_tokens=12, cfg=TINY)
+    s_fp, _ = t3.start_generation(params, cond, texts, **kw)
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    s_q, info = t3.start_generation(params, cond, texts, **kw)
+    assert t3.LAST_GENERATION_INFO["kv_int8"] is True
+    assert s_q.cache.k.dtype == jnp.int8 and s_q.cache.k_scale is not None
+    la = np.asarray(s_fp.logits, np.float64)
+    lb = np.asarray(s_q.logits, np.float64)
+    cos = np.sum(la * lb) / (np.linalg.norm(la) * np.linalg.norm(lb))
+    assert cos > 0.995, cos
+    rel = np.linalg.norm(la - lb) / np.linalg.norm(la)
+    assert rel < 0.1, rel
+    # full decode runs and produces well-formed streams
+    outs = t3.generate_batch(params, cond, texts, max_new_tokens=12,
+                             cfg_weight=0.4, seed=3, cfg=TINY)
+    assert len(outs) == 4
+    for toks in outs:
+        assert np.all((toks >= 0) & (toks < TINY.speech_tokens_dict_size))
+    # token agreement with the fp-cache decode on the same seed: int8 KV
+    # error is small, so most steps match (sampling cascades after the
+    # first divergence make exact equality impossible to require)
+    monkeypatch.delenv("CHATTERBOX_INT8_KV")
+    outs_fp = t3.generate_batch(params, cond, texts, max_new_tokens=12,
+                                cfg_weight=0.4, seed=3, cfg=TINY)
+    first = [int(a[0] == b[0]) for a, b in zip(outs, outs_fp)
+             if a.size and b.size]
+    assert first and np.mean(first) >= 0.75, first

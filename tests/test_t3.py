@@ -204,7 +204,10 @@ def test_batched_flash_decode_matches_xla(tiny_t3, rng, monkeypatch):
     """The multi-row flash decode kernel (CHATTERBOX_PALLAS=1, interpreter on
     CPU) must reproduce the XLA decode path for a RAGGED batch: per-row text
     lengths ride the kernel as [lo, hi) key holes instead of forcing the XLA
-    fallback (round-2 weak #3/#7)."""
+    fallback (round-2 weak #3/#7). The product gate is 2 utterances since
+    the round-4 A/B — raise it here so the 3-row kernel parity stays
+    covered regardless of the shipped gate value."""
+    monkeypatch.setattr(t3, "FLASH_DECODE_MAX_UTTERANCES", 8)
     lt = 12
     rows = np.zeros((3, lt), np.int32)
     lens = np.asarray([6, 9, 12], np.int32)
