@@ -257,8 +257,13 @@ class ChatterboxTTS:
             t3_params = quantize_t3(t3_params)
         t3_params = jax.tree.map(jnp.asarray, t3_params)
         s3_sd = weights_mod.load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
-        s3gen_params = jax.tree.map(jnp.asarray,
-                                    weights_mod.convert_s3gen(s3_sd, cfg=config.s3gen))
+        s3gen_params = weights_mod.convert_s3gen(s3_sd, cfg=config.s3gen)
+        if _env_bool("CHATTERBOX_INT8_S3GEN", False):
+            # opt-in int8 flow-stack linears (conformer + CFM estimator);
+            # mel-distance bounds in scripts/int8_quality_gate.py
+            from .utils.quantize import quantize_s3gen
+            s3gen_params = quantize_s3gen(s3gen_params)
+        s3gen_params = jax.tree.map(jnp.asarray, s3gen_params)
         tokenizer = EnTokenizer(str(ckpt_dir / "tokenizer.json"))
         conds = None
         if (ckpt_dir / "conds.pt").exists():

@@ -197,3 +197,15 @@ def test_from_local_int8(ckpt_dir, monkeypatch):
     tts2 = ChatterboxTTS.from_local(ckpt_dir, config=TINY_CC)
     lp2 = tts2.t3_params["llama"]["layers"][0]["q"]
     assert np.asarray(lp2["w_q"]).dtype == np.int8
+    # CHATTERBOX_INT8=0 keeps fp even on accelerator backends (kill-switch)
+    monkeypatch.setenv("CHATTERBOX_INT8", "0")
+    tts3 = ChatterboxTTS.from_local(ckpt_dir, config=TINY_CC)
+    assert "w" in tts3.t3_params["llama"]["layers"][0]["q"]
+    # S3Gen int8 flow-stack opt-in on the same path
+    monkeypatch.setenv("CHATTERBOX_INT8_S3GEN", "1")
+    tts4 = ChatterboxTTS.from_local(ckpt_dir, config=TINY_CC)
+    blk = tts4.s3gen_params["flow"]["decoder"]["down"]["tblocks"][0]["q"]
+    assert np.asarray(blk["w_q"]).dtype == np.int8
+    wav = tts4.generate("hello again", audio_prompt_path=str(ckpt_dir / "ref.wav"),
+                        max_new_tokens=16, seed=2)
+    assert wav.shape[1] > 0 and np.isfinite(np.asarray(wav)).all()
