@@ -244,10 +244,17 @@ class ChatterboxVC:
 
     def clean_audio(self, in_path: str, out_path: Optional[str] = None) -> str:
         """Spectral-gate denoise + 85 Hz 6th-order high-pass + -3 dB peak norm
-        + edge trims. The reference uses `noisereduce`; we implement the same
-        stationary spectral gating in numpy/scipy."""
+        + edge trims. The reference calls `noisereduce` in NON-stationary
+        mode (vc.py:551-556: stationary=False, prop_decrease=0.85); the
+        default here matches that (time-smoothed per-frequency noise floor —
+        robust to drifting background, where a stationary gate collapses:
+        tests/test_aux.py pins the bounds). CHATTERBOX_CLEAN_STATIONARY=1
+        switches to the stationary gate."""
         wav, sr = audio_io.load_audio(in_path)
-        wav = _spectral_gate(wav, sr)
+        if os.getenv("CHATTERBOX_CLEAN_STATIONARY", "0") == "1":
+            wav = _spectral_gate(wav, sr)
+        else:
+            wav = _spectral_gate_nonstationary(wav, sr)
         sos = sp_signal.butter(6, 85.0, btype="highpass", fs=sr, output="sos")
         wav = sp_signal.sosfilt(sos, wav).astype(np.float32)
         peak = np.abs(wav).max()
@@ -457,6 +464,37 @@ def clone_voice(vc: ChatterboxVC, *, voice_id: str, voice_name: str = "",
             os.unlink(path)
         except OSError:
             pass
+
+
+def _spectral_gate_nonstationary(wav: np.ndarray, sr: int, n_fft: int = 1024,
+                                 prop_decrease: float = 0.85,
+                                 time_constant_s: float = 2.0,
+                                 thresh_mult: float = 2.0,
+                                 slope: float = 10.0) -> np.ndarray:
+    """Non-stationary spectral gating à la `noisereduce`'s
+    SpectralGateNonStationary — the mode the reference actually calls
+    (vc.py:551-556: stationary=False, prop_decrease=0.85): the noise floor
+    is a per-frequency TIME-SMOOTHED magnitude (time_constant_s window), so
+    slowly-varying background (babble, hum drift) is tracked instead of
+    assumed constant; bins are soft-masked by a sigmoid on their relative
+    excess over the floor."""
+    hop = n_fft // 4
+    if len(wav) < n_fft:
+        return wav
+    from scipy.ndimage import uniform_filter1d
+    f, t, z = sp_signal.stft(wav, fs=sr, nperseg=n_fft, noverlap=n_fft - hop)
+    mag = np.abs(z)
+    frames = max(1, int(time_constant_s * sr / hop))
+    floor = uniform_filter1d(mag, frames, axis=1, mode="nearest")
+    excess = (mag - floor) / (floor + 1e-12)
+    mask = 1.0 / (1.0 + np.exp(-(excess - thresh_mult) * slope))
+    # smooth the mask over time so note onsets don't flutter
+    mask = uniform_filter1d(mask, 5, axis=1, mode="nearest")
+    # noisereduce's blend: passed bins ~1, gated bins (1 - prop_decrease)
+    gain = mask * prop_decrease + (1.0 - prop_decrease)
+    _, clean = sp_signal.istft(z * gain, fs=sr, nperseg=n_fft,
+                               noverlap=n_fft - hop)
+    return clean[: len(wav)].astype(np.float32)
 
 
 def _spectral_gate(wav: np.ndarray, sr: int, n_fft: int = 1024,
