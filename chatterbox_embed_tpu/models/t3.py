@@ -647,7 +647,12 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # multi-chip serving: rows across dp, weights replicated; GSPMD
         # propagates through prefill + the decode while-loop (no collectives
         # in the hot loop)
-        from ..parallel.serve import shard_generation_inputs
+        from ..parallel.serve import shard_generation_inputs, replicate
+        # the cond arrays may be COMMITTED to one device (e.g. the
+        # tokenizer's output in prepare_conditionals_with_audio_prompt) —
+        # the eager context build mixes them with mesh-placed params, so
+        # replicate them onto the mesh first (tiny arrays, one transfer)
+        cond = replicate(mesh, cond)
         context = _pad_context(
             _build_context(params, cond, jnp.asarray(tt_np), cfg, cfg_on), pad)
         context, key_valid = shard_generation_inputs(mesh, context, key_valid)

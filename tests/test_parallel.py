@@ -68,6 +68,18 @@ def test_dp_tp_combined_batch(rng):
         assert toks.size >= 1
         assert np.all((toks >= 0) & (toks < TINY.speech_tokens_dict_size))
     assert t3.LAST_GENERATION_INFO["mesh"] == {"dp": 2, "tp": 4}
+    # conds whose arrays are COMMITTED to one device (the audio-prompt
+    # tokenizer path) must still work: the mesh branch replicates them
+    # (round-4 regression — eager context build with mixed device sets)
+    committed = t3.T3Cond(
+        speaker_emb=jax.device_put(cond.speaker_emb, jax.devices()[0]),
+        cond_prompt_speech_tokens=jax.device_put(
+            cond.cond_prompt_speech_tokens, jax.devices()[0]),
+        emotion_adv=0.5)
+    out_c = t3.generate_batch(sv, committed, texts, mesh=mesh,
+                              max_new_tokens=12, cfg_weight=0.4, seed=9,
+                              cfg=TINY)
+    assert len(out_c) == 4 and all(o.size >= 1 for o in out_c)
     # a dp-only serving mesh replicates instead of Megatron-sharding
     dp_mesh = make_dp_tp_mesh(4, tp=1)
     sv_dp = shard_t3_for_serving(dp_mesh, params)
