@@ -10,6 +10,7 @@ reference's registered `rand_noise` (flow_matching.py:191,213).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,16 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
 
+    # DeepCache-style mid-stack reuse (CHATTERBOX_CFM_CACHE=K, trace-time
+    # binding like the other perf knobs): the estimator's mid stack (~85%
+    # of the pass) is recomputed only on every K-th step and on the final
+    # step; in between the cached mid features ride the scan carry and only
+    # the shallow down/up stages run. K=0/1 disables (bit-identical plain
+    # path). OPT-IN: changes numerics (mel bounds in tests/test_s3gen.py).
+    cache_every = int(os.getenv("CHATTERBOX_CFM_CACHE", "0"))
+    n_steps = len(t_span_cosine(cfm.n_timesteps)) - 1
+    use_cache = cache_every >= 2 and comm is None and n_steps > 2
+
     def step(x, t_dt):
         t, dt = t_dt
         x2 = jnp.concatenate([x, x], axis=0)
@@ -73,7 +84,41 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
         v_cfg = (1.0 + w) * v_cond - w * v_uncond
         return x + dt * v_cfg, None
 
-    x_final, _ = jax.lax.scan(step, z.astype(jnp.float32), (ts, dts))
+    if not use_cache:
+        x_final, _ = jax.lax.scan(step, z.astype(jnp.float32), (ts, dts))
+        return x_final
+
+    reuse_flags = np.array(
+        [i % cache_every != 0 and i != n_steps - 1 for i in range(n_steps)])
+
+    def step_cached(carry, t_dt_r):
+        x, mid = carry
+        t, dt, reuse = t_dt_r
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), t, jnp.float32)
+
+        def fresh(args):
+            x2_, mid_ = args
+            return flow_decoder.forward_mid_cached(
+                params, x2_, mu2, t2, spks2, cond2, mask2, dec_cfg, dtype,
+                mid_feats=mid_, reuse_mid=False)
+
+        def cached(args):
+            x2_, mid_ = args
+            return flow_decoder.forward_mid_cached(
+                params, x2_, mu2, t2, spks2, cond2, mask2, dec_cfg, dtype,
+                mid_feats=mid_, reuse_mid=True)
+
+        v, mid = jax.lax.cond(reuse, cached, fresh, (x2, mid))
+        v_cond, v_uncond = v[:b], v[b:]
+        v_cfg = (1.0 + w) * v_cond - w * v_uncond
+        return (x + dt * v_cfg, mid), None
+
+    c_down = dec_cfg.channels
+    mid0 = jnp.zeros((2 * b, tlen, c_down), dtype)
+    (x_final, _), _ = jax.lax.scan(
+        step_cached, (z.astype(jnp.float32), mid0),
+        (ts, dts, jnp.asarray(reuse_flags)))
     return x_final
 
 

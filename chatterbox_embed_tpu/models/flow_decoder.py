@@ -190,3 +190,47 @@ def forward(params, x, mu, t, spks, cond, mask=None,
     h = _causal_block(params["final_block"], h, mask, dtype, comm)
     out = L.conv1d(params["final_proj"], h * mask, dtype=dtype)
     return (out * mask).astype(jnp.float32)
+
+
+def forward_mid_cached(params, x, mu, t, spks, cond, mask=None,
+                       cfg: FlowDecoderConfig = FlowDecoderConfig(),
+                       dtype=jnp.float32, mid_feats=None, reuse_mid=False):
+    """DeepCache-style solver-step acceleration: the mid stack (12 stages x
+    (resnet + 4 tblocks) at full size — ~85% of the pass) changes slowly
+    between adjacent ODE steps, so on `reuse_mid` steps we recompute only
+    the shallow down stage (whose output feeds the up stage's skip
+    connection) and substitute the CACHED mid output.
+
+    Returns (velocity, mid_feats): on fresh calls mid_feats is the newly
+    computed mid output (cache it); on reuse calls it is passed through.
+    Gated by CHATTERBOX_CFM_CACHE (cfm.solve_euler); opt-in because the
+    reuse changes numerics — mel-distance bounds in tests/test_s3gen.py."""
+    b, tlen, _ = x.shape
+    key_mask = None
+    if mask is None:
+        mask = jnp.ones((b, tlen, 1), x.dtype)
+    else:
+        key_mask = (mask[..., 0] > 0)[:, None, None, :]
+    t_emb = _sinusoidal_t(t, cfg.in_channels)
+    t_emb = L.linear(params["time_mlp"]["lin2"],
+                     jax.nn.silu(L.linear(params["time_mlp"]["lin1"], t_emb)))
+    h = jnp.concatenate(
+        [x, mu, jnp.broadcast_to(spks[:, None, :], (b, tlen, spks.shape[-1])), cond],
+        axis=-1).astype(dtype)
+    h = _stage(params["down"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
+    skip = h
+
+    if reuse_mid:
+        h = mid_feats
+    else:
+        h = _causal_conv3(params["down"]["downsample"], h * mask, dtype, None)
+        for st in params["mid"]:
+            h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype, key_mask)
+        mid_feats = h
+
+    h = jnp.concatenate([h, skip], axis=-1)
+    h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)
+    h = _causal_conv3(params["up"]["upsample"], h * mask, dtype, None)
+    h = _causal_block(params["final_block"], h, mask, dtype, None)
+    out = L.conv1d(params["final_proj"], h * mask, dtype=dtype)
+    return (out * mask).astype(jnp.float32), mid_feats

@@ -88,6 +88,33 @@ def test_cfm_deterministic(rng):
     assert m1.shape == (1, 16, 8)
 
 
+def test_cfm_mid_cache_solver(rng, monkeypatch):
+    """DeepCache-style mid-stack reuse (CHATTERBOX_CFM_CACHE=K): the fresh
+    (K unset / K=1) path is bit-identical to the plain solver, and the K=2
+    accelerated path stays close — the mid features it reuses between
+    adjacent Euler steps carry ~85%% of the estimator, so the output must
+    track the full solve (loose bound on random tiny weights; the real
+    sign-off is mel distance on converted checkpoints)."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    cond = jnp.zeros((2, 16, 8))
+    full = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC),
+                      np.float64)
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "1")
+    same = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC))
+    np.testing.assert_array_equal(same, full.astype(same.dtype))
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "2")
+    fast = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC),
+                      np.float64)
+    assert fast.shape == full.shape and np.isfinite(fast).all()
+    assert not np.array_equal(fast, full), "cache path must actually engage"
+    cos = np.sum(full * fast) / (np.linalg.norm(full) * np.linalg.norm(fast))
+    assert cos > 0.9, cos
+    rel = np.linalg.norm(full - fast) / np.linalg.norm(full)
+    assert rel < 0.5, rel
+
+
 def test_cfm_loss_finite(rng):
     params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
     x1 = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
