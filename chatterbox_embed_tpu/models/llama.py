@@ -100,6 +100,17 @@ def apply_rope(x, cos, sin):
 # forward
 # ---------------------------------------------------------------------------
 
+def _kv_int8_mode() -> int:
+    """CHATTERBOX_INT8_KV: 1 = int8 slabs with the convert fused into the
+    bf16 dot (XLA-dependent), 2 = native int8 x int8 MXU dots with q/w
+    quantized on the fly (no convert at all). Trace-time binding."""
+    import os
+    try:
+        return int(os.getenv("CHATTERBOX_INT8_KV", "0"))
+    except ValueError:
+        return 1
+
+
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:
@@ -195,22 +206,51 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             # XLA decode on the sequence-major cache WITHOUT transposing it:
             # a (B, L, H, D) transpose per layer per step churns gigabytes at
             # large batch (the batch-32 worker-crash culprit)
-            kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)      # (L, B, H, D)
-            logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
-                                preferred_element_type=jnp.float32)
-            if kv_int8:
-                # per-slot scale factors out of the dot: the int8 slab feeds
-                # the MXU directly, no dequantized copy
-                logits = logits * jnp.transpose(cks[i], (1, 2, 0))  # (B,H,L)
-            logits = logits / np.sqrt(cfg.head_dim)
-            km = attn_mask[:, 0]                                   # (B|1, L) key mask
-            logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
-            w = jax.nn.softmax(logits, axis=-1)
-            if collect_attn_layer is not None and i == collect_attn_layer:
-                attn_row = jnp.mean(w, axis=1)                     # (B, L) fp32
-            if kv_int8:
-                w = w * jnp.transpose(cvs[i], (1, 2, 0))
-            att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
+            if kv_int8 and _kv_int8_mode() == 2:
+                # mode 2: NATIVE int8 x int8 MXU dots (no int8->bf16 convert
+                # anywhere near the cache). q is quantized per (B, H) on the
+                # fly; the per-slot k scale factors out of the d-sum. For
+                # the value dot, the per-slot v scale is folded into the
+                # fp32 probabilities FIRST, then the product is quantized
+                # with one per-(B, H) scale — sum_l (w*s_l)*vq = ws * wi@vq.
+                qs = (jnp.max(jnp.abs(q[:, 0].astype(jnp.float32)),
+                              axis=-1, keepdims=True) / 127.0 + 1e-12)
+                qi = jnp.round(q[:, 0].astype(jnp.float32) / qs).astype(jnp.int8)
+                logits = jnp.einsum("bhd,lbhd->bhl", qi, ck[i],
+                                    preferred_element_type=jnp.int32)
+                logits = (logits.astype(jnp.float32) * qs
+                          * jnp.transpose(cks[i], (1, 2, 0)))
+                logits = logits / np.sqrt(cfg.head_dim)
+                km = attn_mask[:, 0]
+                logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
+                w = jax.nn.softmax(logits, axis=-1)
+                if collect_attn_layer is not None and i == collect_attn_layer:
+                    attn_row = jnp.mean(w, axis=1)
+                wv = w * jnp.transpose(cvs[i], (1, 2, 0))           # (B,H,L)
+                ws = jnp.max(wv, axis=-1, keepdims=True) / 127.0 + 1e-20
+                wi = jnp.round(wv / ws).astype(jnp.int8)
+                att_i = jnp.einsum("bhl,lbhd->bhd", wi, cv[i],
+                                   preferred_element_type=jnp.int32)
+                att = (att_i.astype(jnp.float32) * ws).astype(dtype)[:, None]
+            else:
+                kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)  # (L, B, H, D)
+                logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
+                                    preferred_element_type=jnp.float32)
+                if kv_int8:
+                    # per-slot scale factors out of the dot: the int8 slab
+                    # feeds the MXU directly, no dequantized copy (mode 1;
+                    # relies on XLA fusing the int8->bf16 convert into the
+                    # dot — mode 2 above removes the convert entirely)
+                    logits = logits * jnp.transpose(cks[i], (1, 2, 0))
+                logits = logits / np.sqrt(cfg.head_dim)
+                km = attn_mask[:, 0]                               # (B|1, L)
+                logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
+                w = jax.nn.softmax(logits, axis=-1)
+                if collect_attn_layer is not None and i == collect_attn_layer:
+                    attn_row = jnp.mean(w, axis=1)                 # (B, L)
+                if kv_int8:
+                    w = w * jnp.transpose(cvs[i], (1, 2, 0))
+                att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
         else:
             if cache is not None:
                 k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)

@@ -641,7 +641,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # docstring has the HBM arithmetic). The flash/fused kernels walk bf16
     # slabs, so they take precedence when engaged (<= 2 utts), exactly
     # where the cache is small and weights dominate instead.
-    kv_int8 = (os.getenv("CHATTERBOX_INT8_KV", "0") == "1"
+    kv_int8 = (os.getenv("CHATTERBOX_INT8_KV", "0") in ("1", "2")
                and not use_flash and not use_fused)
     if mesh is not None:
         # multi-chip serving: rows across dp, weights replicated; GSPMD

@@ -153,7 +153,8 @@ def test_int8_s3gen_mel_close(rng):
     assert rel < 0.15, rel
 
 
-def test_int8_kv_cache_decode(pair, rng, monkeypatch):
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_int8_kv_cache_decode(pair, rng, monkeypatch, mode):
     """int8 KV cache (CHATTERBOX_INT8_KV=1): batched XLA decode with
     quantized cache slabs must stay numerically faithful — prefill logits
     close to the fp-cache path, generation well-formed, flash/fused
@@ -165,7 +166,7 @@ def test_int8_kv_cache_decode(pair, rng, monkeypatch):
     texts[:, -1] = 0
     kw = dict(cfg_weight=0.4, max_new_tokens=12, cfg=TINY)
     s_fp, _ = t3.start_generation(params, cond, texts, **kw)
-    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", mode)
     s_q, info = t3.start_generation(params, cond, texts, **kw)
     assert t3.LAST_GENERATION_INFO["kv_int8"] is True
     assert s_q.cache.k.dtype == jnp.int8 and s_q.cache.k_scale is not None
