@@ -51,8 +51,8 @@ def main():
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
-    if args.int8_kv:
-        os.environ["CHATTERBOX_INT8_KV"] = "1"
+    if args.int8_kv and not os.getenv("CHATTERBOX_INT8_KV"):
+        os.environ["CHATTERBOX_INT8_KV"] = "1"   # CHATTERBOX_INT8_KV=2 for mode 2
 
     import jax
     if args.smoke:
