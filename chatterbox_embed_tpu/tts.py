@@ -128,6 +128,10 @@ class ChatterboxTTS:
         enable this via WORKER_MESH=dpxtp (e.g. "2x4")."""
         from .parallel import make_dp_tp_mesh, shard_t3_for_serving
         self.mesh = make_dp_tp_mesh(n_devices, tp=tp)
+        # streaming stays single-chip (fused first-chunk program): keep the
+        # pre-shard replica for it — mesh-sharded params cannot feed a
+        # single-device jit (committed device-set mismatch)
+        self._t3_params_single = self.t3_params
         self.t3_params = shard_t3_for_serving(self.mesh, self.t3_params)
         logger.info("serving mesh enabled: dp=%d tp=%d",
                     self.mesh.shape["dp"], self.mesh.shape["tp"])
@@ -703,6 +707,11 @@ class ChatterboxTTS:
         from .models import hifigan as hift_mod
         from . import streaming
 
+        # streaming is single-chip: on a mesh-enabled instance use the
+        # pre-shard replica (enable_mesh keeps it)
+        t3_params = (self._t3_params_single if self.mesh is not None
+                     else self.t3_params)
+
         gen = self.conds.gen
         dev = self._gen_device(gen)
         prompt_token = dev["prompt_token"]
@@ -740,7 +749,7 @@ class ChatterboxTTS:
         leftover = None
         if fused:
             fc, resume = streaming.first_chunk(
-                self.t3_params, self.s3gen_params, self.conds.t3, text_tokens,
+                t3_params, self.s3gen_params, self.conds.t3, text_tokens,
                 prompt_tokens=prompt_token, prompt_feat=prompt_feat,
                 embedding=embedding, block_tokens=block_tokens,
                 max_new_tokens=max_new_tokens, temperature=temperature,
@@ -776,10 +785,10 @@ class ChatterboxTTS:
                 # test_stream_fused_degenerate_equals_unfused.
                 leftover = valid
             token_stream = streaming.continue_tokens(
-                self.t3_params, fc, resume, cfg=self.cfg, dtype=self.dtype)
+                t3_params, fc, resume, cfg=self.cfg, dtype=self.dtype)
         else:
             token_stream = t3_mod.generate_stream(
-                self.t3_params, self.conds.t3, text_tokens,
+                t3_params, self.conds.t3, text_tokens,
                 max_new_tokens=max_new_tokens, temperature=temperature,
                 cfg_weight=cfg_weight, repetition_penalty=repetition_penalty,
                 min_p=min_p, top_p=top_p, seed=seed, block=block_tokens,

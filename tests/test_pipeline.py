@@ -394,6 +394,13 @@ def test_worker_mesh_integration(ref_voice_wav, tmp_path, monkeypatch):
     import pathlib
     stored = pathlib.Path(result["storage_url"])
     assert stored.exists() and stored.stat().st_size > 1000
+    # streaming on the SAME mesh-enabled instance uses the single-chip
+    # replica enable_mesh keeps (round-4 regression: sharded params cannot
+    # feed the fused first-chunk jit)
+    chunks = list(tts.stream_generate("Hello mesh streaming.", block_tokens=8,
+                                      max_new_tokens=16, cfg_weight=0.3, seed=5))
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all() and total.size > 0
 
 
 def test_worker_dlq(tmp_path):
