@@ -169,8 +169,11 @@ def main():
             pad[i, :n] = toks[:n]
         token_len = jnp.asarray([n_prompt + args.tokens])
         t_a = time.time()
-        # s3gen sub-batching (CFM attention memory; see tts.generate_batch)
-        sub = max(1, int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")))
+        # s3gen sub-batching (CFM attention memory; see tts.generate_batch).
+        # Derived from T_mel + free HBM; CHATTERBOX_S3GEN_SUB_BATCH overrides.
+        from chatterbox_embed_tpu.tts import _derive_s3gen_sub_batch
+        sub = _derive_s3gen_sub_batch(u, n_prompt + args.tokens, cfg.s3gen)
+        stage["s3gen_sub"] = sub
         wavs = []
         for s0 in range(0, u, sub):
             b = min(sub, u - s0)
@@ -243,7 +246,7 @@ def main():
             "int8": args.int8,
             "int8_s3gen": args.int8_s3gen,
             "kv_int8": gen_info.get("kv_int8"),
-            "s3gen_sub_batch": int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")),
+            "s3gen_sub_batch": int(stage.get("s3gen_sub", 0)),
         },
     }
     print(json.dumps(result))

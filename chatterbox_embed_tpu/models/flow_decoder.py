@@ -226,7 +226,11 @@ def forward_mid_cached(params, x, mu, t, spks, cond, mask=None,
         h = _causal_conv3(params["down"]["downsample"], h * mask, dtype, None)
         for st in params["mid"]:
             h = _stage(st, h, mask, t_emb, cfg.num_heads, dtype, key_mask)
-        mid_feats = h
+        # the carried cache must be `dtype` regardless of what the stage
+        # math promoted to (a float32 `mask` upcasts h under bf16 compute):
+        # the lax.cond in cfm.step_cached requires both branches to return
+        # the same mid dtype as the scan carry (cfm.py mid0)
+        mid_feats = h.astype(dtype)
 
     h = jnp.concatenate([h, skip], axis=-1)
     h = _stage(params["up"], h, mask, t_emb, cfg.num_heads, dtype, key_mask)

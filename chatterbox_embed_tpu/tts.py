@@ -54,6 +54,46 @@ def _bucket_tokens(n: int) -> int:
     return n
 
 
+# CFM-estimator HBM model for the sub-batch derivation (calibrated on v5e,
+# round 2-4 measurements; see PERF_NOTES "batched S3Gen"):
+#  - flash path (Pallas, >= 4 CFG rows): no materialised logits; activations
+#    + vocoder buffers scale linearly with the mel length. 256 KiB/frame/utt
+#    reproduces the known-good envelope (sub=16 at T_mel ~ 1.5k with margin).
+#  - XLA fallback: the (2B, H, T, T) fp32 attention logits dominate; charge
+#    two live buffers (scores + probs) plus the linear term.
+_S3GEN_FLASH_BYTES_PER_FRAME = 256 * 1024
+_S3GEN_HBM_FRACTION = 0.7
+
+
+def _derive_s3gen_sub_batch(u: int, n_tokens: int, cfg, *,
+                            free_hbm: int | None = None) -> int:
+    """Live rows per `token_to_wav` dispatch for the batched S3Gen pass.
+
+    CHATTERBOX_S3GEN_SUB_BATCH always wins. Otherwise derived from the mel
+    length (T_mel = 2 * (prompt + token-bucket)) and free HBM instead of a
+    static constant (round-3 verdict item): long utterances shrink the live
+    batch, short ones keep it wide. The result snaps DOWN to a power of two
+    so sub-batch programs stay bucket-keyed (one compile per size), and is
+    clamped to [1, u]."""
+    env = os.getenv("CHATTERBOX_S3GEN_SUB_BATCH")
+    if env:
+        return max(1, int(env))
+    from .models.layers import pallas_gate
+    from .utils.device import free_hbm_bytes
+    if free_hbm is None:
+        free_hbm = free_hbm_bytes()
+    t_mel = 2 * max(1, int(n_tokens))
+    linear = _S3GEN_FLASH_BYTES_PER_FRAME * t_mel
+    if pallas_gate(True):                       # flash estimator engages at
+        per_utt = linear                        # >= 4 CFG rows (sub >= 2)
+    else:
+        h = cfg.flow.decoder.num_heads
+        per_utt = 2 * h * t_mel * t_mel * 4 * 2 + linear
+    sub = int(max(1, (free_hbm * _S3GEN_HBM_FRACTION) // max(1, per_utt)))
+    sub = min(sub, max(1, int(u)))
+    return 1 << (sub.bit_length() - 1)          # snap down to a power of two
+
+
 def _env_bool(key: str, default: bool = False) -> bool:
     raw = os.getenv(key)
     if raw is None:
@@ -649,9 +689,10 @@ class ChatterboxTTS:
         embedding = jnp.broadcast_to(dev["embedding"],
                                      (u,) + dev["embedding"].shape[1:])
         token_len_all = np.asarray([n_prompt + n for n in lens])
-        # S3Gen sub-batches: the CFM estimator's full attention materialises
-        # (2B, H, T, T) logits — cap the live batch so long utterances fit HBM
-        sub = max(1, int(os.getenv("CHATTERBOX_S3GEN_SUB_BATCH", "8")))
+        # S3Gen sub-batches: cap the live batch so long utterances fit HBM.
+        # Derived from T_mel and free HBM (env CHATTERBOX_S3GEN_SUB_BATCH
+        # overrides) — see _derive_s3gen_sub_batch.
+        sub = _derive_s3gen_sub_batch(u, n_prompt + bkt, self.cfg.s3gen)
         t_s3 = time.time()
         outs = []
         for s0 in range(0, u, sub):

@@ -100,6 +100,23 @@ def to_default_device(tree):
     return jax.tree.unflatten(treedef, leaves_dev)
 
 
+def free_hbm_bytes(default: int = 12 * 1024**3) -> int:
+    """Best-effort free-HBM estimate for the default device.
+
+    TPU backends report `memory_stats()` (bytes_limit / bytes_in_use); CPU
+    and remote-dispatch backends that lack it fall back to `default`
+    (12 GiB ≈ a v5e's 16 GiB minus the resident bf16 checkpoint). Used to
+    derive batching knobs (tts._derive_s3gen_sub_batch); never fatal."""
+    try:
+        ms = jax.devices()[0].memory_stats()
+        free = int(ms["bytes_limit"]) - int(ms["bytes_in_use"])
+        if free > 0:
+            return free
+    except Exception:  # noqa: BLE001 — stats are an optimisation input only
+        pass
+    return default
+
+
 _COMPILE_CACHE_DIR: str | None = None
 
 

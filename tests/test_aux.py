@@ -262,3 +262,45 @@ def test_spectral_gate_speech_snr_bounds(noise_kind, snr_db):
     assert corr >= 0.9, f"speech correlation {corr:.3f}"
     e_ratio = np.mean(out[:n][loud] ** 2) / np.mean(noisy[:n][loud] ** 2)
     assert 0.5 <= e_ratio <= 1.1, f"speech energy ratio {e_ratio:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# derived S3Gen sub-batch (round-4: T/HBM-derived instead of the static 8)
+# ---------------------------------------------------------------------------
+
+def test_s3gen_sub_batch_env_override_wins(monkeypatch):
+    from chatterbox_embed_tpu.tts import _derive_s3gen_sub_batch
+    from chatterbox_embed_tpu.config import S3GenConfig
+    monkeypatch.setenv("CHATTERBOX_S3GEN_SUB_BATCH", "5")
+    assert _derive_s3gen_sub_batch(32, 700, S3GenConfig()) == 5
+
+
+def test_s3gen_sub_batch_properties(monkeypatch):
+    from chatterbox_embed_tpu.tts import _derive_s3gen_sub_batch
+    from chatterbox_embed_tpu.config import S3GenConfig
+    monkeypatch.delenv("CHATTERBOX_S3GEN_SUB_BATCH", raising=False)
+    cfg = S3GenConfig()
+    hbm = 12 * 1024**3
+    subs = [_derive_s3gen_sub_batch(32, n, cfg, free_hbm=hbm)
+            for n in (200, 700, 1500, 4000)]
+    # power-of-two snap, within [1, u]
+    for s in subs:
+        assert 1 <= s <= 32 and (s & (s - 1)) == 0
+    # monotone non-increasing in utterance length
+    assert subs == sorted(subs, reverse=True)
+    # clamped by the actual batch size
+    assert _derive_s3gen_sub_batch(2, 200, cfg, free_hbm=hbm) <= 2
+    # tiny HBM degrades to 1, never 0
+    assert _derive_s3gen_sub_batch(8, 4000, cfg, free_hbm=1 << 20) == 1
+
+
+def test_s3gen_sub_batch_reproduces_known_good_envelope(monkeypatch):
+    """At the bench shape (250 tokens + ~250-token prompt, T_mel ~ 1.5k) the
+    round-2 measurement ran sub=16 comfortably on a 16 GiB v5e — the derived
+    value with the flash estimator must allow at least that."""
+    from chatterbox_embed_tpu.tts import _derive_s3gen_sub_batch
+    from chatterbox_embed_tpu.config import S3GenConfig
+    monkeypatch.delenv("CHATTERBOX_S3GEN_SUB_BATCH", raising=False)
+    monkeypatch.setenv("CHATTERBOX_PALLAS", "1")   # flash estimator path
+    sub = _derive_s3gen_sub_batch(32, 760, S3GenConfig(), free_hbm=12 * 1024**3)
+    assert sub >= 16

@@ -115,6 +115,24 @@ def test_cfm_mid_cache_solver(rng, monkeypatch):
     assert rel < 0.5, rel
 
 
+def test_cfm_mid_cache_solver_bf16(rng, monkeypatch):
+    """Regression: under bf16 compute the fresh branch's mid features were
+    promoted to float32 by the fp32 pad mask while the scan carry (and the
+    reuse branch) stayed bf16 — lax.cond rejected the branch-type mismatch
+    at full size on TPU (round-4 queue, s3_sub16_cfmcache). The cached copy
+    must follow the compute dtype."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    cond = jnp.zeros((2, 16, 8))
+    mask = jnp.ones((2, 16, 1), jnp.float32)
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "2")
+    out = cfm.generate_mel(params, mu, spks, cond, mask=mask,
+                           dec_cfg=TINY_DEC, dtype=jnp.bfloat16)
+    assert out.shape == (2, 16, 8)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_cfm_loss_finite(rng):
     params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
     x1 = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
