@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny config on CPU")
     ap.add_argument("--utterances", type=int, default=3)
     ap.add_argument("--tokens", type=int, default=120)
+    ap.add_argument("--kv", default=None, choices=[None, "1", "2"],
+                    help="also gate the int8 KV cache (CHATTERBOX_INT8_KV mode)"
+                         " at the batch-4 XLA-decode shape")
     args = ap.parse_args()
     if args.smoke:
         import os
@@ -166,6 +169,64 @@ def main():
               f"median KL {kls[-1]:.5f}, mel cos {mel_cos[-1]:.4f} "
               f"rel {mel_rel[-1]:.4f}", file=sys.stderr)
 
+    kv_metrics = None
+    if args.kv:
+        # int8 KV cache fidelity (CHATTERBOX_INT8_KV): batched XLA decode
+        # with quantized cache slabs. Measured at the batch-4 shape where
+        # the XLA path actually engages (flash gate = 2): prefill logits
+        # through the quantized-cache attention must stay close, and
+        # free-running streams on the same seed must agree on their prefix
+        # (exact-token equality is impossible to require once one sample
+        # flips — report the first-divergence step instead).
+        import os as _os
+        texts_b = np.concatenate(
+            [np.full((4, 1), cfg.start_text_token, np.int32),
+             rng.integers(1, min(cfg.text_tokens_dict_size, 200),
+                          (4, 22)).astype(np.int32),
+             np.full((4, 1), cfg.stop_text_token, np.int32)], axis=1)
+        cond_b = t3_mod.T3Cond(
+            speaker_emb=jnp.asarray(rng.standard_normal((1, cfg.speaker_embed_size)),
+                                    jnp.float32),
+            cond_prompt_speech_tokens=jnp.asarray(
+                rng.integers(0, 100, (1, cfg.speech_cond_prompt_len)), jnp.int32),
+            emotion_adv=0.5)
+        kw = dict(cfg_weight=0.5, max_new_tokens=args.tokens, cfg=cfg, dtype=dtype)
+        prev = _os.environ.pop("CHATTERBOX_INT8_KV", None)
+        s_fp, _ = t3_mod.start_generation(params, cond_b, texts_b, **kw)
+        outs_fp = t3_mod.generate_batch(params, cond_b, texts_b, seed=11,
+                                        max_new_tokens=args.tokens,
+                                        cfg_weight=0.5, cfg=cfg, dtype=dtype)
+        _os.environ["CHATTERBOX_INT8_KV"] = args.kv
+        s_q, _ = t3_mod.start_generation(params, cond_b, texts_b, **kw)
+        assert t3_mod.LAST_GENERATION_INFO.get("kv_int8"), \
+            "int8 KV did not engage (flash/fused precedence?)"
+        outs_q = t3_mod.generate_batch(params, cond_b, texts_b, seed=11,
+                                       max_new_tokens=args.tokens,
+                                       cfg_weight=0.5, cfg=cfg, dtype=dtype)
+        if prev is None:
+            _os.environ.pop("CHATTERBOX_INT8_KV", None)
+        else:
+            _os.environ["CHATTERBOX_INT8_KV"] = prev
+        la = np.asarray(s_fp.logits, np.float64)
+        lb = np.asarray(s_q.logits, np.float64)
+        cos = float(np.sum(la * lb) / (np.linalg.norm(la) * np.linalg.norm(lb)))
+        relq = float(np.linalg.norm(la - lb) / np.linalg.norm(la))
+        div = []
+        for a, b2 in zip(outs_fp, outs_q):
+            n = min(a.size, b2.size)
+            neq = np.nonzero(a[:n] != b2[:n])[0]
+            div.append(int(neq[0]) if neq.size else n)
+        kv_metrics = {
+            "mode": args.kv,
+            "prefill_logit_cosine": cos,
+            "prefill_logit_rel_l2": relq,
+            "first_divergence_steps": div,
+            "median_first_divergence": float(np.median(div)),
+            "pass": cos > 0.995 and relq < 0.1 and float(np.median(div)) >= 8,
+        }
+        print(f"[gate] kv int8 mode {args.kv}: cos {cos:.5f} rel {relq:.4f} "
+              f"first-div {div}", file=sys.stderr)
+
     result = {
         "top1_agreement": float(np.mean(agree)) if agree else 0.0,
         "median_kl_nats": float(np.median(kls)) if kls else 1e9,
@@ -175,6 +236,8 @@ def main():
         "utterances": len(agree),
         "weights": "checkpoint" if args.ckpt else "random",
     }
+    if kv_metrics is not None:
+        result["kv_int8"] = kv_metrics
     result["pass"] = (result["top1_agreement"] >= 0.97
                       and result["median_kl_nats"] < 0.02
                       and result["mel_cosine"] >= 0.995
