@@ -52,7 +52,8 @@ def init(key, cfg: S3GenConfig = S3GenConfig()):
 def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
                       prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
                       embedding: jnp.ndarray, finalize: bool = True,
-                      cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+                      cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
+                      prompt_len: Optional[jnp.ndarray] = None):
     """CausalMaskedDiffWithXvec.inference (reference: flow.py:236-282).
 
     Args:
@@ -61,6 +62,10 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
       prompt_tokens: (B, T_p) reference speech tokens
       prompt_feat:   (B, T_mel_p, 80) reference mel (mel-rate = 2 x token-rate)
       embedding:     (B, 192) CAMPPlus x-vector
+      prompt_len:    optional (B,) valid prompt lengths for MULTI-VOICE
+                     batches (rows carry different reference prompts padded
+                     to a common T_p). None (default) keeps the static
+                     shared-prompt layout bit-exactly.
     Returns (B, 2*T_tok(-lookahead), 80) fp32 mel for the generated part only.
     """
     fl = params["flow"]
@@ -68,7 +73,23 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
     emb = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True)
     spks = L.linear(fl["spk_embed_affine"], emb.astype(jnp.float32))
 
-    full = jnp.concatenate([prompt_tokens, tokens], axis=1)
+    if prompt_len is None:
+        full = jnp.concatenate([prompt_tokens, tokens], axis=1)
+    else:
+        # ragged prompts: row b is [prompt_b(:p_b); generated_b; pad] — a
+        # gather keeps each row contiguous (no pad hole between prompt and
+        # generated tokens, which would shift conformer positions per row)
+        assert finalize, "ragged prompts: streaming windows are single-voice"
+        p_max, t_gen = prompt_tokens.shape[1], tokens.shape[1]
+        j = jnp.arange(p_max + t_gen)[None]                    # (1, t)
+        pl = prompt_len[:, None]                               # (B, 1)
+        b_rows = prompt_tokens.shape[0]
+        pidx = jnp.broadcast_to(jnp.clip(j, 0, p_max - 1),
+                                (b_rows, j.shape[1]))
+        gidx = jnp.clip(j - pl, 0, t_gen - 1)
+        full = jnp.where(j < pl,
+                         jnp.take_along_axis(prompt_tokens, pidx, axis=1),
+                         jnp.take_along_axis(tokens, gidx, axis=1))
     t = full.shape[1]
     mask = (jnp.arange(t)[None] < token_len[:, None])
     x = L.embedding(fl["input_embedding"], jnp.clip(full, 0, None))
@@ -78,11 +99,18 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
     if not finalize:
         h = h[:, : -cfg.flow.pre_lookahead_len * cfg.flow.token_mel_ratio]
     mel_len1 = prompt_feat.shape[1]
-    mel_len2 = h.shape[1] - mel_len1
     h = L.linear(fl["encoder_proj"], h.astype(jnp.float32))
 
     conds = jnp.zeros((h.shape[0], h.shape[1], cfg.flow.output_size), h.dtype)
-    conds = conds.at[:, :mel_len1].set(prompt_feat)
+    if prompt_len is None:
+        conds = conds.at[:, :mel_len1].set(prompt_feat)
+    else:
+        # per-row prompt frames: positions m < 2*p_b carry the reference mel
+        m = jnp.arange(h.shape[1])[None]
+        pf = jnp.pad(prompt_feat.astype(h.dtype),
+                     ((0, 0), (0, h.shape[1] - mel_len1), (0, 0)))
+        mel_pl = cfg.flow.token_mel_ratio * prompt_len[:, None]
+        conds = jnp.where((m < mel_pl)[..., None], pf, conds)
 
     # mel-rate validity mask: bucket padding must not leak into valid frames
     mel_valid = cfg.flow.token_mel_ratio * token_len
@@ -93,7 +121,13 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
 
     mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=mel_mask,
                            cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder, dtype=dtype)
-    return mel[:, mel_len1:]
+    if prompt_len is None:
+        return mel[:, mel_len1:]
+    # realign: row b's generated frames start at 2*p_b
+    t_gen2 = cfg.flow.token_mel_ratio * tokens.shape[1]
+    m2 = jnp.arange(t_gen2)[None] + cfg.flow.token_mel_ratio * prompt_len[:, None]
+    m2 = jnp.clip(m2, 0, mel.shape[1] - 1)
+    return jnp.take_along_axis(mel, m2[..., None], axis=1)
 
 
 _flow_to_mel_jit = jax.jit(_flow_to_mel_impl,
@@ -102,11 +136,13 @@ _flow_to_mel_jit = jax.jit(_flow_to_mel_impl,
 
 def flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
                 embedding, finalize: bool = True,
-                cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32):
+                cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
+                prompt_len=None):
     """Jitted tokens->mel (one program per (bucket, prompt, finalize) shape;
     eager tracing would cost hundreds of dispatches on remote backends)."""
     return _flow_to_mel_jit(params, tokens, token_len, prompt_tokens,
-                            prompt_feat, embedding, finalize, cfg, dtype)
+                            prompt_feat, embedding, finalize, cfg, dtype,
+                            prompt_len)
 
 
 def _flow_to_mel_window_impl(params, tokens: jnp.ndarray, vlen: jnp.ndarray,
@@ -206,9 +242,11 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
 
 def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                        embedding, key, finalize: bool,
-                       cfg: S3GenConfig, dtype, apply_fade: bool):
+                       cfg: S3GenConfig, dtype, apply_fade: bool,
+                       prompt_len=None):
     mel = _flow_to_mel_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
-                            embedding, finalize, cfg, dtype)
+                            embedding, finalize, cfg, dtype,
+                            prompt_len=prompt_len)
     wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
     if apply_fade:
         fade = jnp.asarray(trim_fade())
@@ -223,15 +261,18 @@ _token_to_wav_jit = jax.jit(_token_to_wav_impl,
 def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
                  embedding, key=None, finalize: bool = True,
                  cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                 apply_fade: bool = True):
+                 apply_fade: bool = True, prompt_len=None):
     """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav).
 
     ONE jitted program per (token-bucket, prompt) shape: on remote-dispatch
-    backends an un-jitted trace costs hundreds of host round-trips."""
+    backends an un-jitted trace costs hundreds of host round-trips.
+    `prompt_len` (B,) enables MULTI-VOICE rows whose reference prompts are
+    padded to a common width (see _flow_to_mel_impl)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     return _token_to_wav_jit(params, tokens, token_len, prompt_tokens, prompt_feat,
-                             embedding, key, finalize, cfg, dtype, apply_fade)
+                             embedding, key, finalize, cfg, dtype, apply_fade,
+                             prompt_len)
 
 
 # ---------------------------------------------------------------------------

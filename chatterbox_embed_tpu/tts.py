@@ -142,6 +142,9 @@ class ChatterboxTTS:
         # (3 of them put ~0.1 s on the round-2 TTFA path)
         self._gen_dev_key = None
         self._gen_dev: Optional[Dict[str, jnp.ndarray]] = None
+        # multi-voice batches: stacked per-voice prompt bundles, keyed by the
+        # voice-id tuple (bounded; each entry pins its source dicts)
+        self._gen_dev_multi: Dict[Any, Dict[str, Any]] = {}
 
         # perf counters: `perf` is the LAST request's stage timing (the
         # runtime counterpart of the reference's per-run generation-time /
@@ -565,6 +568,47 @@ class ChatterboxTTS:
             self._gen_dev_ref = gen   # pin the dict so its id can't recycle
         return self._gen_dev
 
+    def _gen_device_multi(self, conds_list) -> Dict[str, Any]:
+        """Stacked device-resident prompt bundle for a MULTI-VOICE batch:
+        per-voice prompt tokens / mels padded to a shared 64-token-bucketed
+        width (one compiled s3gen program per (token-bucket, prompt-bucket)
+        pair), per-row valid prompt lengths riding along. Cached per
+        voice-id tuple — repeat batches over the same voice set transfer
+        nothing."""
+        key = tuple(id(c.gen) for c in conds_list)
+        hit = self._gen_dev_multi.get(key)
+        if hit is not None:
+            return hit
+        p_lens = [int(np.asarray(c.gen["prompt_token_len"]).reshape(-1)[0])
+                  for c in conds_list]
+        p_bkt = max(64, -(-max(p_lens) // 64) * 64)
+        u = len(conds_list)
+        n_mel = int(np.asarray(conds_list[0].gen["prompt_feat"]).shape[-1])
+        pt = np.zeros((u, p_bkt), np.int32)
+        pf = np.zeros((u, 2 * p_bkt, n_mel), np.float32)
+        em = np.zeros((u, np.asarray(conds_list[0].gen["embedding"]).shape[-1]),
+                      np.float32)
+        for i, c in enumerate(conds_list):
+            g = c.gen
+            p = p_lens[i]
+            pt[i, :p] = np.asarray(g["prompt_token"]).reshape(1, -1)[0, :p]
+            feat = np.asarray(g["prompt_feat"])
+            feat = feat.reshape(feat.shape[-2], feat.shape[-1])[: 2 * p]
+            pf[i, : feat.shape[0]] = feat
+            em[i] = np.asarray(g["embedding"]).reshape(-1)
+        bundle = dict(
+            prompt_token=jnp.asarray(pt),
+            prompt_feat=jnp.asarray(pf),
+            embedding=jnp.asarray(em),
+            prompt_len=np.asarray(p_lens, np.int32),
+            p_bkt=p_bkt,
+            _pins=[c.gen for c in conds_list])  # keep ids stable
+        jax.block_until_ready(bundle["prompt_feat"])
+        if len(self._gen_dev_multi) >= 8:
+            self._gen_dev_multi.pop(next(iter(self._gen_dev_multi)))
+        self._gen_dev_multi[key] = bundle
+        return bundle
+
     def _run_s3gen(self, speech_tokens: np.ndarray, gen: Dict[str, Any],
                    seed: int = 0) -> np.ndarray:
         """tokens -> wav via the bucketed jitted graph; returns (T,) float32."""
@@ -636,9 +680,21 @@ class ChatterboxTTS:
         batches story chunks that each carry their own adaptive parameters.
         `exaggeration=None` (the default) keeps the prepared conditionals'
         emotion setting, matching `generate`'s behavior.
+
+        MULTI-VOICE batching: `conds` may be a sequence of `Conditionals`,
+        one per text row — T3 decodes every voice in the same lock-step
+        block (per-row speaker/prompt/emotion conditioning rows) and S3Gen
+        runs ragged per-row reference prompts (models/s3gen.py prompt_len).
+        The reference processes one voice per job; this batches ACROSS jobs.
         """
-        conds = conds if conds is not None else self.conds
-        assert conds is not None, "prepare conditionals first"
+        multi = isinstance(conds, (list, tuple))
+        if multi:
+            conds_list = list(conds)
+            assert len(conds_list) == len(texts), \
+                "multi-voice: one Conditionals per text"
+        else:
+            conds = conds if conds is not None else self.conds
+            assert conds is not None, "prepare conditionals first"
         sot, eot = self.cfg.t3.start_text_token, self.cfg.t3.stop_text_token
         rows = [np.concatenate([[sot], self.tokenizer.text_to_tokens(t)[0], [eot]])
                 for t in texts]
@@ -647,7 +703,22 @@ class ChatterboxTTS:
         text_lens = np.asarray([len(r) for r in rows], np.int32)
         for i, r in enumerate(rows):
             text_tokens[i, :len(r)] = r
-        t3_cond = conds.t3
+        if multi:
+            pts = [c.t3.cond_prompt_speech_tokens for c in conds_list]
+            assert len({None if p is None else p.shape[-1] for p in pts}) == 1, \
+                "multi-voice: T3 cond prompt lengths must match"
+            t3_cond = t3_mod.T3Cond(
+                speaker_emb=jnp.concatenate(
+                    [jnp.asarray(c.t3.speaker_emb).reshape(1, -1)
+                     for c in conds_list]),
+                cond_prompt_speech_tokens=(
+                    None if pts[0] is None else jnp.concatenate(
+                        [jnp.asarray(p).reshape(1, p.shape[-1]) for p in pts])),
+                emotion_adv=jnp.asarray(
+                    [float(np.asarray(c.t3.emotion_adv).reshape(-1)[0])
+                     for c in conds_list], jnp.float32))
+        else:
+            t3_cond = conds.t3
         if exaggeration is not None:
             # scalar or per-row emotion conditioning (cond_embeds broadcasts
             # the shared voice rows against the per-row emotion rows)
@@ -664,7 +735,6 @@ class ChatterboxTTS:
             mesh=self.mesh, cfg=self.cfg.t3, dtype=self.dtype)
         t3_s = time.time() - t_t3
 
-        gen = conds.gen
         u = len(texts)
         lens = []
         max_n = 1
@@ -678,30 +748,46 @@ class ChatterboxTTS:
         toks_arr = np.zeros((u, bkt), np.int32)
         for i, toks in enumerate(token_lists):
             toks_arr[i, :len(toks)] = toks
-        n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
-        # transfer the 1-row prompt arrays once (device cache), broadcast on
-        # DEVICE — host-side broadcast_to shipped u copies over the wire
-        dev = self._gen_device(gen)
-        prompt_token = jnp.broadcast_to(dev["prompt_token"],
-                                        (u,) + dev["prompt_token"].shape[1:])
-        prompt_feat = jnp.broadcast_to(dev["prompt_feat"],
-                                       (u,) + dev["prompt_feat"].shape[1:])
-        embedding = jnp.broadcast_to(dev["embedding"],
-                                     (u,) + dev["embedding"].shape[1:])
-        token_len_all = np.asarray([n_prompt + n for n in lens])
+        if multi:
+            bundle = self._gen_device_multi(conds_list)
+            prompt_token = bundle["prompt_token"]
+            prompt_feat = bundle["prompt_feat"]
+            embedding = bundle["embedding"]
+            p_lens = bundle["prompt_len"]
+            prompt_len_dev = jnp.asarray(p_lens)
+            token_len_all = np.asarray(
+                [int(p_lens[i]) + lens[i] for i in range(u)])
+            n_prompt_w = bundle["p_bkt"]
+        else:
+            gen = conds.gen
+            n_prompt = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
+            # transfer the 1-row prompt arrays once (device cache), broadcast
+            # on DEVICE — host-side broadcast_to shipped u copies over the wire
+            dev = self._gen_device(gen)
+            prompt_token = jnp.broadcast_to(dev["prompt_token"],
+                                            (u,) + dev["prompt_token"].shape[1:])
+            prompt_feat = jnp.broadcast_to(dev["prompt_feat"],
+                                           (u,) + dev["prompt_feat"].shape[1:])
+            embedding = jnp.broadcast_to(dev["embedding"],
+                                         (u,) + dev["embedding"].shape[1:])
+            prompt_len_dev = None
+            token_len_all = np.asarray([n_prompt + n for n in lens])
+            n_prompt_w = n_prompt
         # S3Gen sub-batches: cap the live batch so long utterances fit HBM.
         # Derived from T_mel and free HBM (env CHATTERBOX_S3GEN_SUB_BATCH
         # overrides) — see _derive_s3gen_sub_batch.
-        sub = _derive_s3gen_sub_batch(u, n_prompt + bkt, self.cfg.s3gen)
+        sub = _derive_s3gen_sub_batch(u, n_prompt_w + bkt, self.cfg.s3gen)
         t_s3 = time.time()
         outs = []
         for s0 in range(0, u, sub):
             s1 = min(u, s0 + sub)
             wav = s3gen_mod.token_to_wav(
                 self.s3gen_params, jnp.asarray(toks_arr[s0:s1]),
-                jnp.asarray(token_len_all[s0:s1]), prompt_token[:s1 - s0],
-                prompt_feat[:s1 - s0], embedding[:s1 - s0],
-                key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype)
+                jnp.asarray(token_len_all[s0:s1]), prompt_token[s0:s1],
+                prompt_feat[s0:s1], embedding[s0:s1],
+                key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype,
+                prompt_len=(None if prompt_len_dev is None
+                            else prompt_len_dev[s0:s1]))
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
         self._record_perf(t3_s, time.time() - t_s3, int(np.sum(lens)),

@@ -448,6 +448,43 @@ def test_generate_batch(tts, ref_voice_wav, tmp_path):
         assert w.size % 960 == 0  # 2 mel frames * 480 samples per token
 
 
+def test_generate_batch_multivoice(tts, ref_voice_wav, tmp_path):
+    """Multi-voice lock-step batch: two DIFFERENT voices (different reference
+    durations -> different s3gen prompt lengths) decoded in one T3 block and
+    one ragged-prompt S3Gen dispatch. The reference can only run one voice
+    per job; this batches across jobs."""
+    from chatterbox_embed_tpu.stitching.stitcher import write_wav
+    rng = np.random.default_rng(9)
+    t = np.arange(int(1.2 * 24_000)) / 24_000
+    wav2 = (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+    ref2 = str(tmp_path / "ref2.wav")
+    write_wav(ref2, wav2, 24_000)
+
+    prof1 = str(tmp_path / "mv1.npy")
+    prof2 = str(tmp_path / "mv2.npy")
+    tts.save_voice_profile(ref_voice_wav, prof1)
+    tts.save_voice_profile(ref2, prof2)
+    tts.prepare_conditionals_with_voice_profile(prof1, exaggeration=0.4)
+    c1 = tts.conds
+    tts.prepare_conditionals_with_voice_profile(prof2, exaggeration=0.7)
+    c2 = tts.conds
+    p1 = int(np.asarray(c1.gen["prompt_token_len"]).reshape(-1)[0])
+    p2 = int(np.asarray(c2.gen["prompt_token_len"]).reshape(-1)[0])
+    assert p1 != p2, "fixture should exercise ragged prompts"
+
+    wavs = tts.generate_batch(["Hello there friend.", "A second sentence now."],
+                              max_new_tokens=16, cfg_weight=0.3, seed=3,
+                              conds=[c1, c2])
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()
+        assert w.size % 960 == 0
+    # bundle cache: same voice tuple -> no rebuild
+    k = tuple(id(c.gen) for c in (c1, c2))
+    assert k in tts._gen_dev_multi
+
+
 def test_vc_tts_and_clean_audio(ref_voice_wav, tmp_path):
     """VC profile-based TTS (punc_norm -> T3 -> S3Gen -> watermark -> -1 dBFS
     peak norm) and the clean_audio denoise chain."""

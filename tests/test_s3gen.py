@@ -204,6 +204,54 @@ def test_s3gen_token_to_wav(tiny_s3gen, rng):
     assert np.abs(np.asarray(wav)[0, :480]).max() == 0.0
 
 
+def test_flow_to_mel_ragged_multivoice_matches_solo(tiny_s3gen, rng):
+    """Multi-voice batching: rows with DIFFERENT reference prompts (padded to
+    a common width, per-row prompt_len) must reproduce each voice's solo
+    flow_to_mel output. The ragged path lays rows out contiguously via a
+    gather ([prompt_b; generated_b; pad]) so conformer positions and the
+    absolute-position CFM noise match the solo run exactly."""
+    params, cfg = tiny_s3gen
+    p_lens = [8, 5]
+    n_gen = [20, 17]
+    p_max, g_max = max(p_lens), max(n_gen)
+    toks = np.zeros((2, g_max), np.int32)
+    p_toks = np.zeros((2, p_max), np.int32)
+    p_feat = np.zeros((2, 2 * p_max, 8), np.float32)
+    embs = rng.standard_normal((2, 16)).astype(np.float32)
+    solo = []
+    for i, (pl, ng) in enumerate(zip(p_lens, n_gen)):
+        tk = rng.integers(0, 100, (1, ng)).astype(np.int32)
+        pt = rng.integers(0, 100, (1, pl)).astype(np.int32)
+        pf = rng.standard_normal((1, 2 * pl, 8)).astype(np.float32)
+        toks[i, :ng] = tk
+        p_toks[i, :pl] = pt
+        p_feat[i, : 2 * pl] = pf
+        solo.append(np.asarray(s3gen.flow_to_mel(
+            params, jnp.asarray(tk), jnp.asarray([pl + ng]), jnp.asarray(pt),
+            jnp.asarray(pf), jnp.asarray(embs[i: i + 1]), cfg=cfg)))
+    batched = np.asarray(s3gen.flow_to_mel(
+        params, jnp.asarray(toks),
+        jnp.asarray([p + n for p, n in zip(p_lens, n_gen)]),
+        jnp.asarray(p_toks), jnp.asarray(p_feat), jnp.asarray(embs),
+        cfg=cfg, prompt_len=jnp.asarray(p_lens)))
+    for i, ng in enumerate(n_gen):
+        np.testing.assert_allclose(batched[i, : 2 * ng], solo[i][0],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_token_to_wav_ragged_multivoice(tiny_s3gen, rng):
+    params, cfg = tiny_s3gen
+    toks = jnp.asarray(rng.integers(0, 100, (2, 20)).astype(np.int32))
+    p_toks = jnp.asarray(rng.integers(0, 100, (2, 8)).astype(np.int32))
+    p_feat = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    embs = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    wav = s3gen.token_to_wav(params, toks, jnp.asarray([28, 25]), p_toks,
+                             p_feat, embs, key=jax.random.PRNGKey(0), cfg=cfg,
+                             prompt_len=jnp.asarray([8, 5]))
+    assert wav.shape == (2, 40 * 480)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 def test_voice_profile_roundtrip(tmp_path, rng):
     p = s3gen.VoiceProfile(
         embedding=rng.standard_normal((1, 192)).astype(np.float32),

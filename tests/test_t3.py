@@ -243,3 +243,55 @@ def test_one_compiled_program_per_bucket(tiny_t3, rng):
         assert out.size >= 1
     assert t3._context_prefill._cache_size() == 1
     assert t3.decode_block._cache_size() == 1
+
+
+def test_multivoice_batched_prefill_matches_solo(tiny_t3, rng):
+    """Multi-voice lock-step batching: a T3Cond carrying (U, ...) per-row
+    speaker embeddings / prompt tokens / emotion must give each row the SAME
+    prefill logits as that voice's solo start_generation (teacher-forced
+    determinism isolates the conditioning path from sampling cascades)."""
+    # equal text lengths: solo-vs-batch comparability needs the BOS at the
+    # same context column (ragged rows shift it; that path is covered by the
+    # key_valid cache tests) — this test isolates the per-row CONDITIONING
+    texts = np.full((2, 10), 0, np.int32)
+    texts[:, 0] = 5
+    texts[:, 1:9] = rng.integers(1, 50, (2, 8))
+    text_lens = np.asarray([10, 10], np.int32)
+    conds = [t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(
+            rng.integers(0, 36, (1, 6)).astype(np.int32)),
+        emotion_adv=float(e)) for e in (0.3, 0.8)]
+    kw = dict(cfg_weight=0.4, max_new_tokens=12, cfg=TINY)
+    solo = []
+    for i, c in enumerate(conds):
+        s, _ = t3.start_generation(tiny_t3, c, texts[i: i + 1], **kw)
+        solo.append(np.asarray(s.logits, np.float64))
+    stacked = t3.T3Cond(
+        speaker_emb=jnp.concatenate([c.speaker_emb for c in conds]),
+        cond_prompt_speech_tokens=jnp.concatenate(
+            [c.cond_prompt_speech_tokens for c in conds]),
+        emotion_adv=jnp.asarray([0.3, 0.8], jnp.float32))
+    s_b, _ = t3.start_generation(tiny_t3, stacked, texts, text_lens=text_lens,
+                                 **kw)
+    lb = np.asarray(s_b.logits, np.float64)          # rows [cond0..1; unc0..1]
+    for i in range(2):
+        # same text bucket => bit-comparable modulo bf16-free CPU math
+        np.testing.assert_allclose(lb[i], solo[i][0], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(lb[2 + i], solo[i][1], rtol=1e-4, atol=1e-4)
+
+
+def test_multivoice_generate_batch_runs(tiny_t3, rng):
+    texts = np.full((2, 9), 0, np.int32)
+    texts[:, 0] = 5
+    texts[:, 1:8] = rng.integers(1, 50, (2, 7))
+    stacked = t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(
+            rng.integers(0, 36, (2, 6)).astype(np.int32)),
+        emotion_adv=jnp.asarray([0.4, 0.6], jnp.float32))
+    outs = t3.generate_batch(tiny_t3, stacked, texts, max_new_tokens=10,
+                             cfg_weight=0.4, seed=5, cfg=TINY)
+    assert len(outs) == 2
+    for toks in outs:
+        assert np.all((toks >= 0) & (toks < TINY.speech_tokens_dict_size))
