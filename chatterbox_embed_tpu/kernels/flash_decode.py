@@ -82,14 +82,15 @@ def _chunk_rows(f: int, itemsize: int, lcache: int) -> int:
     return c
 
 
-def _kernel(head_dim: int, fblk: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm,
-            out_ref, k_buf, v_buf, sems):
+def _kernel(head_dim: int, fblk: int, has_cur: bool, pos_ref, q_ref, hole_ref,
+            kcur_ref, vcur_ref, k_hbm, v_hbm, out_ref, k_buf, v_buf, sems):
     f = q_ref.shape[1]
     n_blk = f // fblk
     gblk = fblk // head_dim
     chunk = k_buf.shape[1]
     pos = pos_ref[0]
     start = pos_ref[1]
+    li = pos_ref[2]          # layer index into the stacked (n_layers, Lc, F)
     # slots < start are dead (bucket left-padding) — skip their slabs
     # entirely instead of DMAing them and masking to zero
     c0 = start // chunk
@@ -104,9 +105,9 @@ def _kernel(head_dim: int, fblk: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm,
     rc = r32.astype(k_buf.dtype)
 
     def dma(slot, c):
-        return [pltpu.make_async_copy(k_hbm.at[pl.ds(c * chunk, chunk)],
+        return [pltpu.make_async_copy(k_hbm.at[li, pl.ds(c * chunk, chunk)],
                                       k_buf.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[pl.ds(c * chunk, chunk)],
+                pltpu.make_async_copy(v_hbm.at[li, pl.ds(c * chunk, chunk)],
                                       v_buf.at[slot], sems.at[slot, 1])]
 
     for cp in dma(c0 % 2, c0):
@@ -164,6 +165,37 @@ def _kernel(head_dim: int, fblk: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm,
     l0 = jnp.zeros((1, g_total), jnp.float32)
     acc0 = jnp.zeros((1, f), jnp.float32)
     m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
+
+    if has_cur:
+        # fold the CURRENT token's k/v row as a virtual height-1 final chunk:
+        # the row is not yet in the HBM cache (deferred stacked insert — the
+        # per-layer dynamic_update_slice chain was 434 us/step at B=2) so it
+        # arrives as a VMEM operand instead. Same online-softmax arithmetic.
+        kc_row = kcur_ref[:]                                   # (1, F)
+        vc_row = vcur_ref[:].astype(jnp.float32)
+        m_out, l_out, acc_out = [], [], []
+        for j in range(n_blk):
+            fs = slice(j * fblk, (j + 1) * fblk)
+            gs = slice(j * gblk, (j + 1) * gblk)
+            prod = q[:, fs].astype(kc_row.dtype) * kc_row[:, fs]
+            logits = jnp.dot(prod, rc,
+                             preferred_element_type=jnp.float32) * scale
+            mj = m[:, gs]
+            m_new = jnp.maximum(mj, logits)                    # (1, Gblk)
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(mj - m_new)
+            l_out.append(l[:, gs] * alpha + p)
+            m_out.append(m_new)
+            p_full = jnp.dot(p.astype(kc_row.dtype), rc.T,
+                             preferred_element_type=jnp.float32)
+            alpha_full = jnp.dot(alpha, r32.T,
+                                 preferred_element_type=jnp.float32)
+            acc_out.append(acc[:, fs] * alpha_full
+                           + p_full * vc_row[:, fs])
+        m = jnp.concatenate(m_out, axis=1)
+        l = jnp.concatenate(l_out, axis=1)
+        acc = jnp.concatenate(acc_out, axis=1)
+
     l_parts = [jnp.dot(l[:, j * gblk:(j + 1) * gblk], r32.T,
                        preferred_element_type=jnp.float32)
                for j in range(n_blk)]
@@ -174,12 +206,29 @@ def _kernel(head_dim: int, fblk: int, pos_ref, q_ref, hole_ref, k_hbm, v_hbm,
 def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      cache_pos: jnp.ndarray, start: jnp.ndarray | int = 0,
                      hole: jnp.ndarray | None = None,
-                     interpret: bool | None = None) -> jnp.ndarray:
-    """q (B, H, D), k/v sequence-major (L, B, H, D) -> (B, H, D).
+                     interpret: bool | None = None,
+                     layer: jnp.ndarray | int | None = None,
+                     k_cur: jnp.ndarray | None = None,
+                     v_cur: jnp.ndarray | None = None) -> jnp.ndarray:
+    """q (B, H, D), k/v sequence-major -> (B, H, D).
 
-    Attends to slots [start, cache_pos], minus each row's optional
-    `hole` (B, 2) int32 dead range [lo, hi) (ragged right-padded text).
-    L must be a 256-multiple and B*H*D a multiple of 128.
+    k/v accept TWO layouts:
+      (Lc, B, H, D)            one layer's slab (the round-2/3 interface);
+      (n_layers, Lc, B, H, D)  the WHOLE stacked cache with `layer` a traced
+                               index — the kernel DMAs layer slabs straight
+                               out of the stacked buffer, so the caller never
+                               materialises a per-layer slice (a 2 MB copy
+                               per layer per step, ~290 us/step at B=2).
+
+    k_cur/v_cur (B, H, D): the CURRENT token's k/v row, folded in-kernel as
+    a final height-1 chunk. With these present the HBM walk covers
+    [start, cache_pos - 1] and the deferred row completes the softmax — the
+    caller batches all layers' cache inserts into ONE update per step.
+    Without them the walk covers [start, cache_pos] (row already inserted).
+
+    Attends minus each row's optional `hole` (B, 2) int32 dead range
+    [lo, hi) (ragged right-padded text). Lc must be a 256-multiple and
+    B*H*D a multiple of 128.
 
     interpret=None auto-selects the Pallas interpreter on CPU backends so
     CHATTERBOX_PALLAS=1 drives the identical kernel code path in tests.
@@ -187,28 +236,46 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     b, h, d = q.shape
-    lcache = k.shape[0]
+    if k.ndim == 4:
+        k = k[None]
+        v = v[None]
+        layer = 0
+    n_layers, lcache = k.shape[0], k.shape[1]
+    assert layer is not None, "stacked cache needs a layer index"
     f = b * h * d
     assert lcache % 256 == 0, \
         f"cache length {lcache} must be a multiple of 256"
     assert f % 128 == 0, f"B*H*D={f} must be 128-aligned for TPU tiling"
+    has_cur = k_cur is not None
     fblk = _feature_block(f, d)
     g_total = f // d
     gp = -(-g_total // 128) * 128               # lane-pad the hole vector
-    pos = jnp.stack([jnp.asarray(cache_pos, jnp.int32).reshape(()),
-                     jnp.asarray(start, jnp.int32).reshape(())])
+    pos_hist = jnp.asarray(cache_pos, jnp.int32).reshape(())
+    if has_cur:
+        pos_hist = pos_hist - 1
+    pos = jnp.stack([pos_hist,
+                     jnp.asarray(start, jnp.int32).reshape(()),
+                     jnp.asarray(layer, jnp.int32).reshape(())])
     if hole is None:
         hole_g = jnp.zeros((2, gp), jnp.int32)
     else:
         # per-row [lo, hi) broadcast to the row's H head-groups
         hg = jnp.repeat(jnp.asarray(hole, jnp.int32).T, h, axis=1)  # (2, B*H)
         hole_g = jnp.pad(hg, ((0, 0), (0, gp - g_total)))
+    if has_cur:
+        kc_row = k_cur.reshape(1, f).astype(k.dtype)
+        vc_row = v_cur.reshape(1, f).astype(v.dtype)
+    else:
+        kc_row = jnp.zeros((1, f), k.dtype)
+        vc_row = jnp.zeros((1, f), v.dtype)
     chunk = _chunk_rows(f, k.dtype.itemsize, lcache)
     out = pl.pallas_call(
-        functools.partial(_kernel, d, fblk),
+        functools.partial(_kernel, d, fblk, has_cur),
         out_shape=jax.ShapeDtypeStruct((1, f), q.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -221,7 +288,8 @@ def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(pos, q.reshape(1, f), hole_g, k.reshape(lcache, f), v.reshape(lcache, f))
+    )(pos, q.reshape(1, f), hole_g, kc_row, vc_row,
+      k.reshape(n_layers, lcache, f), v.reshape(n_layers, lcache, f))
     return out.reshape(b, h, d)
 
 

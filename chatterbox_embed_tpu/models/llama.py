@@ -121,6 +121,18 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) ->
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def _spy_row(w, lcache: int, cache_pos, defer: bool):
+    """Head-mean attention row over CACHE coordinates for the alignment spy.
+    Under deferred insert the current token rides an appended column — fold
+    it back into its cache slot so downstream span arithmetic is unchanged."""
+    row = jnp.mean(w[..., :lcache], axis=1)
+    if defer:
+        cur = jnp.mean(w[..., lcache], axis=1)               # (B,)
+        row = row + cur[:, None] * (jnp.arange(lcache)[None, :]
+                                    == jnp.asarray(cache_pos, jnp.int32))
+    return row
+
+
 def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             attn_mask: Optional[jnp.ndarray] = None,
             cache: Optional[KVCache] = None, cache_pos: int | jnp.ndarray = 0,
@@ -162,6 +174,20 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     kv_int8 = ck is not None and ck.dtype == jnp.int8
     assert not (kv_int8 and flash_decode), \
         "int8 KV cache requires the XLA decode path (the flash kernel walks bf16 slabs)"
+    # Deferred cache insert (single-token decode): the per-layer
+    # dynamic_update_slice chain is latency-bound — 60 tiny ops cost
+    # 434 us/step at B=2 (round-4 device trace, scripts/profile_decode.py +
+    # analyze_decode_trace.py) — so the decode path collects every layer's
+    # k/v row and writes the whole stack in ONE update after the loop.
+    # Attention sees the current token via explicit k_cur/v_cur operands
+    # (flash kernel folds them as a final height-1 chunk; the XLA path
+    # appends a logit column). Mathematically identical to insert-first;
+    # kill-switch CHATTERBOX_DEFER_KV=0 restores the round-3 behavior.
+    import os
+    defer = (t == 1 and cache is not None
+             and os.getenv("CHATTERBOX_DEFER_KV", "1") != "0")
+    new_ks, new_vs = [], []
+    lcache_n = ck.shape[1] if ck is not None else 0
     for i, lp in enumerate(params["layers"]):
         hin = L.rms_norm(lp["ln1"], h, cfg.rms_norm_eps)
         q = L.split_heads(L.linear(lp["q"], hin, dtype), cfg.num_heads)
@@ -170,7 +196,10 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if cache is not None:
+        if defer:
+            new_ks.append(k[:, 0])               # (B, H, D)
+            new_vs.append(v[:, 0])
+        elif cache is not None:
             # in-place slab update on the stacked sequence-major cache: inside
             # a while_loop carry XLA aliases this to a true in-place write
             if kv_int8:
@@ -199,13 +228,32 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             # flash_hole (B, 2) masks per-row dead text-pad ranges (ragged
             # right-padded batches)
             from ..kernels.flash_decode import decode_attention
-            att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
-                                   start=flash_start,
-                                   hole=flash_hole)[:, None]
+            if defer:
+                # stacked-cache entry: the kernel DMAs layer i's slabs from
+                # the whole cache (no per-layer slice copy) and folds the
+                # deferred current row in-kernel
+                att = decode_attention(q[:, 0], ck, cv, cache_pos,
+                                       start=flash_start, hole=flash_hole,
+                                       layer=jnp.int32(i),
+                                       k_cur=k[:, 0], v_cur=v[:, 0])[:, None]
+            else:
+                att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
+                                       start=flash_start,
+                                       hole=flash_hole)[:, None]
         elif t == 1 and cache is not None:
             # XLA decode on the sequence-major cache WITHOUT transposing it:
             # a (B, L, H, D) transpose per layer per step churns gigabytes at
-            # large batch (the batch-32 worker-crash culprit)
+            # large batch (the batch-32 worker-crash culprit).
+            # With `defer` the history excludes the current slot and the
+            # current token's exact (unquantized) k/v row arrives as one
+            # appended logit/value column.
+            km = attn_mask[:, 0]                                   # (B|1, L)
+            if defer:
+                km = km & (jnp.arange(lcache_n)[None, :]
+                           < jnp.asarray(cache_pos, jnp.int32))
+                lcur = (jnp.sum(q[:, 0].astype(jnp.float32)
+                                * k[:, 0].astype(jnp.float32), axis=-1)
+                        / np.sqrt(cfg.head_dim))[..., None]        # (B, H, 1)
             if kv_int8 and _kv_int8_mode() == 2:
                 # mode 2: NATIVE int8 x int8 MXU dots (no int8->bf16 convert
                 # anywhere near the cache). q is quantized per (B, H) on the
@@ -221,17 +269,21 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                 logits = (logits.astype(jnp.float32) * qs
                           * jnp.transpose(cks[i], (1, 2, 0)))
                 logits = logits / np.sqrt(cfg.head_dim)
-                km = attn_mask[:, 0]
                 logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
+                if defer:
+                    logits = jnp.concatenate([logits, lcur], axis=-1)
                 w = jax.nn.softmax(logits, axis=-1)
                 if collect_attn_layer is not None and i == collect_attn_layer:
-                    attn_row = jnp.mean(w, axis=1)
-                wv = w * jnp.transpose(cvs[i], (1, 2, 0))           # (B,H,L)
+                    attn_row = _spy_row(w, lcache_n, cache_pos, defer)
+                wv = w[..., :lcache_n] * jnp.transpose(cvs[i], (1, 2, 0))
                 ws = jnp.max(wv, axis=-1, keepdims=True) / 127.0 + 1e-20
                 wi = jnp.round(wv / ws).astype(jnp.int8)
                 att_i = jnp.einsum("bhl,lbhd->bhd", wi, cv[i],
                                    preferred_element_type=jnp.int32)
-                att = (att_i.astype(jnp.float32) * ws).astype(dtype)[:, None]
+                att = att_i.astype(jnp.float32) * ws
+                if defer:
+                    att = att + w[..., lcache_n:] * v[:, 0].astype(jnp.float32)
+                att = att.astype(dtype)[:, None]
             else:
                 kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)  # (L, B, H, D)
                 logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
@@ -243,14 +295,21 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                     # dot — mode 2 above removes the convert entirely)
                     logits = logits * jnp.transpose(cks[i], (1, 2, 0))
                 logits = logits / np.sqrt(cfg.head_dim)
-                km = attn_mask[:, 0]                               # (B|1, L)
                 logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
+                if defer:
+                    logits = jnp.concatenate([logits, lcur], axis=-1)
                 w = jax.nn.softmax(logits, axis=-1)
                 if collect_attn_layer is not None and i == collect_attn_layer:
-                    attn_row = jnp.mean(w, axis=1)                 # (B, L)
+                    attn_row = _spy_row(w, lcache_n, cache_pos, defer)
+                wl = w[..., :lcache_n]
                 if kv_int8:
-                    w = w * jnp.transpose(cvs[i], (1, 2, 0))
-                att = jnp.einsum("bhl,lbhd->bhd", w.astype(dtype), vc)[:, None]
+                    wl = wl * jnp.transpose(cvs[i], (1, 2, 0))
+                att = jnp.einsum("bhl,lbhd->bhd", wl.astype(dtype), vc)
+                if defer:
+                    att = (att.astype(jnp.float32)
+                           + w[..., lcache_n:] * v[:, 0].astype(jnp.float32)
+                           ).astype(dtype)
+                att = att[:, None]
         else:
             if cache is not None:
                 k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)
@@ -268,6 +327,30 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                        jax.nn.silu(L.linear(lp["gate"], hin, dtype)) * L.linear(lp["up"], hin, dtype),
                        dtype)
         h = h + mlp
+
+    if defer:
+        # ONE stacked write for all layers' k/v rows (strided across the
+        # layer axis, but a single device op instead of 60-120 tiny ones)
+        kst = jnp.stack(new_ks)[:, None]                     # (L, 1, B, H, D)
+        vst = jnp.stack(new_vs)[:, None]
+        if kv_int8:
+            kf = kst.astype(jnp.float32)
+            vf = vst.astype(jnp.float32)
+            ks_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0 + 1e-12   # (L,1,B,H)
+            vs_s = jnp.max(jnp.abs(vf), axis=-1) / 127.0 + 1e-12
+            ck = jax.lax.dynamic_update_slice(
+                ck, jnp.round(kf / ks_s[..., None]).astype(jnp.int8),
+                (0, cache_pos, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, jnp.round(vf / vs_s[..., None]).astype(jnp.int8),
+                (0, cache_pos, 0, 0, 0))
+            cks = jax.lax.dynamic_update_slice(cks, ks_s, (0, cache_pos, 0, 0))
+            cvs = jax.lax.dynamic_update_slice(cvs, vs_s, (0, cache_pos, 0, 0))
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, kst.astype(ck.dtype),
+                                              (0, cache_pos, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vst.astype(cv.dtype),
+                                              (0, cache_pos, 0, 0, 0))
 
     h = L.rms_norm(params["norm"], h, cfg.rms_norm_eps)
     if cache is not None:

@@ -534,6 +534,22 @@ def _bucket(n: int) -> int:
 # smaller block for early emission.
 DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
+
+
+def max_decode_utterances() -> int:
+    """Single-chip fused-batch cap. The round-3 fence was HBM: 64 CFG rows
+    of bf16 cache RESOURCE_EXHAUST the v5e (PERF_NOTES B=64 study). The int8
+    KV cache halves the slabs and the round-4 product probe ran 32
+    utterances (64 rows) un-sub-batched CLEAN — and 1.4x faster per
+    utterance-step than two sub-batches of 16 (0.187 vs 0.268 ms/utt/step,
+    scripts/b64_product_probe.py 2026-08-18). CHATTERBOX_MAX_DECODE_UTT
+    overrides for ops re-measurement."""
+    env = os.getenv("CHATTERBOX_MAX_DECODE_UTT")
+    if env:
+        return int(env)
+    if os.getenv("CHATTERBOX_INT8_KV", "0") in ("1", "2"):
+        return 2 * MAX_DECODE_UTTERANCES
+    return MAX_DECODE_UTTERANCES
 # Flash decode gate, set by the round-4 PRODUCT-PATH A/B (PERF_NOTES.md
 # "Round-4 flash-gate arbitration": bench.py --batch N over
 # CHATTERBOX_FLASH_MAX_UTT, superseding the RTT-contaminated round-3 scan
@@ -575,16 +591,19 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # to the same program and computes the exact same result as unpadded
     p_len = pad + cond_width(cond, cfg) + lt + 1 + (1 if cfg_on else 0)
     n_utt = u
-    if mesh is None and n_utt > MAX_DECODE_UTTERANCES:
-        # hard fence, not a silent cap: >32 fused CFG rows fault the v5e
-        # runtime inside while_loop decode (scripts/repro_b64_decode_fault.py,
-        # PERF_NOTES.md B=64 study). generate_batch sub-batches transparently; direct
-        # callers must do the same or shard rows over a dp mesh.
+    cap_utt = max_decode_utterances()
+    if mesh is None and n_utt > cap_utt:
+        # hard fence, not a silent cap: 64 fused CFG rows of bf16 cache
+        # RESOURCE_EXHAUST the v5e (scripts/repro_b64_decode_fault.py,
+        # PERF_NOTES.md B=64 study); the int8 KV cache doubles the cap.
+        # generate_batch sub-batches transparently; direct callers must do
+        # the same or shard rows over a dp mesh.
         raise ValueError(
-            f"{n_utt} utterances > MAX_DECODE_UTTERANCES={MAX_DECODE_UTTERANCES} "
-            f"for a single-chip fused decode (v5e runtime fault at B=64 rows; "
-            f"see scripts/repro_b64_decode_fault.py). Use generate_batch "
-            f"(sub-batches automatically) or pass a dp mesh.")
+            f"{n_utt} utterances > max_decode_utterances()={cap_utt} "
+            f"for a single-chip fused decode (v5e HBM fence at B=64 bf16 "
+            f"rows; see scripts/repro_b64_decode_fault.py). Use "
+            f"generate_batch (sub-batches automatically), enable the int8 "
+            f"KV cache (CHATTERBOX_INT8_KV=1), or pass a dp mesh.")
     # cache capacity: fixed per bucket so one block program serves all lengths
     cap = p_len + max(max_new_tokens, DECODE_BLOCK)
     # Pallas decode kernel gate: measured crossover on v5e at the 1024-slot
@@ -753,23 +772,34 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     SURVEY.md §2.6); on TPU the fused 2U-row decode amortises the 0.5B
     weight streaming across the whole batch.
 
-    Single-chip decode is capped at MAX_DECODE_UTTERANCES per fused program
-    (v5e falls over beyond 2*16 CFG rows — PERF_NOTES.md B=64 study); larger batches
-    are processed in sequential sub-batches. For true large-batch scaling use
-    `mesh=` (dp sharding across chips).
+    Single-chip decode is capped at max_decode_utterances() per fused
+    program (the v5e HBM fence at 64 bf16 CFG rows — PERF_NOTES.md B=64
+    study; the int8 KV cache doubles the cap to 32 utts); larger batches
+    are processed in sequential sub-batches. For true large-batch scaling
+    use `mesh=` (dp sharding across chips).
     """
     tt = np.atleast_2d(text_tokens)
-    if mesh is None and tt.shape[0] > MAX_DECODE_UTTERANCES:
+    cap_utt = max_decode_utterances()
+    if mesh is None and tt.shape[0] > cap_utt:
         def _slice(v, s0, s1):
             a = np.asarray(v, np.float32)
             return v if a.ndim == 0 else a[s0:s1]
         emo = np.asarray(cond.emotion_adv, np.float32).reshape(-1)
+        u_all = tt.shape[0]
         outs = []
-        for s0 in range(0, tt.shape[0], MAX_DECODE_UTTERANCES):
-            s1 = min(tt.shape[0], s0 + MAX_DECODE_UTTERANCES)
+        for s0 in range(0, tt.shape[0], cap_utt):
+            s1 = min(tt.shape[0], s0 + cap_utt)
             sub_cond = cond
-            if emo.size == tt.shape[0]:
-                sub_cond = cond._replace(emotion_adv=jnp.asarray(emo[s0:s1]))
+            if emo.size == u_all:
+                sub_cond = sub_cond._replace(emotion_adv=jnp.asarray(emo[s0:s1]))
+            # multi-voice rows: slice every per-row conditioning field
+            if np.ndim(cond.speaker_emb) >= 2 and cond.speaker_emb.shape[0] == u_all:
+                sub_cond = sub_cond._replace(
+                    speaker_emb=cond.speaker_emb[s0:s1])
+            cps = cond.cond_prompt_speech_tokens
+            if cps is not None and cps.shape[0] == u_all:
+                sub_cond = sub_cond._replace(
+                    cond_prompt_speech_tokens=cps[s0:s1])
             outs.extend(generate_batch(
                 params, sub_cond, tt[s0:s1], max_new_tokens=max_new_tokens,
                 temperature=_slice(temperature, s0, s1),

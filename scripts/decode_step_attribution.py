@@ -122,13 +122,17 @@ def layer_step(lp, h, cos, sin, ck, cv, li, cache_pos, variant: str):
     return h + mlp, ck, cv
 
 
-def make_scan(params, variant: str, steps: int):
-    lparams = params["llama"]
+def make_scan(variant: str, steps: int):
     sp = t3_mod.SamplingParams(jnp.float32(0.7), jnp.float32(0.5),
                                jnp.float32(1.2), jnp.float32(0.05))
 
+    # params are a jit ARGUMENT (like the product decode): closing over the
+    # full-size tree bakes ~1 GB of weights into the HLO as constants and
+    # the remote compile endpoint rejects the body (HTTP 413)
     @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
-    def run(cache_k, cache_v, x0, key):
+    def run(cache_k, cache_v, x0, key, params):
+        lparams = params["llama"]
+
         def body(c, i):
             h, ck, cv, counts = c
             cache_pos = POS0 + (i % 64)          # stay in-capacity
@@ -176,18 +180,18 @@ def time_variant(params, variant: str):
     rng = np.random.default_rng(1)
     out = {}
     for steps in (S_SHORT, S_LONG):
-        fn = make_scan(params, variant, steps)
+        fn = make_scan(variant, steps)
         # compile + warm with one throwaway call
         ck, cv = fresh_cache(rng)
         x0 = jnp.asarray(rng.standard_normal((B, 1, LC.hidden_size)), DTYPE)
-        r = fn(ck, cv, x0, jax.random.PRNGKey(0))
+        r = fn(ck, cv, x0, jax.random.PRNGKey(0), params)
         np.asarray(r[1])                          # fetch barrier
         ts = []
         for it in range(3):
             ck, cv = fresh_cache(rng)
             x0 = jnp.asarray(rng.standard_normal((B, 1, LC.hidden_size)), DTYPE)
             t0 = time.time()
-            r = fn(ck, cv, x0, jax.random.PRNGKey(it + 1))
+            r = fn(ck, cv, x0, jax.random.PRNGKey(it + 1), params)
             np.asarray(r[1])
             ts.append(time.time() - t0)
         out[steps] = float(np.median(ts))

@@ -65,15 +65,26 @@ def test_int8_generation_well_formed(pair, rng):
     assert (body < 36).all() and (body >= 0).all()
 
 
-def test_decode_fence_raises_beyond_cap(pair, rng):
+def test_decode_fence_raises_beyond_cap(pair, rng, monkeypatch):
     """The single-chip fused-batch limit is an asserted constraint, not a
-    silent cap (v5e fault repro: scripts/repro_b64_decode_fault.py)."""
+    silent cap (v5e fault repro: scripts/repro_b64_decode_fault.py).
+    The int8 KV cache halves the slabs and doubles the cap (round-4
+    product probe: 32 utts / 64 rows clean and faster than sub-batching)."""
     params, _ = pair
+    monkeypatch.delenv("CHATTERBOX_INT8_KV", raising=False)
+    monkeypatch.delenv("CHATTERBOX_MAX_DECODE_UTT", raising=False)
     texts = np.tile(np.array([[5, 3, 7, 0]], np.int32),
                     (t3.MAX_DECODE_UTTERANCES + 1, 1))
-    with pytest.raises(ValueError, match="MAX_DECODE_UTTERANCES"):
+    with pytest.raises(ValueError, match="max_decode_utterances"):
         t3.start_generation(params, _cond(rng), texts, cfg_weight=0.5,
                             max_new_tokens=8, cfg=TINY)
+    # int8 KV doubles the cap: the same load prefills without the fence
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    assert t3.max_decode_utterances() == 2 * t3.MAX_DECODE_UTTERANCES
+    s, _ = t3.start_generation(params, _cond(rng), texts, cfg_weight=0.5,
+                               max_new_tokens=8, cfg=TINY)
+    assert s.done.shape[0] == t3.MAX_DECODE_UTTERANCES + 1
+    monkeypatch.delenv("CHATTERBOX_INT8_KV")
     # generate_batch transparently sub-batches the same load
     outs = t3.generate_batch(params, _cond(rng), texts, max_new_tokens=4,
                              cfg_weight=0.5, seed=0, cfg=TINY)

@@ -69,6 +69,57 @@ def test_decode_attention_per_row_hole(rng):
     assert np.abs(np.asarray(out) - np.asarray(out_nohole))[1:].max() > 1e-4
 
 
+def test_decode_attention_stacked_cache_with_deferred_row(rng):
+    """Round-4 interface: the kernel DMAs layer slabs straight from the
+    STACKED (n_layers, Lc, B, H, D) cache (no per-layer slice copy) and
+    folds the deferred current-token k/v row as a final height-1 chunk.
+    Must equal the reference run on that layer's slab WITH the row already
+    inserted at cache_pos."""
+    n_layers, b, l, h, d = 3, 2, 512, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n_layers, l, b, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n_layers, l, b, h, d)).astype(np.float32))
+    k_cur = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    v_cur = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    pos, start = 300, 8
+    for li in range(n_layers):
+        k_ins = k[li].at[pos].set(k_cur)
+        v_ins = v[li].at[pos].set(v_cur)
+        ref = fd.decode_attention_reference(q, k_ins, v_ins, jnp.int32(pos), start)
+        out = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
+                                  layer=jnp.int32(li), k_cur=k_cur, v_cur=v_cur,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+    # the layer index must actually select different slabs
+    o0 = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
+                             layer=jnp.int32(0), k_cur=k_cur, v_cur=v_cur,
+                             interpret=True)
+    o2 = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
+                             layer=jnp.int32(2), k_cur=k_cur, v_cur=v_cur,
+                             interpret=True)
+    assert np.abs(np.asarray(o0) - np.asarray(o2)).max() > 1e-4
+
+
+def test_decode_attention_deferred_first_step(rng):
+    """cache_pos == start + 1 edge: only one history slot plus the deferred
+    current row (the first decoded token after prefill)."""
+    b, l, h, d = 2, 256, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((l, b, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((l, b, h, d)).astype(np.float32))
+    k_cur = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    v_cur = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    pos, start = 9, 8
+    k_ins = k.at[pos].set(k_cur)
+    v_ins = v.at[pos].set(v_cur)
+    ref = fd.decode_attention_reference(q, k_ins, v_ins, jnp.int32(pos), start)
+    out = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
+                              layer=0, k_cur=k_cur, v_cur=v_cur, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_rel_factored_bd_matches_gathered(rng):
     """The factored Transformer-XL bd (A C^T + B S^T, conformer._rel_factors)
     must equal the reference gathered form bd[i,j] = qv[i]·pe_proj[T-1-i+j]

@@ -87,3 +87,36 @@ def test_rope_llama3_scaling_shape():
     inv = llama._scaled_inv_freq(LlamaConfig())
     assert inv.shape == (32,)
     assert (np.diff(inv) < 0).all()  # monotonically decreasing frequencies
+
+
+def test_deferred_kv_insert_matches_eager(hf_pair, rng, monkeypatch):
+    """Round-4: the decode path defers all layers' k/v cache rows into ONE
+    stacked insert per step, feeding attention the current row explicitly
+    (the 60-op dynamic_update_slice chain cost 434 us/step at B=2 on v5e).
+    Kill-switch CHATTERBOX_DEFER_KV=0 restores insert-first; both must give
+    the same hidden states and identical final cache contents."""
+    _, params = hf_pair
+    t_prefill, t_total = 8, 11
+    x = jnp.asarray(rng.standard_normal((2, t_total, 64)).astype(np.float32) * 0.1)
+    pos = jnp.broadcast_to(jnp.arange(t_total)[None], (2, t_total))
+
+    def run():
+        cache = llama.init_cache(SMALL, 2, 16)
+        _, cache = llama.forward(params, x[:, :t_prefill], pos[:, :t_prefill],
+                                 cache=cache, cache_pos=0, cfg=SMALL)
+        hs = []
+        for i in range(t_prefill, t_total):
+            h, cache = llama.decode_step(params, x[:, i:i + 1], pos[:, i:i + 1],
+                                         cache, jnp.int32(i), cfg=SMALL)
+            hs.append(np.asarray(h))
+        return np.concatenate(hs, 1), np.asarray(cache.k), np.asarray(cache.v)
+
+    monkeypatch.setenv("CHATTERBOX_DEFER_KV", "0")
+    h_eager, k_eager, v_eager = run()
+    monkeypatch.setenv("CHATTERBOX_DEFER_KV", "1")
+    h_defer, k_defer, v_defer = run()
+    np.testing.assert_allclose(h_defer, h_eager, atol=1e-5, rtol=1e-5)
+    # cache contents agree to fp32 rounding (the stacked write fuses the
+    # rope/cast chain differently than 60 per-layer writes)
+    np.testing.assert_allclose(k_defer, k_eager, atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(v_defer, v_eager, atol=1e-6, rtol=1e-5)
