@@ -56,4 +56,24 @@ timeout 2400 python scripts/int8_quality_gate.py --utterances 3 --tokens 160 \
 (export CHATTERBOX_S3GEN_SUB_BATCH=16 CHATTERBOX_CFM_CACHE=2; run_bench s3_sub16_cfmcache --batch 32 --iters 3)
 (export CHATTERBOX_S3GEN_SUB_BATCH=16 CHATTERBOX_CFM_CACHE=2; run_bench s3_sub16_both --batch 32 --iters 3 --int8-s3gen)
 
+# decode attribution (fixed: params as jit arg, not baked constants) +
+# a fresh device profile of the NEW deferred-insert decode path
+wait_tunnel
+echo "[q4d] decode attribution $(date +%H:%M:%S)" >&2
+timeout 3000 python scripts/decode_step_attribution.py \
+  > /tmp/decode_attr.json 2>/tmp/decode_attr.log
+echo "[q4d] attribution rc=$?" >&2
+wait_tunnel
+echo "[q4d] profile_decode (deferred path) $(date +%H:%M:%S)" >&2
+timeout 2400 python scripts/profile_decode.py --steps 192 \
+  --trace-dir /tmp/jax_trace_decode_defer \
+  > /tmp/profile_decode_defer.txt 2>/tmp/profile_decode_defer.log
+echo "[q4d] profile rc=$?" >&2
+
+# streaming geometry study (r4c run crashed on a mid-edit import race)
+wait_tunnel
+timeout 5000 python scripts/stream_geometry_sensitivity.py \
+  > /tmp/geometry_study.json 2>/tmp/geometry_study.log
+echo "[q4d] geometry rc=$?" >&2
+
 echo "[q4d] done $(date +%H:%M:%S)" >&2
