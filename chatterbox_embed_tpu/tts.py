@@ -63,6 +63,12 @@ def _bucket_tokens(n: int) -> int:
 #    two live buffers (scores + probs) plus the linear term.
 _S3GEN_FLASH_BYTES_PER_FRAME = 256 * 1024
 _S3GEN_HBM_FRACTION = 0.7
+# Measured ceiling (r4c matrix + r4d kv32 re-confirmation, batch 32 @ 250
+# tokens): sub=16 s3gen 4.03 s vs sub=32 5.50/4.81 s — wider live batches
+# LOSE before they OOM (the flash/conformer kernels' VMEM-budgeted blocks
+# shrink past their efficiency point), so the HBM-derived value is capped
+# at the measured optimum. Env override bypasses the cap for re-measurement.
+_S3GEN_MAX_SUB = 16
 
 
 def _derive_s3gen_sub_batch(u: int, n_tokens: int, cfg, *,
@@ -90,7 +96,7 @@ def _derive_s3gen_sub_batch(u: int, n_tokens: int, cfg, *,
         h = cfg.flow.decoder.num_heads
         per_utt = 2 * h * t_mel * t_mel * 4 * 2 + linear
     sub = int(max(1, (free_hbm * _S3GEN_HBM_FRACTION) // max(1, per_utt)))
-    sub = min(sub, max(1, int(u)))
+    sub = min(sub, max(1, int(u)), _S3GEN_MAX_SUB)
     return 1 << (sub.bit_length() - 1)          # snap down to a power of two
 
 
