@@ -101,12 +101,28 @@ def apply_rope(x, cos, sin):
 # ---------------------------------------------------------------------------
 
 def _kv_int8_mode() -> int:
-    """CHATTERBOX_INT8_KV: 1 = int8 slabs with the convert fused into the
-    bf16 dot (XLA-dependent), 2 = native int8 x int8 MXU dots with q/w
-    quantized on the fly (no convert at all). Trace-time binding."""
+    """Effective int8-KV mode. CHATTERBOX_INT8_KV: 0 = bf16 cache, 1 = int8
+    slabs with the convert fused into the bf16 dot, 2 = native int8 x int8
+    MXU dots with q/w quantized on the fly. Trace-time binding.
+
+    DEFAULT (env unset): mode 1 on TPU backends, 0 on CPU. Round-4 basis:
+    batch-16 decode 5.69 -> 4.69 ms/step, the B=64-row HBM fence doubles
+    to 32 utterances, and the full-size fidelity gate passes
+    (scripts/int8_quality_gate.py --kv 1: prefill logit cosine 0.9998,
+    median same-seed first-divergence 10.5 steps on random weights —
+    real checkpoints are peaked and diverge later). Mode 2 was MEASURED
+    AND REJECTED as a default (9.40 ms/step at batch 16: the on-the-fly
+    probability quantization costs more than the convert it removes).
+    CPU stays fp so batch-vs-solo exactness tests keep their meaning."""
     import os
+    env = os.getenv("CHATTERBOX_INT8_KV")
+    if env is None:
+        try:
+            return 1 if jax.devices()[0].platform not in ("cpu",) else 0
+        except Exception:  # noqa: BLE001
+            return 0
     try:
-        return int(os.getenv("CHATTERBOX_INT8_KV", "0"))
+        return int(env)
     except ValueError:
         return 1
 

@@ -547,7 +547,7 @@ def max_decode_utterances() -> int:
     env = os.getenv("CHATTERBOX_MAX_DECODE_UTT")
     if env:
         return int(env)
-    if os.getenv("CHATTERBOX_INT8_KV", "0") in ("1", "2"):
+    if llama._kv_int8_mode() > 0:
         return 2 * MAX_DECODE_UTTERANCES
     return MAX_DECODE_UTTERANCES
 # Flash decode gate, set by the round-4 PRODUCT-PATH A/B (PERF_NOTES.md
@@ -655,12 +655,14 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
             hole = jnp.stack([ts_col + lens,
                               jnp.full_like(lens, ts_col + lt)], axis=1)
 
-    # int8 KV cache (opt-in): batched XLA decode is KV-bandwidth bound —
-    # halving cache bytes attacks the dominant per-step term (llama.KVCache
-    # docstring has the HBM arithmetic). The flash/fused kernels walk bf16
-    # slabs, so they take precedence when engaged (<= 2 utts), exactly
-    # where the cache is small and weights dominate instead.
-    kv_int8 = (os.getenv("CHATTERBOX_INT8_KV", "0") in ("1", "2")
+    # int8 KV cache (round-4 DEFAULT ON for TPU, CHATTERBOX_INT8_KV=0 kill-
+    # switch): batched XLA decode is KV-bandwidth bound — halving cache
+    # bytes attacks the dominant per-step term (llama.KVCache docstring has
+    # the HBM arithmetic; llama._kv_int8_mode has the promotion basis). The
+    # flash/fused kernels walk bf16 slabs, so they take precedence when
+    # engaged (<= 2 utts), exactly where the cache is small and weights
+    # dominate instead.
+    kv_int8 = (llama._kv_int8_mode() > 0
                and not use_flash and not use_fused)
     if mesh is not None:
         # multi-chip serving: rows across dp, weights replicated; GSPMD
