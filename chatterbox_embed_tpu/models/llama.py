@@ -127,6 +127,32 @@ def _kv_int8_mode() -> int:
         return 1
 
 
+def pin_cache_row_major(cache: "KVCache") -> "KVCache":
+    """Pin the cache slabs to a row-major device layout (sequence rows
+    contiguous). Without this, XLA's layout assignment propagates a
+    sequence-MINOR layout out of prefill (driven by its full-sequence
+    attention transposes) into the decode while-loop carry, and every
+    decode step then pays a FULL-CACHE transpose copy to feed the
+    row-major Pallas kernel operands plus scattered element writes for
+    the sequence-slot insert (round-4 device trace at B=2:
+    copy.615/616 ~275 us/step + 2x ~200 us stacked-insert DUS).
+    A layout hint here moves that to ONE transpose at the prefill
+    boundary. No-op where the layout API is unavailable."""
+    try:
+        from jax.experimental.layout import (with_layout_constraint, Format,
+                                             Layout)
+
+        def pin(x):
+            if x is None:
+                return None
+            return with_layout_constraint(
+                x, Format(Layout(major_to_minor=tuple(range(x.ndim)))))
+        return KVCache(pin(cache.k), pin(cache.v),
+                       pin(cache.k_scale), pin(cache.v_scale))
+    except Exception:  # noqa: BLE001 — a hint, never fatal
+        return cache
+
+
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:

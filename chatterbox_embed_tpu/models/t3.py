@@ -318,6 +318,9 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len,
     pos = jnp.broadcast_to(jnp.maximum(idx - pad_len, 0)[None], (b, p_len))
     h, cache = llama.forward(params["llama"], context, pos, causal,
                              cache=cache, cache_pos=0, cfg=cfg.llama, dtype=dtype)
+    # keep the slabs row-major OUT of prefill so the decode carry never
+    # inherits the attention-transpose layout (llama.pin_cache_row_major)
+    cache = llama.pin_cache_row_major(cache)
     logits0 = L.linear(params["speech_head"], h[:, -1], jnp.float32)
     n_utt = b // 2 if cfg_on else b
     counts0 = jnp.zeros((n_utt, cfg.speech_tokens_dict_size), jnp.int32
@@ -479,6 +482,11 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
         return Carry(DecodeState(cache2, logits, counts, s.i + 1, done, align2),
                      tokens, c.j + 1)
 
+    # pin the carry's cache slabs row-major: the while-loop carry otherwise
+    # inherits whatever layout the jit INPUT buffer arrived in, and a
+    # sequence-minor cache costs a full-slab transpose EVERY step (see
+    # llama.pin_cache_row_major)
+    state = state._replace(cache=llama.pin_cache_row_major(state.cache))
     init = Carry(state, jnp.zeros((block, n_utt), jnp.int32), jnp.int32(0))
     final = jax.lax.while_loop(cond_fn, body_fn, init)
     return final.state, final.tokens, final.j
