@@ -137,20 +137,25 @@ def pin_cache_row_major(cache: "KVCache") -> "KVCache":
     the sequence-slot insert (round-4 device trace at B=2:
     copy.615/616 ~275 us/step + 2x ~200 us stacked-insert DUS).
     A layout hint here moves that to ONE transpose at the prefill
-    boundary. No-op where the layout API is unavailable."""
-    try:
-        from jax.experimental.layout import (with_layout_constraint, Format,
-                                             Layout)
+    boundary. No-op where the layout API is unavailable.
 
-        def pin(x):
-            if x is None:
-                return None
-            return with_layout_constraint(
-                x, Format(Layout(major_to_minor=tuple(range(x.ndim)))))
-        return KVCache(pin(cache.k), pin(cache.v),
-                       pin(cache.k_scale), pin(cache.v_scale))
-    except Exception:  # noqa: BLE001 — a hint, never fatal
+    NOTE: with_layout_constraint takes a bare Layout, NOT a Format — the
+    round-4 first cut passed Format(Layout(...)), whose constructor raises
+    without a concrete sharding, and a blanket except silently disabled the
+    pin (caught by the r4e device trace: copy.615/616 still present).
+    Only ImportError falls back now; API misuse must be loud."""
+    try:
+        from jax.experimental.layout import with_layout_constraint, Layout
+    except ImportError:
         return cache
+
+    def pin(x):
+        if x is None:
+            return None
+        return with_layout_constraint(
+            x, Layout(major_to_minor=tuple(range(x.ndim))))
+    return KVCache(pin(cache.k), pin(cache.v),
+                   pin(cache.k_scale), pin(cache.v_scale))
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:

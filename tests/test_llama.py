@@ -120,3 +120,22 @@ def test_deferred_kv_insert_matches_eager(hf_pair, rng, monkeypatch):
     # rope/cast chain differently than 60 per-layer writes)
     np.testing.assert_allclose(k_defer, k_eager, atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(v_defer, v_eager, atol=1e-6, rtol=1e-5)
+
+
+def test_pin_cache_row_major_engages():
+    """pin_cache_row_major must bind a real layout_constraint, not silently
+    fall back (the round-4 first cut passed Format(Layout(...)) — its
+    constructor raised and a blanket except made the pin a no-op, leaving
+    ~475 us/step of full-cache copies in the decode loop; the r4e device
+    trace caught it). Guards both the eager path and the traced binding."""
+    cache = llama.init_cache(SMALL, 2, 16)
+    pinned = llama.pin_cache_row_major(cache)
+    assert pinned.k.shape == cache.k.shape
+
+    def f(c):
+        return llama.pin_cache_row_major(c).k.sum()
+
+    jaxpr = str(jax.make_jaxpr(f)(cache))
+    assert "layout_constraint" in jaxpr, (
+        "pin_cache_row_major fell back silently — the layout API call "
+        "is broken again")
