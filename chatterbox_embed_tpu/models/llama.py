@@ -143,7 +143,15 @@ def pin_cache_row_major(cache: "KVCache") -> "KVCache":
     round-4 first cut passed Format(Layout(...)), whose constructor raises
     without a concrete sharding, and a blanket except silently disabled the
     pin (caught by the r4e device trace: copy.615/616 still present).
-    Only ImportError falls back now; API misuse must be loud."""
+    Only ImportError falls back now; API misuse must be loud.
+
+    CHATTERBOX_PIN_KV=0 disables (trace-time binding, for A/B runs —
+    the r4e batched cells that accidentally ran with the fixed pin came
+    out ~2x slower, so the pin must prove itself per-shape before it
+    stays default)."""
+    import os
+    if os.getenv("CHATTERBOX_PIN_KV", "1") == "0":
+        return cache
     try:
         from jax.experimental.layout import with_layout_constraint, Layout
     except ImportError:

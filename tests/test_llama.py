@@ -122,12 +122,13 @@ def test_deferred_kv_insert_matches_eager(hf_pair, rng, monkeypatch):
     np.testing.assert_allclose(v_defer, v_eager, atol=1e-6, rtol=1e-5)
 
 
-def test_pin_cache_row_major_engages():
+def test_pin_cache_row_major_engages(monkeypatch):
     """pin_cache_row_major must bind a real layout_constraint, not silently
     fall back (the round-4 first cut passed Format(Layout(...)) — its
     constructor raised and a blanket except made the pin a no-op, leaving
     ~475 us/step of full-cache copies in the decode loop; the r4e device
     trace caught it). Guards both the eager path and the traced binding."""
+    monkeypatch.setenv("CHATTERBOX_PIN_KV", "1")
     cache = llama.init_cache(SMALL, 2, 16)
     pinned = llama.pin_cache_row_major(cache)
     assert pinned.k.shape == cache.k.shape
