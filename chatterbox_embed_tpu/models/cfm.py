@@ -40,7 +40,7 @@ def t_span_cosine(n_timesteps: int) -> np.ndarray:
 def solve_euler(params, z, mu, spks, cond, mask=None,
                 cfm: CFMConfig = CFMConfig(),
                 dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
-                dtype=jnp.float32, comm=None):
+                dtype=jnp.float32, comm=None, cache_every=None):
     """Integrate dx/dt = v(x, t) from noise to mel.
 
     Args (channel-last):
@@ -48,6 +48,10 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
       mu:   (B, T, 80) encoder features
       spks: (B, 80) projected speaker embedding
       cond: (B, T, 80) prompt conditioning
+      cache_every: DeepCache stride K (see below). None -> the
+        CHATTERBOX_CFM_CACHE env var (trace-time binding); callers that
+        derive a default per shape pass it explicitly so the jit key —
+        not a hidden env read — owns the behavior.
     Returns (B, T, 80) fp32 mel.
 
     CFG exactly as the reference (flow_matching.py:95-116): the uncond branch
@@ -69,8 +73,11 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
     # of the pass) is recomputed only on every K-th step and on the final
     # step; in between the cached mid features ride the scan carry and only
     # the shallow down/up stages run. K=0/1 disables (bit-identical plain
-    # path). OPT-IN: changes numerics (mel bounds in tests/test_s3gen.py).
-    cache_every = int(os.getenv("CHATTERBOX_CFM_CACHE", "0"))
+    # path). Changes numerics — quality bounds in tests/test_s3gen.py and
+    # scripts/cfm_cache_gate.py (full size).
+    if cache_every is None:
+        cache_every = int(os.getenv("CHATTERBOX_CFM_CACHE", "0"))
+    cache_every = int(cache_every)
     n_steps = len(t_span_cosine(cfm.n_timesteps)) - 1
     use_cache = cache_every >= 2 and comm is None and n_steps > 2
 
@@ -125,13 +132,14 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
 def generate_mel(params, mu, spks, cond, mask=None, temperature: float = 1.0,
                  cfm: CFMConfig = CFMConfig(),
                  dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, cache_every=None):
     """mu (B, T, 80) -> mel (B, T, 80) using the fixed noise buffer
     (reference: flow_matching.py:193-218)."""
     b, tlen, nf = mu.shape
     z = jnp.asarray(fixed_noise(nf)[:, :tlen, :]) * temperature
     z = jnp.broadcast_to(z, (b, tlen, nf))
-    return solve_euler(params, z, mu, spks, cond, mask, cfm, dec_cfg, dtype)
+    return solve_euler(params, z, mu, spks, cond, mask, cfm, dec_cfg, dtype,
+                       cache_every=cache_every)
 
 
 def generate_mel_stream(params, mu, spks, cond, mask, prompt_frames: int,

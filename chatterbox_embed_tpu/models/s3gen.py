@@ -53,7 +53,8 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
                       prompt_tokens: jnp.ndarray, prompt_feat: jnp.ndarray,
                       embedding: jnp.ndarray, finalize: bool = True,
                       cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                      prompt_len: Optional[jnp.ndarray] = None):
+                      prompt_len: Optional[jnp.ndarray] = None,
+                      cache_every=None):
     """CausalMaskedDiffWithXvec.inference (reference: flow.py:236-282).
 
     Args:
@@ -120,7 +121,8 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
     mel_mask = mel_mask.astype(h.dtype)
 
     mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=mel_mask,
-                           cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder, dtype=dtype)
+                           cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder,
+                           dtype=dtype, cache_every=cache_every)
     if prompt_len is None:
         return mel[:, mel_len1:]
     # realign: row b's generated frames start at 2*p_b
@@ -131,18 +133,19 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
 
 
 _flow_to_mel_jit = jax.jit(_flow_to_mel_impl,
-                           static_argnames=("finalize", "cfg", "dtype"))
+                           static_argnames=("finalize", "cfg", "dtype",
+                                            "cache_every"))
 
 
 def flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
                 embedding, finalize: bool = True,
                 cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                prompt_len=None):
+                prompt_len=None, cache_every=None):
     """Jitted tokens->mel (one program per (bucket, prompt, finalize) shape;
     eager tracing would cost hundreds of dispatches on remote backends)."""
     return _flow_to_mel_jit(params, tokens, token_len, prompt_tokens,
                             prompt_feat, embedding, finalize, cfg, dtype,
-                            prompt_len)
+                            prompt_len, cache_every)
 
 
 def _flow_to_mel_window_impl(params, tokens: jnp.ndarray, vlen: jnp.ndarray,
@@ -243,10 +246,10 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
 def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                        embedding, key, finalize: bool,
                        cfg: S3GenConfig, dtype, apply_fade: bool,
-                       prompt_len=None):
+                       prompt_len=None, cache_every=None):
     mel = _flow_to_mel_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                             embedding, finalize, cfg, dtype,
-                            prompt_len=prompt_len)
+                            prompt_len=prompt_len, cache_every=cache_every)
     wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
     if apply_fade:
         fade = jnp.asarray(trim_fade())
@@ -255,13 +258,14 @@ def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
 
 
 _token_to_wav_jit = jax.jit(_token_to_wav_impl,
-                            static_argnames=("finalize", "cfg", "dtype", "apply_fade"))
+                            static_argnames=("finalize", "cfg", "dtype",
+                                             "apply_fade", "cache_every"))
 
 
 def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
                  embedding, key=None, finalize: bool = True,
                  cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                 apply_fade: bool = True, prompt_len=None):
+                 apply_fade: bool = True, prompt_len=None, cache_every=None):
     """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav).
 
     ONE jitted program per (token-bucket, prompt) shape: on remote-dispatch
@@ -272,7 +276,7 @@ def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
         key = jax.random.PRNGKey(0)
     return _token_to_wav_jit(params, tokens, token_len, prompt_tokens, prompt_feat,
                              embedding, key, finalize, cfg, dtype, apply_fade,
-                             prompt_len)
+                             prompt_len, cache_every)
 
 
 # ---------------------------------------------------------------------------
