@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Round-4 queue H (runs after q4g): the two measurements q4g doesn't cover.
+#
+#   1) bf16 headline A/B over CHATTERBOX_DEFER_KV — the deferred stacked
+#      KV insert landed (commit 0a1f519) to attack the trace-attributed
+#      434 us of per-layer inserts + 290 us of slab copies, but the bf16
+#      ms/step after it was never recorded (VERDICT r4 item 1's "<= 2.0
+#      bf16" criterion; the r4d cells all ran int8 weights).
+#   2) Streaming window geometry sensitivity (VERDICT r3 weak #7): sweep
+#      C (flow ctx tokens) / M (vocoder ctx mel) around the 6/8 defaults,
+#      report rel-L2 of the streamed waveform vs the widest geometry.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_out
+export PYTHONPATH="/root/repo:/root/.axon_site"
+
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = (jnp.ones((128,128)) @ jnp.ones((128,128))).block_until_ready()
+print('tunnel ok')" >/dev/null 2>&1
+}
+wait_tunnel() {
+  local n=0
+  until probe; do
+    n=$((n+1)); echo "[q4h] tunnel down, retry $n $(date +%H:%M:%S)" >&2
+    sleep 150
+    if [ "$n" -ge 200 ]; then echo "[q4h] giving up" >&2; exit 1; fi
+  done
+  echo "[q4h] tunnel up $(date +%H:%M:%S)" >&2
+}
+run_bench() {
+  local tag="$1"; shift
+  wait_tunnel
+  echo "[q4h] $tag $(date +%H:%M:%S)" >&2
+  local line
+  line=$(timeout 2400 python bench.py "$@" 2>"bench_out/q4h_${tag}.log")
+  echo "{\"tag\": \"$tag\", \"result\": ${line:-null}}" | tee -a bench_out/q4h_results.jsonl
+}
+
+# ---- 1) bf16 defer A/B at the single-utterance headline shape ------------
+run_bench bf16_defer --no-int8 --iters 3
+(export CHATTERBOX_DEFER_KV=0; run_bench bf16_eager --no-int8 --iters 3)
+
+# ---- 2) streaming geometry sensitivity (full size, ~9 subprocess runs) ---
+wait_tunnel
+echo "[q4h] stream geometry $(date +%H:%M:%S)" >&2
+timeout 5400 python scripts/stream_geometry_sensitivity.py \
+  > bench_out/q4h_stream_geometry.json 2>bench_out/q4h_stream_geometry.log
+echo "[q4h] stream geometry rc=$?" >&2
+cat bench_out/q4h_stream_geometry.json >> bench_out/q4h_results.jsonl
+
+echo "[q4h] done $(date +%H:%M:%S)" >&2
