@@ -188,16 +188,70 @@ class RedisWorker:
                                           "error": str(e)})
             return False
 
+    def process_batch(self, items: List[Tuple[str, Dict[str, Any]]]) -> int:
+        """Run several parsed TTS payloads as ONE pooled decode
+        (jobs.generate_tts_stories_batch); per-job status/DLQ contract is
+        identical to process_message. Returns the number handled."""
+        from . import jobs
+        for mid, payload in items:
+            self.set_status(payload.get("job_id", mid), "processing")
+        try:
+            results = jobs.generate_tts_stories_batch(
+                self._get_tts(), [p for _, p in items])
+        except Exception as e:  # noqa: BLE001 — batch layer must survive
+            logger.exception("batched job pass failed")
+            results = [{"status": "error", "error": str(e)}] * len(items)
+        for (mid, payload), result in zip(items, results):
+            job_id = payload.get("job_id", mid)
+            if isinstance(result, dict) and result.get("status") != "error":
+                self.set_status(job_id, "done",
+                                result=json.dumps(result, default=str))
+            else:
+                err = (result or {}).get("error", "job reported error")
+                logger.error("job %s failed: %s", job_id, err)
+                self.set_status(job_id, "error", error=str(err))
+                self.client.xadd(DLQ_STREAM, {"source": self.stream,
+                                              "job_id": job_id,
+                                              "error": str(err)})
+        return len(items)
+
     def run_once(self) -> int:
-        """Process up to one message; returns number handled."""
+        """Process up to WORKER_MAX_BATCH messages; returns number handled.
+
+        With WORKER_MAX_BATCH=1 (the default) this is the reference's
+        one-job-at-a-time loop. Above 1, waiting TTS jobs are drained into
+        one pooled multi-voice decode (dynamic batching — the chip's batch
+        budget fills across jobs instead of idling at B=1); non-TTS or
+        malformed messages keep the single-job path."""
+        max_batch = int(os.getenv("WORKER_MAX_BATCH", "1"))
         msgs = self.client.xreadgroup(self.group, self.consumer,
-                                      {self.stream: ">"}, count=1, block=5000)
+                                      {self.stream: ">"}, count=max(1, max_batch),
+                                      block=5000)
+        entries = [(mid, fields) for _stream, es in msgs or [] for mid, fields in es]
         handled = 0
-        for _stream, entries in msgs or []:
-            for mid, fields in entries:
+        batchable: List[Tuple[str, Dict[str, Any]]] = []
+        for mid, fields in entries:
+            payload = None
+            if self.mode == "tts" and len(entries) > 1:
+                try:
+                    payload = self.parse_payload(fields)
+                except Exception:  # noqa: BLE001 — fall through to single path
+                    payload = None
+            if payload is not None and payload.get("type", self.mode) == "tts":
+                batchable.append((mid, payload))
+            else:
                 self.process_message(mid, fields)
                 self.client.xack(self.stream, self.group, mid)
                 handled += 1
+        if len(batchable) == 1:
+            mid, payload = batchable[0]
+            self.process_message(mid, {"payload": json.dumps(payload)})
+            self.client.xack(self.stream, self.group, mid)
+            handled += 1
+        elif batchable:
+            handled += self.process_batch(batchable)
+            for mid, _ in batchable:
+                self.client.xack(self.stream, self.group, mid)
         return handled
 
     def run_forever(self):

@@ -1101,15 +1101,7 @@ class ChatterboxTTS:
         fail_on_bad = _env_bool("CHATTERBOX_FAIL_ON_BAD_CHUNK", False)
 
         self._perf_acc = self._fresh_perf_acc()   # job-level stage totals
-        per_chunk: List[Dict[str, float]] = []
-        for info in chunk_infos:
-            params = dict(base)
-            if self.experiment_config.get("enable_adaptive_voice_params", True):
-                adaptive = self.param_manager.get_adaptive_parameters(info)
-                for k in ("temperature", "exaggeration", "cfg_weight",
-                          "repetition_penalty", "min_p", "top_p"):
-                    params[k] = (1 - blend) * base.get(k, adaptive[k]) + blend * adaptive[k]
-            per_chunk.append(params)
+        per_chunk = self._adaptive_chunk_params(chunk_infos, base, blend)
 
         # first attempts in ONE lock-step batch: per-row sampling params +
         # per-row emotion conditioning carry each chunk's adaptive settings,
@@ -1121,44 +1113,22 @@ class ChatterboxTTS:
         first: Dict[int, np.ndarray] = {}
         if (len(chunk_infos) > 1
                 and os.getenv("CHATTERBOX_BATCH_CHUNKS", "1") != "0"):
-            try:
-                wavs = self.generate_batch(
-                    [c.text for c in chunk_infos],
-                    temperature=np.array([p["temperature"] for p in per_chunk]),
-                    cfg_weight=np.array([p["cfg_weight"] for p in per_chunk]),
-                    repetition_penalty=np.array([p["repetition_penalty"]
-                                                 for p in per_chunk]),
-                    min_p=np.array([p["min_p"] for p in per_chunk]),
-                    top_p=np.array([p["top_p"] for p in per_chunk]),
-                    exaggeration=np.array([p["exaggeration"] for p in per_chunk]),
-                    max_new_tokens=max_new_tokens, seed=seed, conds=conds)
-                first = dict(enumerate(wavs))
-            except Exception:  # noqa: BLE001 — fall back to sequential
-                logger.exception("batched chunk pass failed; falling back")
-                first = {}
+            first = self._batched_first_pass(
+                [c.text for c in chunk_infos], per_chunk, conds,
+                max_new_tokens, seed)
 
         segments: List[np.ndarray] = []
         stats = {"chunks": [], "regenerations": 0,
                  "batched_first_pass": bool(first)}
         t_start = time.time()
-        # the sequential path's _guard_tokens floor (>= 8 speech tokens),
-        # expressed in samples: one token = 2 mel frames x 480-sample hop
-        min_samples = 8 * 2 * 480
         for idx, info in enumerate(chunk_infos):
-            params = per_chunk[idx]
-            wav0 = first.get(idx)
-            if (wav0 is not None and wav0.size >= min_samples
-                    and self._chunk_gates_ok(wav0.reshape(-1), info)[0]):
-                wav, attempts = wav0.reshape(-1), 1
-            else:
-                wav, attempts = self._generate_single_chunk_with_quality(
-                    info, conds, params, max_attempts, fail_on_bad, seed,
-                    max_new_tokens)
-                if wav0 is not None:
-                    attempts += 1  # the failed batched attempt
+            wav, attempts = self._accept_or_retry(
+                info, per_chunk[idx], first.get(idx), conds, max_attempts,
+                fail_on_bad, seed, max_new_tokens)
             stats["regenerations"] += attempts - 1
             stats["chunks"].append({"id": info.id, "attempts": attempts,
-                                    "samples": int(wav.size), "params": params})
+                                    "samples": int(wav.size),
+                                    "params": per_chunk[idx]})
             segments.append(wav)
         stats["generation_time_s"] = time.time() - t_start
         # stage totals across the batched first pass AND every retry
@@ -1166,6 +1136,136 @@ class ChatterboxTTS:
         # counterparts at tts.py:1313-1316,1363)
         stats["perf"] = self._perf_acc_snapshot()
         return segments, stats
+
+    def _adaptive_chunk_params(self, chunk_infos: List[ChunkInfo],
+                               base: Dict[str, float],
+                               blend: float) -> List[Dict[str, float]]:
+        """Per-chunk sampling params: the job's base settings blended with the
+        AdaptiveParameterManager's per-chunk profile (reference: tts.py:1074-1096)."""
+        per_chunk: List[Dict[str, float]] = []
+        for info in chunk_infos:
+            params = dict(base)
+            if self.experiment_config.get("enable_adaptive_voice_params", True):
+                adaptive = self.param_manager.get_adaptive_parameters(info)
+                for k in ("temperature", "exaggeration", "cfg_weight",
+                          "repetition_penalty", "min_p", "top_p"):
+                    params[k] = (1 - blend) * base.get(k, adaptive[k]) + blend * adaptive[k]
+            per_chunk.append(params)
+        return per_chunk
+
+    def _batched_first_pass(self, texts: List[str],
+                            per_chunk: List[Dict[str, float]], conds,
+                            max_new_tokens: int, seed: int) -> Dict[int, np.ndarray]:
+        """One lock-step decode over all pending chunks; `conds` is a shared
+        Conditionals or a per-row list (multi-voice, one entry per text).
+        Returns {row: wav} on success, {} on any failure (callers fall back
+        to the sequential retry pyramid)."""
+        try:
+            wavs = self.generate_batch(
+                texts,
+                temperature=np.array([p["temperature"] for p in per_chunk]),
+                cfg_weight=np.array([p["cfg_weight"] for p in per_chunk]),
+                repetition_penalty=np.array([p["repetition_penalty"]
+                                             for p in per_chunk]),
+                min_p=np.array([p["min_p"] for p in per_chunk]),
+                top_p=np.array([p["top_p"] for p in per_chunk]),
+                exaggeration=np.array([p["exaggeration"] for p in per_chunk]),
+                max_new_tokens=max_new_tokens, seed=seed, conds=conds)
+            return dict(enumerate(wavs))
+        except Exception:  # noqa: BLE001 — fall back to sequential
+            logger.exception("batched chunk pass failed; falling back")
+            return {}
+
+    def _accept_or_retry(self, info: ChunkInfo, params: Dict[str, float],
+                         wav0: Optional[np.ndarray], conds: Conditionals,
+                         max_attempts: int, fail_on_bad: bool, seed: int,
+                         max_new_tokens: int) -> Tuple[np.ndarray, int]:
+        """Accept a batched first take if it passes the chunk gates, else run
+        the sequential retry pyramid. Returns (wav, attempts)."""
+        # the sequential path's _guard_tokens floor (>= 8 speech tokens),
+        # expressed in samples: one token = 2 mel frames x 480-sample hop
+        min_samples = 8 * 2 * 480
+        if (wav0 is not None and wav0.size >= min_samples
+                and self._chunk_gates_ok(wav0.reshape(-1), info)[0]):
+            return wav0.reshape(-1), 1
+        wav, attempts = self._generate_single_chunk_with_quality(
+            info, conds, params, max_attempts, fail_on_bad, seed,
+            max_new_tokens)
+        if wav0 is not None:
+            attempts += 1  # the failed batched attempt
+        return wav, attempts
+
+    def generate_chunks_multi(self, jobs_chunks: List[List[ChunkInfo]],
+                              jobs_conds: List[Conditionals],
+                              jobs_params: Optional[List[Dict[str, float]]] = None,
+                              adaptive_voice_param_blend: float = 0.2,
+                              max_new_tokens: int = 1000,
+                              seed: int = 0) -> List[Tuple[List[np.ndarray], Dict[str, Any]]]:
+        """Cross-JOB pooled chunk generation (dynamic serving batches).
+
+        Chunks from MANY stories — each story with its own voice — decode in
+        one lock-step multi-voice batch (per-row conds + per-row adaptive
+        sampling params; `generate_batch` sub-batches transparently at
+        `t3.max_decode_utterances()`), while the acceptance gates and the
+        sequential retry pyramid stay per job. The reference serves one job
+        per accelerator at a time (SURVEY §2.6); this fills the chip's
+        batch budget across jobs. Returns [(segments, stats)] per job.
+        """
+        assert len(jobs_chunks) == len(jobs_conds)
+        if jobs_params is not None:
+            assert len(jobs_params) == len(jobs_chunks)
+        blend = self.experiment_config.get("force_adaptive_blend")
+        if blend is None:
+            blend = adaptive_voice_param_blend
+        max_attempts = int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS", "4"))
+        fail_on_bad = _env_bool("CHATTERBOX_FAIL_ON_BAD_CHUNK", False)
+        self._perf_acc = self._fresh_perf_acc()   # batch-level stage totals
+
+        defaults = dict(exaggeration=0.5, cfg_weight=0.6, temperature=0.7,
+                        repetition_penalty=1.2, min_p=0.05, top_p=1.0)
+        rows: List[Tuple[int, ChunkInfo, Dict[str, float]]] = []
+        for j, chunks in enumerate(jobs_chunks):
+            base = dict(defaults)
+            if jobs_params and jobs_params[j]:
+                base.update({k: v for k, v in jobs_params[j].items()
+                             if v is not None})
+            for info, params in zip(chunks,
+                                    self._adaptive_chunk_params(chunks, base, blend)):
+                rows.append((j, info, params))
+
+        first: Dict[int, np.ndarray] = {}
+        if len(rows) > 1 and os.getenv("CHATTERBOX_BATCH_CHUNKS", "1") != "0":
+            first = self._batched_first_pass(
+                [r[1].text for r in rows], [r[2] for r in rows],
+                [jobs_conds[r[0]] for r in rows], max_new_tokens, seed)
+
+        out: List[Tuple[List[np.ndarray], Dict[str, Any]]] = []
+        t_start = time.time()
+        row_idx = 0
+        for j, chunks in enumerate(jobs_chunks):
+            segments: List[np.ndarray] = []
+            stats: Dict[str, Any] = {"chunks": [], "regenerations": 0,
+                                     "batched_first_pass": bool(first),
+                                     "pooled_jobs": len(jobs_chunks),
+                                     "pooled_rows": len(rows)}
+            for info in chunks:
+                _, _, params = rows[row_idx]
+                wav, attempts = self._accept_or_retry(
+                    info, params, first.get(row_idx), jobs_conds[j],
+                    max_attempts, fail_on_bad, seed, max_new_tokens)
+                row_idx += 1
+                stats["regenerations"] += attempts - 1
+                stats["chunks"].append({"id": info.id, "attempts": attempts,
+                                        "samples": int(wav.size),
+                                        "params": params})
+                segments.append(wav)
+            out.append((segments, stats))
+        batch_perf = self._perf_acc_snapshot()   # shared across the pool
+        wall = time.time() - t_start
+        for _, stats in out:
+            stats["generation_time_s"] = wall
+            stats["perf"] = batch_perf
+        return out
 
     def _chunk_gates_ok(self, flat: np.ndarray,
                         info: ChunkInfo) -> Tuple[bool, str]:
@@ -1277,6 +1377,100 @@ class ChatterboxTTS:
             "perf": gen_stats.get("perf", {}),
         }
         return wav[None, :], metadata
+
+    def generate_long_text_batch(self, texts: List[str],
+                                 voice_profile_paths: Optional[List[str]] = None,
+                                 conds_list: Optional[List[Conditionals]] = None,
+                                 exaggeration=0.5, cfg_weight=0.6, temperature=0.7,
+                                 target_chars: int = 400, max_chars: int = 600,
+                                 seed: int = 0, max_new_tokens: int = 1000,
+                                 pause_scales: Optional[List[float]] = None,
+                                 ) -> List[Tuple[Optional[np.ndarray], Dict[str, Any]]]:
+        """Batched production story path: MANY stories (each with its own
+        voice) share one pooled lock-step decode, then stitch/watermark per
+        story. Per-job entries in the result are (wav (1, T), metadata) or
+        (None, {"error": ...}) — a bad job never kills the batch. Sampling
+        params accept one scalar for all jobs or a per-job sequence.
+
+        This is the serving-side dynamic batching the reference cannot do
+        (one job per accelerator at a time); `serving/worker.py` drives it
+        via WORKER_MAX_BATCH."""
+        n = len(texts)
+        if conds_list is None:
+            assert voice_profile_paths is not None and len(voice_profile_paths) == n
+        else:
+            assert len(conds_list) == n
+
+        def per_job(v, default):
+            if v is None:
+                v = default
+            if isinstance(v, (list, tuple, np.ndarray)):
+                assert len(v) == n
+                return [float(x) for x in v]
+            return [float(v)] * n
+
+        exg = per_job(exaggeration, 0.5)
+        cfgw = per_job(cfg_weight, 0.6)
+        temp = per_job(temperature, 0.7)
+        pauses = per_job(pause_scales, self.advanced_stitcher.global_pause_factor)
+
+        t0 = time.time()
+        errors: Dict[int, str] = {}
+        jobs_chunks: List[List[ChunkInfo]] = []
+        jobs_conds: List[Conditionals] = []
+        jobs_params: List[Dict[str, float]] = []
+        live: List[int] = []   # job indices that reached the pooled pass
+        for i in range(n):
+            try:
+                chunks = self.chunk_text(texts[i], target_chars, max_chars)
+                if not chunks:
+                    raise ValueError("no synthesisable text after sanitisation")
+                conds = (conds_list[i] if conds_list is not None
+                         else self._get_or_prepare_conditionals(
+                             voice_profile_path=voice_profile_paths[i],
+                             exaggeration=exg[i]))
+                jobs_chunks.append(chunks)
+                jobs_conds.append(conds)
+                jobs_params.append(dict(exaggeration=exg[i], cfg_weight=cfgw[i],
+                                        temperature=temp[i]))
+                live.append(i)
+            except Exception as e:  # noqa: BLE001 — isolate bad jobs
+                logger.exception("batch job %d failed before generation", i)
+                errors[i] = str(e)
+
+        gen = (self.generate_chunks_multi(jobs_chunks, jobs_conds, jobs_params,
+                                          max_new_tokens=max_new_tokens, seed=seed)
+               if jobs_chunks else [])
+
+        results: List[Tuple[Optional[np.ndarray], Dict[str, Any]]] = \
+            [(None, {"error": errors.get(i, "job skipped")}) for i in range(n)]
+        prev_pause = self.advanced_stitcher.global_pause_factor
+        try:
+            for k, i in enumerate(live):
+                try:
+                    segments, gen_stats = gen[k]
+                    self.advanced_stitcher.global_pause_factor = pauses[i]
+                    wav, sr, duration = self.stitch_and_normalize(
+                        segments, jobs_chunks[k])
+                    wav = self.watermarker.apply_watermark(wav, sample_rate=sr)
+                    total = time.time() - t0
+                    results[i] = (wav[None, :], {
+                        "runtime_version": CHATTERBOX_RUNTIME_VERSION,
+                        "num_chunks": len(jobs_chunks[k]),
+                        "duration_s": duration,
+                        "generation_time_s": total,
+                        "audio_ratio": duration / total if total > 0 else 0.0,
+                        "cache_stats": self.get_conditional_cache_stats(),
+                        "chunk_stats": gen_stats,
+                        "perf": gen_stats.get("perf", {}),
+                        "batched_jobs": len(live),
+                    })
+                except Exception as e:  # noqa: BLE001 — isolate bad jobs
+                    logger.exception("batch job %d failed in stitching", i)
+                    results[i] = (None, {"error": str(e)})
+        finally:
+            self.advanced_stitcher.global_pause_factor = prev_pause
+        return results
 
     # serving-path variants (reference: tts.py:910-1050)
     def generate_long_text_with_saved_voice(self, text, saved_voice_path,

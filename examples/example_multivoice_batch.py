@@ -21,6 +21,11 @@ them (any mix of voices), then:
                               conds=[r.conds for r in reqs],
                               seed=0)
 
+The Redis worker does this natively for full story jobs: WORKER_MAX_BATCH=N
+drains up to N waiting TTS jobs into one pooled multi-voice decode
+(serving/jobs.py:generate_tts_stories_batch) — per-job stitching, storage,
+and status are unchanged.
+
 Run (dev, random weights):
     python examples/example_multivoice_batch.py --random \
         --refs alice.wav bob.wav carol.wav

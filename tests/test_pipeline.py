@@ -635,3 +635,132 @@ def test_worker_vc_mode(tmp_path, monkeypatch):
     status = client.hgetall("runpod:job:v1")
     assert status["status"] == "done"
     assert "vid9" in status["result"]
+
+
+def test_generate_chunks_multi_pools(tts, ref_voice_wav, tmp_path, monkeypatch):
+    """Cross-job pooling: chunks from two jobs (two voices) decode in ONE
+    generate_batch call with per-row conds; gates/retries stay per job."""
+    prof = str(tmp_path / "pool_voice.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    c1 = tts._get_or_prepare_conditionals(voice_profile_path=prof,
+                                          exaggeration=0.4)
+    c2 = tts._get_or_prepare_conditionals(voice_profile_path=prof,
+                                          exaggeration=0.7)
+    jobs_chunks = [
+        tts.chunk_text("The knight rode far. ⁂ The dragon was kind."),
+        tts.chunk_text("A quiet morning by the sea."),
+    ]
+    assert len(jobs_chunks[0]) == 2 and len(jobs_chunks[1]) == 1
+
+    calls = []
+    orig = tts.generate_batch
+    def spy(texts, **kw):
+        calls.append((list(texts), kw.get("conds")))
+        return orig(texts, **kw)
+    monkeypatch.setattr(tts, "generate_batch", spy)
+    out = tts.generate_chunks_multi(
+        jobs_chunks, [c1, c2],
+        jobs_params=[dict(exaggeration=0.4), dict(exaggeration=0.7)],
+        max_new_tokens=16, seed=3)
+    assert len(out) == 2
+    # exactly one pooled first pass over all 3 rows, multi-voice conds
+    assert len(calls) == 1
+    texts, conds = calls[0]
+    assert len(texts) == 3 and isinstance(conds, list) and len(conds) == 3
+    assert conds[0] is c1 and conds[2] is c2
+    for (segments, stats), chunks in zip(out, jobs_chunks):
+        assert len(segments) == len(chunks)
+        assert stats["pooled_jobs"] == 2 and stats["pooled_rows"] == 3
+        for seg in segments:
+            assert seg.ndim == 1 and np.isfinite(seg).all() and seg.size > 0
+
+
+def test_worker_dynamic_batch(ref_voice_wav, tmp_path, monkeypatch):
+    """WORKER_MAX_BATCH > 1 drains waiting TTS jobs into one pooled decode;
+    every job keeps its own status, result payload, and stored audio."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker, InMemoryStreams,
+                                                     STREAM_TTS)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
+    monkeypatch.setenv("WORKER_MAX_BATCH", "4")
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    # the job API mirrors the reference (no token-cap knob); cap decode for
+    # the tiny model whose pos-emb table is 128 slots
+    orig_gltb = tts_inst.generate_long_text_batch
+    monkeypatch.setattr(tts_inst, "generate_long_text_batch",
+                        lambda *a, **k: orig_gltb(*a, max_new_tokens=16, **k))
+    prof = str(tmp_path / "batch_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client, tts_factory=lambda: tts_inst)
+    texts = ["The knight rode far across the land.",
+             "The dragon was kind and gentle.",
+             "They became the best of friends."]
+    for i, text in enumerate(texts):
+        client.xadd(STREAM_TTS, {"payload": json.dumps({
+            "job_id": f"jb{i}", "type": "tts", "story_id": f"sb{i}",
+            "user_id": "ub", "text": text, "voice_profile_b64": prof_b64,
+            "exaggeration": 0.4 + 0.1 * i})})
+    assert worker.run_once() == 3
+    import pathlib
+    for i in range(3):
+        status = client.hgetall(f"runpod:job:jb{i}")
+        assert status["status"] == "done", status.get("error")
+        result = json.loads(status["result"])
+        assert result["status"] == "success" and result["duration"] > 0
+        assert result["story_id"] == f"sb{i}"
+        # the pooled pass actually carried all three jobs
+        assert result["metadata"]["chunk_stats"]["pooled_jobs"] == 3
+        assert result["metadata"]["batched_jobs"] == 3
+        stored = pathlib.Path(result["storage_url"])
+        assert stored.exists() and stored.stat().st_size > 500
+    # all three messages consumed in ONE read
+    key = (STREAM_TTS, worker.group)
+    assert len(client.delivered[key]) == 3 and len(client.acked[key]) == 3
+
+
+def test_worker_dynamic_batch_isolates_bad_job(ref_voice_wav, tmp_path,
+                                               monkeypatch):
+    """A malformed job in a dynamic batch gets its own error + DLQ entry;
+    the healthy jobs in the same batch still complete."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker, InMemoryStreams,
+                                                     STREAM_TTS, DLQ_STREAM)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
+    monkeypatch.setenv("WORKER_MAX_BATCH", "4")
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    orig_gltb = tts_inst.generate_long_text_batch
+    monkeypatch.setattr(tts_inst, "generate_long_text_batch",
+                        lambda *a, **k: orig_gltb(*a, max_new_tokens=16, **k))
+    prof = str(tmp_path / "iso_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client, tts_factory=lambda: tts_inst)
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "good", "type": "tts", "story_id": "sg", "user_id": "u",
+        "text": "A fine day indeed.", "voice_profile_b64": prof_b64})})
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "bad", "type": "tts", "story_id": "sx", "user_id": "u",
+        "text": "No voice profile for me."})})  # missing profile -> error
+    assert worker.run_once() == 2
+    assert client.hgetall("runpod:job:good")["status"] == "done"
+    bad = client.hgetall("runpod:job:bad")
+    assert bad["status"] == "error" and "voice_profile" in bad["error"]
+    assert len(client.streams[DLQ_STREAM]) == 1
+    assert client.streams[DLQ_STREAM][0][1]["job_id"] == "bad"
