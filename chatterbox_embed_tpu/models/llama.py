@@ -145,12 +145,16 @@ def pin_cache_row_major(cache: "KVCache") -> "KVCache":
     pin (caught by the r4e device trace: copy.615/616 still present).
     Only ImportError falls back now; API misuse must be loud.
 
-    CHATTERBOX_PIN_KV=0 disables (trace-time binding, for A/B runs —
-    the r4e batched cells that accidentally ran with the fixed pin came
-    out ~2x slower, so the pin must prove itself per-shape before it
-    stays default)."""
+    DEFAULT OFF (CHATTERBOX_PIN_KV=1 re-enables): the q4g product A/B
+    measured the pin NEUTRAL at the single-utterance headline (1.969 vs
+    1.972 ms/step) and at batch 16 (10.15 vs 10.20) — the copies it
+    targeted were already eliminated by the stacked-cache flash entry
+    (deferred insert reads layer slabs straight from the (L,Lc,B,H,D)
+    buffer), and the r4e batched slowdown the pin was blamed for turned
+    out to be the deferred XLA path instead. Kept as an opt-in
+    experiment for future libtpu/XLA layout behavior."""
     import os
-    if os.getenv("CHATTERBOX_PIN_KV", "1") == "0":
+    if os.getenv("CHATTERBOX_PIN_KV", "0") != "1":
         return cache
     try:
         from jax.experimental.layout import with_layout_constraint, Layout
@@ -232,15 +236,23 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     # Deferred cache insert (single-token decode): the per-layer
     # dynamic_update_slice chain is latency-bound — 60 tiny ops cost
     # 434 us/step at B=2 (round-4 device trace, scripts/profile_decode.py +
-    # analyze_decode_trace.py) — so the decode path collects every layer's
-    # k/v row and writes the whole stack in ONE update after the loop.
-    # Attention sees the current token via explicit k_cur/v_cur operands
-    # (flash kernel folds them as a final height-1 chunk; the XLA path
-    # appends a logit column). Mathematically identical to insert-first;
-    # kill-switch CHATTERBOX_DEFER_KV=0 restores the round-3 behavior.
+    # analyze_decode_trace.py) — so the FLASH decode path collects every
+    # layer's k/v row and writes the whole stack in ONE update after the
+    # loop, with attention folding the current row as a final height-1
+    # online-softmax chunk. Mathematically identical to insert-first.
+    #
+    # The XLA decode path stays insert-first: its defer variant (history
+    # mask + appended logit/value column) measured 10.15-10.20 ms/step at
+    # batch 16 int8-KV vs 4.79 eager (q4g A/B, PERF_NOTES round-4 defer
+    # arbitration) — the where/concat around the logits breaks the
+    # int8->bf16 convert-into-dot fusion and the whole cache dequantizes
+    # through HBM every step; at batch the 60-op insert chain amortizes
+    # over rows anyway. CHATTERBOX_DEFER_KV=1 forces defer everywhere
+    # (parity tests), =0 forces insert-first everywhere.
     import os
-    defer = (t == 1 and cache is not None
-             and os.getenv("CHATTERBOX_DEFER_KV", "1") != "0")
+    _defer_env = os.getenv("CHATTERBOX_DEFER_KV", "")
+    defer = (t == 1 and cache is not None and _defer_env != "0"
+             and (_defer_env == "1" or flash_decode))
     new_ks, new_vs = [], []
     lcache_n = ck.shape[1] if ck is not None else 0
     for i, lp in enumerate(params["layers"]):

@@ -122,6 +122,35 @@ def test_deferred_kv_insert_matches_eager(hf_pair, rng, monkeypatch):
     np.testing.assert_allclose(v_defer, v_eager, atol=1e-6, rtol=1e-5)
 
 
+def test_defer_kv_default_is_flash_only(hf_pair, monkeypatch):
+    """Round-4 arbitration (PERF_NOTES "defer arbitration"): the deferred
+    stacked insert WINS on the flash path (one update instead of 60 tiny
+    ones) but LOSES 2x on the batched XLA path — the appended-column
+    variant defeats the int8 convert-into-dot fusion (10.15-10.20 vs 4.79
+    ms/step at batch 16) — so with CHATTERBOX_DEFER_KV unset the XLA
+    decode stays insert-first. Structural pin via the lowered jaxpr's
+    cache-update count."""
+    _, params = hf_pair
+    cache = llama.init_cache(SMALL, 2, 16)
+    x = jnp.zeros((2, 1, 64), jnp.float32)
+    pos = jnp.zeros((2, 1), jnp.int32)
+
+    def count_dus():
+        # fresh function object per trace — make_jaxpr goes through the jit
+        # trace cache, which is keyed on function identity and would
+        # otherwise return the previous env's trace
+        def step(c):
+            _, c2 = llama.decode_step(params, x, pos, c, jnp.int32(4),
+                                      cfg=SMALL)
+            return c2
+        return str(jax.make_jaxpr(step)(cache)).count("dynamic_update_slice")
+
+    monkeypatch.delenv("CHATTERBOX_DEFER_KV", raising=False)
+    assert count_dus() == 2 * SMALL.num_layers    # insert-first per layer
+    monkeypatch.setenv("CHATTERBOX_DEFER_KV", "1")
+    assert count_dus() == 2                       # one stacked k + one v
+
+
 def test_pin_cache_row_major_engages(monkeypatch):
     """pin_cache_row_major must bind a real layout_constraint, not silently
     fall back (the round-4 first cut passed Format(Layout(...)) — its
