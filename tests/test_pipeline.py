@@ -764,3 +764,29 @@ def test_worker_dynamic_batch_isolates_bad_job(ref_voice_wav, tmp_path,
     assert bad["status"] == "error" and "voice_profile" in bad["error"]
     assert len(client.streams[DLQ_STREAM]) == 1
     assert client.streams[DLQ_STREAM][0][1]["job_id"] == "bad"
+
+
+def test_generate_chunks_multi_across_fence(tts, ref_voice_wav, tmp_path,
+                                            monkeypatch):
+    """Pooled multi-voice chunks that exceed max_decode_utterances() must
+    sub-batch transparently WITH per-row conds sliced per sub-batch
+    (t3.generate_batch multi-voice slicing)."""
+    monkeypatch.setenv("CHATTERBOX_MAX_DECODE_UTT", "2")
+    prof = str(tmp_path / "fence_voice.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    c1 = tts._get_or_prepare_conditionals(voice_profile_path=prof,
+                                          exaggeration=0.3)
+    c2 = tts._get_or_prepare_conditionals(voice_profile_path=prof,
+                                          exaggeration=0.8)
+    jobs_chunks = [
+        tts.chunk_text("The knight rode far. ⁂ The dragon was kind."),
+        tts.chunk_text("A quiet morning. ⁂ Waves rolled in."),
+    ]
+    out = tts.generate_chunks_multi(jobs_chunks, [c1, c2],
+                                    max_new_tokens=16, seed=7)
+    assert len(out) == 2
+    for (segments, stats), chunks in zip(out, jobs_chunks):
+        assert len(segments) == len(chunks)
+        assert stats["pooled_rows"] == 4   # 2 sub-batches of 2 under the cap
+        for seg in segments:
+            assert seg.ndim == 1 and np.isfinite(seg).all() and seg.size > 0
