@@ -39,8 +39,15 @@ run_bench() {
 }
 
 # ---- 1) bf16 defer A/B at the single-utterance headline shape ------------
+# (with the flash-only defer default landed, --no-int8 alone IS the defer
+# side at B=2; DEFER_KV=0 forces insert-first under flash)
 run_bench bf16_defer --no-int8 --iters 3
 (export CHATTERBOX_DEFER_KV=0; run_bench bf16_eager --no-int8 --iters 3)
+
+# ---- 1b) int8-s3gen at B=1 (promotion prerequisite: the full-size mel
+# gate passes — mel cos 0.99997 — but the headline cost was never measured;
+# a single-utterance regression would block default-on) ---------------------
+run_bench headline_int8s3gen --int8-s3gen --iters 3
 
 # ---- 2) streaming geometry sensitivity (full size, ~9 subprocess runs) ---
 wait_tunnel
