@@ -100,6 +100,21 @@ def _derive_s3gen_sub_batch(u: int, n_tokens: int, cfg, *,
     return 1 << (sub.bit_length() - 1)          # snap down to a power of two
 
 
+def _derive_cfm_cache(rows: int) -> int:
+    """DeepCache stride for the batched S3Gen pass. CHATTERBOX_CFM_CACHE
+    always wins (0/1 = bit-identical plain solver, K>=2 forced everywhere);
+    otherwise throughput batches (>= 8 live rows per dispatch) default to
+    K=2 — the q4g stage attribution measured -33% on the batched pass
+    (PERF_NOTES "batched S3Gen stage attribution") and the full-size mel
+    gate bounds the numerics (scripts/cfm_cache_gate.py: mel cos >= 0.995,
+    rel L2 < 0.10 — same bounds the int8 promotion used). The latency path
+    (single utterance, streaming) keeps the exact solver."""
+    env = os.getenv("CHATTERBOX_CFM_CACHE")
+    if env is not None and env != "":
+        return int(env)
+    return 2 if rows >= 8 else 0
+
+
 def _env_bool(key: str, default: bool = False) -> bool:
     raw = os.getenv(key)
     if raw is None:
@@ -783,6 +798,9 @@ class ChatterboxTTS:
         # Derived from T_mel and free HBM (env CHATTERBOX_S3GEN_SUB_BATCH
         # overrides) — see _derive_s3gen_sub_batch.
         sub = _derive_s3gen_sub_batch(u, n_prompt_w + bkt, self.cfg.s3gen)
+        # one stride for EVERY dispatch of the request (the last partial
+        # sub-batch must not silently flip solver numerics mid-request)
+        cfm_stride = _derive_cfm_cache(min(sub, u))
         t_s3 = time.time()
         outs = []
         for s0 in range(0, u, sub):
@@ -793,7 +811,8 @@ class ChatterboxTTS:
                 prompt_feat[s0:s1], embedding[s0:s1],
                 key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype,
                 prompt_len=(None if prompt_len_dev is None
-                            else prompt_len_dev[s0:s1]))
+                            else prompt_len_dev[s0:s1]),
+                cache_every=cfm_stride)
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
         self._record_perf(t3_s, time.time() - t_s3, int(np.sum(lens)),

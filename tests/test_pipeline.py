@@ -790,3 +790,42 @@ def test_generate_chunks_multi_across_fence(tts, ref_voice_wav, tmp_path,
         assert stats["pooled_rows"] == 4   # 2 sub-batches of 2 under the cap
         for seg in segments:
             assert seg.ndim == 1 and np.isfinite(seg).all() and seg.size > 0
+
+
+def test_cfm_cache_default_derivation(monkeypatch):
+    """Round-4 promotion: throughput batches (>= 8 live rows per S3Gen
+    dispatch) default to DeepCache stride K=2 (q4g: -33% on the batched
+    pass, full-size mel gate bounds); the latency path keeps the exact
+    solver; CHATTERBOX_CFM_CACHE always wins."""
+    from chatterbox_embed_tpu.tts import _derive_cfm_cache
+    monkeypatch.delenv("CHATTERBOX_CFM_CACHE", raising=False)
+    assert _derive_cfm_cache(1) == 0
+    assert _derive_cfm_cache(4) == 0
+    assert _derive_cfm_cache(8) == 2
+    assert _derive_cfm_cache(16) == 2
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "0")
+    assert _derive_cfm_cache(16) == 0
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "3")
+    assert _derive_cfm_cache(4) == 3
+
+
+def test_generate_batch_passes_cfm_stride(tts, ref_voice_wav, tmp_path,
+                                          monkeypatch):
+    """generate_batch must thread ONE derived stride into every S3Gen
+    dispatch of the request (a partial last sub-batch must not flip solver
+    numerics mid-request)."""
+    import chatterbox_embed_tpu.models.s3gen as s3g
+    prof = str(tmp_path / "stride_voice.npy")
+    tts.save_voice_profile(ref_voice_wav, prof)
+    tts.prepare_conditionals_with_voice_profile(prof, exaggeration=0.5)
+    seen = []
+    orig = s3g.token_to_wav
+    def spy(*a, **kw):
+        seen.append(kw.get("cache_every"))
+        return orig(*a, **kw)
+    monkeypatch.setattr(s3g, "token_to_wav", spy)
+    # force tiny sub-batches so one request spans several dispatches
+    monkeypatch.setenv("CHATTERBOX_S3GEN_SUB_BATCH", "2")
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "2")   # explicit: force K=2
+    tts.generate_batch(["One.", "Two.", "Three."], max_new_tokens=12, seed=1)
+    assert seen == [2, 2]  # 2+1 rows -> two dispatches, same stride
