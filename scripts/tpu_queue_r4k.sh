@@ -42,4 +42,14 @@ run_bench() {
 run_bench int8_defer --iters 3
 (export CHATTERBOX_DEFER_KV=0; run_bench int8_eager --iters 3)
 
+# Device trace of the int8 EAGER path — the configuration that ships if
+# the A/B above confirms the flip (the existing traces cover bf16-eager
+# pre-round-4 and the defer variants only).
+wait_tunnel
+echo "[q4k] profile int8 eager $(date +%H:%M:%S)" >&2
+CHATTERBOX_DEFER_KV=0 timeout 2400 python scripts/profile_decode.py \
+  --steps 192 --int8 --trace-dir /tmp/jax_trace_q4k_int8_eager \
+  > measurements/q4k_profile_int8_eager.txt 2>&1
+echo "[q4k] profile rc=$?" >&2
+
 echo "[q4k] done $(date +%H:%M:%S)" >&2
