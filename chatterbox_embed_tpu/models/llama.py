@@ -233,26 +233,29 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     kv_int8 = ck is not None and ck.dtype == jnp.int8
     assert not (kv_int8 and flash_decode), \
         "int8 KV cache requires the XLA decode path (the flash kernel walks bf16 slabs)"
-    # Deferred cache insert (single-token decode): the per-layer
-    # dynamic_update_slice chain is latency-bound — 60 tiny ops cost
-    # 434 us/step at B=2 (round-4 device trace, scripts/profile_decode.py +
-    # analyze_decode_trace.py) — so the FLASH decode path collects every
-    # layer's k/v row and writes the whole stack in ONE update after the
-    # loop, with attention folding the current row as a final height-1
-    # online-softmax chunk. Mathematically identical to insert-first.
+    # Deferred cache insert (single-token decode): collect every layer's
+    # k/v row and write the whole stack in ONE update after the loop, with
+    # attention folding the current row explicitly (flash: a final
+    # height-1 online-softmax chunk; XLA: an appended logit/value column).
+    # Mathematically identical to insert-first (parity-tested), built
+    # against the trace-named 434 us/step per-layer insert chain at B=2.
     #
-    # The XLA decode path stays insert-first: its defer variant (history
-    # mask + appended logit/value column) measured 10.15-10.20 ms/step at
-    # batch 16 int8-KV vs 4.79 eager (q4g A/B, PERF_NOTES round-4 defer
-    # arbitration) — the where/concat around the logits breaks the
-    # int8->bf16 convert-into-dot fusion and the whole cache dequantizes
-    # through HBM every step; at batch the 60-op insert chain amortizes
-    # over rows anyway. CHATTERBOX_DEFER_KV=1 forces defer everywhere
-    # (parity tests), =0 forces insert-first everywhere.
+    # DEFAULT OFF everywhere (CHATTERBOX_DEFER_KV=1 re-enables): measured
+    # on the product path it never wins —
+    #   * bf16 flash B=2: eager 2.439 vs defer 2.634 ms/step (q4i);
+    #   * int8-weights flash B=2: 1.975 vs 1.972 — neutral (q4k);
+    #   * batch-16 XLA int8-KV: eager 4.79 vs defer 10.2 (q4g — the
+    #     where/concat around the logits breaks the int8 convert-into-dot
+    #     fusion and the cache dequantizes through HBM every step).
+    # Root cause on the flash path (q4j device traces): the single
+    # strided (L,1,B,H,D) stacked update is NOT aliased in place by XLA —
+    # dynamic_update_slice.20/.21 each copy the full cache (~200 us/step)
+    # and the stacked-cache kernel operand adds full-cache copies
+    # (copy.615/616, ~275 us/step), so the 434 us of in-place per-layer
+    # inserts it removes come back as ~670 us of copies.
     import os
-    _defer_env = os.getenv("CHATTERBOX_DEFER_KV", "")
-    defer = (t == 1 and cache is not None and _defer_env != "0"
-             and (_defer_env == "1" or flash_decode))
+    defer = (t == 1 and cache is not None
+             and os.getenv("CHATTERBOX_DEFER_KV", "") == "1")
     new_ks, new_vs = [], []
     lcache_n = ck.shape[1] if ck is not None else 0
     for i, lp in enumerate(params["layers"]):

@@ -122,14 +122,15 @@ def test_deferred_kv_insert_matches_eager(hf_pair, rng, monkeypatch):
     np.testing.assert_allclose(v_defer, v_eager, atol=1e-6, rtol=1e-5)
 
 
-def test_defer_kv_default_is_flash_only(hf_pair, monkeypatch):
-    """Round-4 arbitration (PERF_NOTES "defer arbitration"): the deferred
-    stacked insert WINS on the flash path (one update instead of 60 tiny
-    ones) but LOSES 2x on the batched XLA path — the appended-column
-    variant defeats the int8 convert-into-dot fusion (10.15-10.20 vs 4.79
-    ms/step at batch 16) — so with CHATTERBOX_DEFER_KV unset the XLA
-    decode stays insert-first. Structural pin via the lowered jaxpr's
-    cache-update count."""
+def test_defer_kv_default_is_insert_first(hf_pair, monkeypatch):
+    """Round-4 arbitration (PERF_NOTES q4i/q4k): the deferred stacked
+    insert never wins on the product path — eager 2.439 vs defer 2.634
+    ms/step at bf16 flash B=2, neutral at int8, and 2x better at batch-16
+    XLA (4.79 vs 10.2; the appended-column variant defeats the int8
+    convert-into-dot fusion, and the q4j traces show the stacked update
+    is not aliased in place). With CHATTERBOX_DEFER_KV unset the decode
+    is insert-first EVERYWHERE; =1 re-enables the deferred path.
+    Structural pin via the lowered jaxpr's cache-update count."""
     _, params = hf_pair
     cache = llama.init_cache(SMALL, 2, 16)
     x = jnp.zeros((2, 1, 64), jnp.float32)
