@@ -306,13 +306,25 @@ def mha_chunked(q, k, v, mask=None, q_chunk: int = 256):
     return out[:, :tq]
 
 
-def pallas_gate(default_ok: bool = True) -> bool:
+def pallas_gate(default_ok: bool = True, cpu_ok: bool = True) -> bool:
     """The ONE place that decides whether a Pallas kernel path engages:
     CHATTERBOX_PALLAS=1 forces on, =0 forces off, otherwise `default_ok`
     (the caller's shape heuristic) on TPU backends and False on CPU (no
     interpreter in hot paths). Shared by the T3 decode kernel and the
-    flash self-attention paths so override semantics never diverge."""
+    flash self-attention paths so override semantics never diverge.
+
+    cpu_ok=False marks a kernel path with NO CPU interpreter (the stock
+    flash_attention op behind mha_flash) — =1 then still refuses to
+    engage it on CPU backends instead of crashing in pallas lowering
+    (the repo's own kernels auto-select interpret mode and keep
+    cpu_ok=True)."""
     env = os.getenv("CHATTERBOX_PALLAS")
+    if not cpu_ok:
+        try:
+            if jax.devices()[0].platform in ("cpu",):
+                return False
+        except Exception:  # noqa: BLE001
+            return False
     if env == "1":
         return True
     if env is not None:
@@ -327,8 +339,9 @@ def pallas_gate(default_ok: bool = True) -> bool:
 
 def use_flash_attention(rows: int) -> bool:
     """Flash self-attention gate: batched shapes only (>= 4 rows — below
-    that the kernel grid cannot amortise and XLA wins)."""
-    return pallas_gate(rows >= 4)
+    that the kernel grid cannot amortise and XLA wins). The stock kernel
+    has no interpret path, so this never engages on CPU."""
+    return pallas_gate(rows >= 4, cpu_ok=False)
 
 
 def _flash_block_choice(b: int, tp: int, has_ab: bool) -> tuple:

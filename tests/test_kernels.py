@@ -101,6 +101,25 @@ def test_decode_attention_stacked_cache_with_deferred_row(rng):
     assert np.abs(np.asarray(o0) - np.asarray(o2)).max() > 1e-4
 
 
+def test_decode_attention_stacked_cache_eager(rng):
+    """Stacked entry WITHOUT the deferred row (CHATTERBOX_FLASH_STACKED
+    eager experiment): the current token is already inserted at cache_pos,
+    so the kernel walks [start, cache_pos] inclusive from the stacked
+    buffer with a traced layer index. Must equal the reference on the
+    selected layer's slab."""
+    n_layers, b, l, h, d = 3, 2, 512, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n_layers, l, b, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n_layers, l, b, h, d)).astype(np.float32))
+    pos, start = 300, 8
+    for li in range(n_layers):
+        ref = fd.decode_attention_reference(q, k[li], v[li], jnp.int32(pos), start)
+        out = fd.decode_attention(q, k, v, jnp.int32(pos), jnp.int32(start),
+                                  layer=jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_decode_attention_deferred_first_step(rng):
     """cache_pos == start + 1 edge: only one history slot plus the deferred
     current row (the first decoded token after prefill)."""
