@@ -256,7 +256,6 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     import os
     defer = (t == 1 and cache is not None
              and os.getenv("CHATTERBOX_DEFER_KV", "") == "1")
-    _flash_stacked = os.getenv("CHATTERBOX_FLASH_STACKED", "0") == "1"
     new_ks, new_vs = [], []
     lcache_n = ck.shape[1] if ck is not None else 0
     for i, lp in enumerate(params["layers"]):
@@ -307,19 +306,15 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                                        start=flash_start, hole=flash_hole,
                                        layer=jnp.int32(i),
                                        k_cur=k[:, 0], v_cur=v[:, 0])[:, None]
-            elif _flash_stacked:
-                # EAGER + stacked entry experiment (CHATTERBOX_FLASH_STACKED
-                # =1): the row is already inserted, so the kernel walks
-                # [start, cache_pos] from the stacked buffer with a traced
-                # layer index — no per-layer ck[i]/cv[i] slice copies
-                # (~290 us/step at B=2, r4 trace). The open question this
-                # A/Bs: whether XLA inserts defensive full-cache copies
-                # around a custom call whose operand is later DUS-mutated
-                # in the same while body (what sank the defer path).
-                att = decode_attention(q[:, 0], ck, cv, cache_pos,
-                                       start=flash_start, hole=flash_hole,
-                                       layer=jnp.int32(i))[:, None]
             else:
+                # Per-layer ck[i]/cv[i] slice copies (~290 us/step at B=2)
+                # are the MEASURED-CHEAPEST way to feed the kernel: routing
+                # the eager path through the stacked-cache entry instead
+                # (traced layer index, no slices) measured 10.66 vs 2.01
+                # ms/step (q4l) — XLA inserts a defensive full-cache copy
+                # around EVERY custom call whose operand is DUS-mutated
+                # later in the same while body (30 x ~280 us), the same
+                # copy-insertion that sank the deferred variant.
                 att = decode_attention(q[:, 0], ck[i], cv[i], cache_pos,
                                        start=flash_start,
                                        hole=flash_hole)[:, None]

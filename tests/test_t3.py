@@ -227,32 +227,6 @@ def test_batched_flash_decode_matches_xla(tiny_t3, rng, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
-def test_flash_stacked_entry_matches_default(tiny_t3, rng, monkeypatch):
-    """CHATTERBOX_FLASH_STACKED=1 (eager inserts + the stacked-cache kernel
-    entry with a traced layer index, no per-layer ck[i]/cv[i] slices) must
-    produce the identical token stream to the default per-layer-slice flash
-    path — it is a pure data-layout change on the kernel operands."""
-    monkeypatch.setattr(t3, "FLASH_DECODE_MAX_UTTERANCES", 8)
-    lt = 12
-    rows = np.zeros((3, lt), np.int32)
-    lens = np.asarray([6, 9, 12], np.int32)
-    for i, n in enumerate(lens):
-        rows[i, :n] = rng.integers(1, 50, (n,)).astype(np.int32)
-        rows[i, 0] = 5
-    cond = _cond(rng)
-    kw = dict(max_new_tokens=8, cfg_weight=0.5, temperature=0.7, seed=2,
-              text_lens=lens, cfg=TINY)
-    monkeypatch.setenv("CHATTERBOX_PALLAS", "1")
-    base = t3.generate_batch(tiny_t3, cond, rows, **kw)
-    assert t3.LAST_GENERATION_INFO["use_flash"] is True
-    monkeypatch.setenv("CHATTERBOX_FLASH_STACKED", "1")
-    t3.decode_block.clear_cache()
-    stacked = t3.generate_batch(tiny_t3, cond, rows, **kw)
-    assert t3.LAST_GENERATION_INFO["use_flash"] is True
-    for a, b in zip(stacked, base):
-        np.testing.assert_array_equal(a, b)
-
-
 def test_one_compiled_program_per_bucket(tiny_t3, rng):
     """Different text lengths in one bucket must reuse the SAME compiled
     prefill and decode programs (pad is a traced operand, not a static) —
