@@ -304,3 +304,49 @@ def test_s3gen_sub_batch_reproduces_known_good_envelope(monkeypatch):
     monkeypatch.setenv("CHATTERBOX_PALLAS", "1")   # flash estimator path
     sub = _derive_s3gen_sub_batch(32, 760, S3GenConfig(), free_hbm=12 * 1024**3)
     assert sub >= 16
+
+
+def test_audio_io_wav_roundtrip(tmp_path):
+    """save_audio/load_audio: 16-bit PCM wav roundtrip (the serving jobs'
+    host-side IO — reference leans on librosa/pydub, audio_io.py is the
+    dependency-free equivalent)."""
+    from chatterbox_embed_tpu.utils.audio_io import load_audio, save_audio
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(4800) * 0.3).clip(-1, 1).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    save_audio(p, wav, 24000)
+    got, sr = load_audio(p)
+    assert sr == 24000 and got.shape == wav.shape
+    # writer truncates to 16-bit (astype floors toward zero): up to ~2 LSB
+    np.testing.assert_allclose(got, wav, atol=2.0 / 32767)
+
+
+def test_audio_io_load_resamples(tmp_path):
+    """load_audio(sr=...) resamples like librosa.load: length scales by the
+    rate ratio and a pure tone stays a tone (finite, bounded)."""
+    from chatterbox_embed_tpu.utils.audio_io import load_audio, save_audio
+    t = np.arange(4800) / 24000.0
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    save_audio(p, tone, 24000)
+    got, sr = load_audio(p, sr=16000)
+    assert sr == 16000
+    assert abs(len(got) - 3200) <= 4
+    assert np.isfinite(got).all() and np.abs(got).max() < 0.7
+
+
+def test_wav_to_mp3_bytes_fallback_and_headroom(tmp_path, monkeypatch):
+    """Without ffmpeg the MP3 encode falls back to WAV bytes; the clipping
+    headroom (-0.3 dB, reference audio/conversion.py) is applied either
+    way."""
+    import wave, io
+    from chatterbox_embed_tpu.utils import audio_io
+    monkeypatch.setattr(audio_io, "ffmpeg_available", lambda: False)
+    wav = np.ones(2400, np.float32)                     # peak 1.0 -> scaled
+    data = audio_io.wav_to_mp3_bytes(wav, 24000)
+    assert data[:4] == b"RIFF"
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 24000
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2") / 32767.0
+    target = 10.0 ** (-0.3 / 20.0)
+    assert np.abs(pcm).max() <= target + 2.0 / 32767
