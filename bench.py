@@ -171,9 +171,16 @@ def main():
         t_a = time.time()
         # s3gen sub-batching (CFM attention memory; see tts.generate_batch).
         # Derived from T_mel + free HBM; CHATTERBOX_S3GEN_SUB_BATCH overrides.
-        from chatterbox_embed_tpu.tts import _derive_s3gen_sub_batch
+        from chatterbox_embed_tpu.tts import (_derive_cfm_cache,
+                                              _derive_s3gen_sub_batch)
         sub = _derive_s3gen_sub_batch(u, n_prompt + args.tokens, cfg.s3gen)
         stage["s3gen_sub"] = sub
+        # CFM DeepCache stride: SAME default as the product path
+        # (tts.generate_batch derives K=2 for >= 8 live rows/dispatch;
+        # CHATTERBOX_CFM_CACHE overrides) — without this the batched bench
+        # silently measured the exact solver the product no longer runs.
+        cfm_stride = _derive_cfm_cache(min(sub, u))
+        stage["cfm_cache"] = cfm_stride
         wavs = []
         for s0 in range(0, u, sub):
             b = min(sub, u - s0)
@@ -184,7 +191,7 @@ def main():
             wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad[s0:s0 + b]), tl,
                                          pt, pf, em,
                                          key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
-                                         dtype=dtype)
+                                         dtype=dtype, cache_every=cfm_stride)
             wavs.append(np.asarray(wav))
         wav = np.concatenate(wavs, axis=0)
         stage["s3gen"] = time.time() - t_a
@@ -247,6 +254,7 @@ def main():
             "int8_s3gen": args.int8_s3gen,
             "kv_int8": gen_info.get("kv_int8"),
             "s3gen_sub_batch": int(stage.get("s3gen_sub", 0)),
+            "cfm_cache": int(stage.get("cfm_cache", 0)),
         },
     }
     print(json.dumps(result))
