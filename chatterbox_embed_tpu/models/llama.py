@@ -170,6 +170,22 @@ def pin_cache_row_major(cache: "KVCache") -> "KVCache":
                    pin(cache.k_scale), pin(cache.v_scale))
 
 
+def grow_cache(cache: KVCache, new_len: int) -> KVCache:
+    """Zero-pad the sequence axis up to `new_len` (phased cache growth:
+    the batched XLA decode reads the WHOLE capacity every step, so early
+    decode steps against a small cache read fewer dead future slots; the
+    t3 driver migrates between per-phase decode programs). Padded slots
+    are never attended — the decode mask bounds keys at cache_pos — and
+    zero int8 slabs with zero scales contribute only pre-mask zeros."""
+    def pad(x):
+        if x is None:
+            return None
+        return jnp.pad(x, ((0, 0), (0, new_len - x.shape[1]))
+                       + ((0, 0),) * (x.ndim - 2))
+    return KVCache(pad(cache.k), pad(cache.v),
+                   pad(cache.k_scale), pad(cache.v_scale))
+
+
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:

@@ -498,6 +498,23 @@ def _use_pallas_decode() -> bool:
     return L.pallas_gate(True)
 
 
+def _phased_cache_k() -> int:
+    """Phased cache growth for the batched XLA decode (OPT-IN,
+    CHATTERBOX_PHASED_CACHE=K >= 2). The XLA attention reads the WHOLE
+    static cache capacity every step while the live prefix grows from
+    p_len to cap — on a 250-token request that is ~1.5x the live bytes on
+    average, and batched decode is KV-bandwidth bound (PERF_NOTES). With
+    K phases the request decodes against K successively larger caches
+    (64-aligned), migrating via ONE zero-pad between phases; EOS
+    early-exit means short generations never touch the large caches at
+    all. Cost: K compiled (cache-size, block) decode programs per bucket
+    instead of one. Trace-time binding like the other decode knobs."""
+    try:
+        return int(os.getenv("CHATTERBOX_PHASED_CACHE", "0"))
+    except ValueError:
+        return 0
+
+
 def _use_fused_step() -> bool:
     """Monolithic weight-streaming decode-step kernel (kernels/fused_decode):
     the whole 30-layer token step as ONE Pallas program riding a weight DMA
@@ -644,6 +661,24 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         text_len = jnp.asarray(lens_np)
     total = -(-cap // 256) * 256 if (use_flash or use_fused) else cap
 
+    # Phased cache growth (_phased_cache_k docstring): the XLA batched
+    # decode starts against a small cache and migrates to larger ones as
+    # the live prefix grows. flash/fused walk [start, pos] slabs and read
+    # no dead capacity (phasing buys nothing there); mesh caches carry
+    # sharding layouts a host-side grow has not been validated against.
+    phase_totals = [total]
+    k_ph = _phased_cache_k()
+    if (k_ph >= 2 and not use_flash and not use_fused and mesh is None
+            and cap - p_len > 64):
+        per = -(-(cap - p_len) // k_ph)
+        phase_len = -(-per // 64) * 64
+        phase_totals = []
+        t = p_len
+        while t < cap:
+            t = min(t + phase_len, cap)
+            phase_totals.append(t)
+        total = phase_totals[0]
+
     key_valid = None
     hole = None
     if text_lens is not None and (np.asarray(text_lens) < lt).any():
@@ -651,7 +686,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         lens = jnp.asarray(np.asarray(text_lens), jnp.int32)
         if cfg_on:
             lens = jnp.concatenate([lens, lens])
-        kidx = jnp.arange(total)
+        kidx = jnp.arange(phase_totals[-1])
         ts_col = pad + cond_width(cond, cfg)
         # key_valid masks ragged text pads for prefill (and the XLA decode /
         # alignment-spy layers); the flash decode kernel takes the same dead
@@ -695,18 +730,21 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # dispatch) and pad as a traced operand: one compiled program per
         # (bucket, rows) pair serves every text length
         tb = jnp.asarray(np.pad(tt_np, ((0, 0), (pad, 0))))
-        state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
+        kv_prefill = (key_valid[:, :total] if key_valid is not None
+                      and len(phase_totals) > 1 else key_valid)
+        state = _context_prefill(params, cond, tb, kv_prefill, jnp.int32(pad),
                                  cfg, total, cfg_on, dtype, kv_int8)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer,
                 text_start=text_start, text_len=text_len, hole=hole,
-                use_fused=use_fused,
+                use_fused=use_fused, phase_totals=phase_totals,
                 fused=_fused_params(params, cfg, dtype) if use_fused else None)
     global LAST_GENERATION_INFO
     LAST_GENERATION_INFO = {"use_flash": use_flash, "p_len": p_len,
-                            "cache_total": total, "n_utt": n_utt,
+                            "cache_total": phase_totals[-1], "n_utt": n_utt,
                             "alignment": align_layer is not None,
                             "use_fused": use_fused, "kv_int8": kv_int8,
+                            "phase_totals": phase_totals,
                             "mesh": (dict(mesh.shape) if mesh is not None
                                      else None)}
     return state, info
@@ -745,11 +783,29 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
     limit = jnp.int32(max_new_tokens)
     single = n_utt == 1
     produced = 0
+    phases = info["phase_totals"]
+    phase_i = 0
     while produced < max_new_tokens:
+        blk = int(block)
+        kv_now = info["key_valid"]
+        if len(phases) > 1:
+            # phased cache growth: decode only up to this phase's capacity,
+            # then migrate (ONE zero-pad) to the next phase's cache and its
+            # own compiled program. produced == state.i (each executed body
+            # step emits exactly one token), so no extra device fetch.
+            room = phases[phase_i] - info["p_len"] - produced
+            if room <= 0:
+                phase_i += 1
+                state = state._replace(
+                    cache=llama.grow_cache(state.cache, phases[phase_i]))
+                room = phases[phase_i] - info["p_len"] - produced
+            blk = min(blk, int(room))
+            if kv_now is not None:
+                kv_now = kv_now[:, :phases[phase_i]]
         state, tokens, n_new = decode_block(
-            params, state, key, sp, top_p_v, limit, cfg, int(block),
+            params, state, key, sp, top_p_v, limit, cfg, blk,
             info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
-            info["use_flash"], dtype, info["key_valid"],
+            info["use_flash"], dtype, kv_now,
             align_layer=info["align_layer"], text_start=info["text_start"],
             text_len=info["text_len"], hole=info["hole"],
             use_fused=info["use_fused"], fused=info["fused"])

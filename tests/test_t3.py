@@ -227,6 +227,52 @@ def test_batched_flash_decode_matches_xla(tiny_t3, rng, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_phased_cache_matches_unphased(tiny_t3, rng, monkeypatch):
+    """CHATTERBOX_PHASED_CACHE=K (batched XLA decode against K successively
+    larger caches, migrated by zero-pad) must produce the identical token
+    stream to the single-capacity decode: padded cache slots are never
+    attended, so the phase boundary is invisible to the numerics. Covers
+    ragged rows (key_valid slicing per phase) and K that does not divide
+    the step count."""
+    lt = 12
+    rows = np.zeros((3, lt), np.int32)
+    lens = np.asarray([6, 9, 12], np.int32)
+    for i, n in enumerate(lens):
+        rows[i, :n] = rng.integers(1, 50, (n,)).astype(np.int32)
+        rows[i, 0] = 5
+    cond = _cond(rng)
+    kw = dict(max_new_tokens=70, cfg_weight=0.5, temperature=0.7, seed=4,
+              text_lens=lens, cfg=TINY)
+    monkeypatch.delenv("CHATTERBOX_PHASED_CACHE", raising=False)
+    base = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) == 1
+    for k_ph in (2, 3):
+        monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", str(k_ph))
+        phased = t3.generate_batch(tiny_t3, cond, rows, **kw)
+        totals = t3.LAST_GENERATION_INFO["phase_totals"]
+        assert len(totals) >= 2 and totals[-1] > totals[0]
+        for a, b in zip(phased, base):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_phased_cache_matches_unphased_int8_kv(tiny_t3, rng, monkeypatch):
+    """Phase migration must also zero-pad the int8 KV slabs AND their
+    per-slot scale planes coherently."""
+    rows = np.stack([np.r_[5, rng.integers(1, 50, 9)].astype(np.int32)] * 2)
+    cond = _cond(rng)
+    kw = dict(max_new_tokens=40, cfg_weight=0.5, temperature=0.7, seed=5,
+              cfg=TINY)
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    monkeypatch.delenv("CHATTERBOX_PHASED_CACHE", raising=False)
+    base = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert t3.LAST_GENERATION_INFO["kv_int8"] is True
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "2")
+    phased = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) >= 2
+    for a, b in zip(phased, base):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_one_compiled_program_per_bucket(tiny_t3, rng):
     """Different text lengths in one bucket must reuse the SAME compiled
     prefill and decode programs (pad is a traced operand, not a static) —
