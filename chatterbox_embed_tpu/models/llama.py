@@ -272,6 +272,14 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     import os
     defer = (t == 1 and cache is not None
              and os.getenv("CHATTERBOX_DEFER_KV", "") == "1")
+    # Per-row cache positions (continuous batching): cache_pos may be a (B,)
+    # vector when rows sit at DIFFERENT generation depths (slot-refill decode,
+    # models/t3_engine.py). Each row's k/v lands in its own sequence column
+    # via one scatter per layer; callers pass the per-row attention mask.
+    per_row_pos = getattr(cache_pos, "ndim", 0) == 1
+    if per_row_pos:
+        assert t == 1 and cache is not None and not flash_decode and not defer, \
+            "per-row cache_pos requires the eager single-token XLA decode path"
     new_ks, new_vs = [], []
     lcache_n = ck.shape[1] if ck is not None else 0
     for i, lp in enumerate(params["layers"]):
@@ -285,6 +293,26 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         if defer:
             new_ks.append(k[:, 0])               # (B, H, D)
             new_vs.append(v[:, 0])
+        elif cache is not None and per_row_pos:
+            # slot-refill decode: row b writes its k/v at sequence column
+            # cache_pos[b] (rows advance independently). One (B,)-indexed
+            # scatter per slab; inside the engine's donated while_loop carry
+            # XLA applies it in place like the shared-column DUS.
+            rows = jnp.arange(b)
+            if kv_int8:
+                kf = k[:, 0].astype(jnp.float32)            # (B, H, D)
+                vf = v[:, 0].astype(jnp.float32)
+                ks = jnp.max(jnp.abs(kf), axis=-1) / 127.0 + 1e-12   # (B, H)
+                vs = jnp.max(jnp.abs(vf), axis=-1) / 127.0 + 1e-12
+                ck = ck.at[i, cache_pos, rows].set(
+                    jnp.round(kf / ks[..., None]).astype(jnp.int8))
+                cv = cv.at[i, cache_pos, rows].set(
+                    jnp.round(vf / vs[..., None]).astype(jnp.int8))
+                cks = cks.at[i, cache_pos, rows].set(ks)
+                cvs = cvs.at[i, cache_pos, rows].set(vs)
+            else:
+                ck = ck.at[i, cache_pos, rows].set(k[:, 0].astype(ck.dtype))
+                cv = cv.at[i, cache_pos, rows].set(v[:, 0].astype(cv.dtype))
         elif cache is not None:
             # in-place slab update on the stacked sequence-major cache: inside
             # a while_loop carry XLA aliases this to a true in-place write

@@ -756,7 +756,25 @@ class ChatterboxTTS:
             mesh=self.mesh, cfg=self.cfg.t3, dtype=self.dtype)
         t3_s = time.time() - t_t3
 
-        u = len(texts)
+        t_s3 = time.time()
+        outs, lens = self._vocode_batch(
+            token_lists, conds_list=conds_list if multi else None,
+            conds=None if multi else conds, seed=seed)
+        self._record_perf(t3_s, time.time() - t_s3, int(np.sum(lens)),
+                          int(sum(w.size for w in outs)), batch=len(texts))
+        return outs
+
+    def _vocode_batch(self, token_lists, *, conds=None, conds_list=None,
+                      seed: int = 0):
+        """Tokens -> wavs for a batch of utterances: the S3Gen tail of
+        `generate_batch`, shared with the continuous-batching server
+        (serving/continuous.py). Single-voice (`conds`) broadcasts one
+        prompt bundle on device; multi-voice (`conds_list`, one Conditionals
+        per row) runs ragged per-row reference prompts. Returns
+        (list of (T_i,) float32 wavs, list of cleaned token counts)."""
+        multi = conds_list is not None
+        u = len(token_lists)
+        token_lists = list(token_lists)
         lens = []
         max_n = 1
         for i, toks in enumerate(token_lists):
@@ -801,7 +819,6 @@ class ChatterboxTTS:
         # one stride for EVERY dispatch of the request (the last partial
         # sub-batch must not silently flip solver numerics mid-request)
         cfm_stride = _derive_cfm_cache(min(sub, u))
-        t_s3 = time.time()
         outs = []
         for s0 in range(0, u, sub):
             s1 = min(u, s0 + sub)
@@ -815,9 +832,7 @@ class ChatterboxTTS:
                 cache_every=cfm_stride)
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
-        self._record_perf(t3_s, time.time() - t_s3, int(np.sum(lens)),
-                          int(sum(w.size for w in outs)), batch=u)
-        return outs
+        return outs, lens
 
     # ------------------------------------------------------------------
     # streaming synthesis (sub-200 ms TTFA path; reference has the hooks but

@@ -1,0 +1,168 @@
+"""Continuous-batching engine (models/t3_engine.py): per-row cache positions,
+slot refill, request isolation, near-greedy cross-validation vs t3.generate."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from chatterbox_embed_tpu.config import T3Config, LlamaConfig
+from chatterbox_embed_tpu.models import llama, t3, t3_engine
+
+TINY = T3Config(
+    llama=LlamaConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=4, head_dim=16),
+    text_tokens_dict_size=50, speech_tokens_dict_size=40,
+    start_speech_token=36, stop_speech_token=37,
+    max_text_tokens=64, max_speech_tokens=128,
+    speaker_embed_size=16, speech_cond_prompt_len=6,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_t3():
+    return t3.init(jax.random.PRNGKey(0), TINY)
+
+
+def _cond(rng):
+    return t3.T3Cond(
+        speaker_emb=jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32)),
+        cond_prompt_speech_tokens=jnp.asarray(
+            rng.integers(0, 36, (1, 6)).astype(np.int32)),
+        emotion_adv=0.5,
+    )
+
+
+def _text(rng, n=6):
+    return np.concatenate([[5], rng.integers(1, 50, n), [0]])[None].astype(np.int32)
+
+
+def test_per_row_cache_pos_matches_scalar(tiny_t3, rng):
+    """llama.forward with a per-row cache_pos vector of one shared value is
+    bit-identical to the scalar-cache_pos decode step (insert + attention)."""
+    cfg = TINY.llama
+    b, total, pos = 4, 24, 7
+    cache = llama.init_cache(cfg, b, total, jnp.float32)
+    # fill a few history columns so attention is non-trivial
+    k0 = jnp.asarray(rng.standard_normal(
+        (cfg.num_layers, pos, b, cfg.num_kv_heads, cfg.head_dim)).astype(np.float32))
+    v0 = jnp.asarray(rng.standard_normal(k0.shape).astype(np.float32))
+    cache = llama.KVCache(cache.k.at[:, :pos].set(k0),
+                          cache.v.at[:, :pos].set(v0))
+    x = jnp.asarray(rng.standard_normal((b, 1, cfg.hidden_size)).astype(np.float32))
+    pos_id = jnp.full((b, 1), pos, jnp.int32)
+    mask = (jnp.arange(total)[None, None, :] <= pos)
+    mask = jnp.broadcast_to(mask, (b, 1, total))
+    h_s, c_s = llama.forward(tiny_t3["llama"], x, pos_id, mask, cache=cache,
+                             cache_pos=pos, cfg=cfg)
+    h_v, c_v = llama.forward(tiny_t3["llama"], x, pos_id, mask, cache=cache,
+                             cache_pos=jnp.full((b,), pos, jnp.int32), cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_v))
+    np.testing.assert_array_equal(np.asarray(c_s.k), np.asarray(c_v.k))
+    np.testing.assert_array_equal(np.asarray(c_s.v), np.asarray(c_v.v))
+
+
+def test_per_row_cache_pos_distinct_columns(tiny_t3, rng):
+    """Distinct per-row positions write each row's k/v into its own column
+    and leave every other (column, row) untouched."""
+    cfg = TINY.llama
+    b, total = 3, 16
+    cache = llama.init_cache(cfg, b, total, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, 1, cfg.hidden_size)).astype(np.float32))
+    pos = jnp.asarray([2, 9, 5], jnp.int32)
+    mask = (jnp.arange(total)[None, :] <= pos[:, None])[:, None, :]
+    _, c = llama.forward(tiny_t3["llama"], x, pos[:, None], mask, cache=cache,
+                         cache_pos=pos, cfg=cfg)
+    k = np.asarray(c.k)
+    written = np.abs(k).sum(axis=(0, 3, 4))          # (total, B)
+    for row, p in enumerate([2, 9, 5]):
+        assert written[p, row] > 0
+        other = np.delete(written[:, row], p)
+        np.testing.assert_array_equal(other, 0)
+
+
+def _drain_one(params, cond, text, *, seed, slots=1, bucket=16, max_new=16,
+               block=8, kv_int8=False, temperature=0.8, cfg_weight=0.5,
+               **kw):
+    eng = t3_engine.ContinuousDecoder(
+        params, TINY, slots=slots, text_bucket=bucket, max_new_tokens=max_new,
+        block=block, kv_int8=kv_int8)
+    rid = eng.submit(text, cond, seed=seed, temperature=temperature,
+                     cfg_weight=cfg_weight, **kw)
+    return eng.drain()[rid]
+
+
+def test_engine_near_greedy_matches_generate(tiny_t3, rng):
+    """Near-greedy (temperature -> 0) removes the RNG-scheme difference:
+    the engine's per-row masks/positions/inserts must then reproduce
+    t3.generate token-for-token — cross-validating the whole per-row
+    arithmetic against the proven lock-step decode path."""
+    cond = _cond(rng)
+    text = _text(rng)
+    ref = t3.generate(tiny_t3, cond, text, max_new_tokens=16,
+                      temperature=1e-4, cfg_weight=0.5, seed=3, cfg=TINY)
+    got = _drain_one(tiny_t3, cond, text, seed=11, temperature=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref), got)
+
+
+def test_engine_isolation_under_traffic(tiny_t3, rng):
+    """THE continuous-batching contract: a request decodes the same tokens
+    no matter which slot it lands in or what traffic surrounds it (here:
+    3 requests through 2 slots force a mid-flight refill)."""
+    conds = [_cond(rng) for _ in range(3)]
+    texts = [_text(rng, n) for n in (4, 6, 8)]
+    seeds = [7, 8, 9]
+    temps = [0.8, 1.2, 0.6]
+
+    eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=2, text_bucket=16,
+                                      max_new_tokens=16, block=4)
+    rids = [eng.submit(t, c, seed=s, temperature=tp)
+            for t, c, s, tp in zip(texts, conds, seeds, temps)]
+    results = eng.drain()
+    assert eng.blocks_run > 1            # the refill actually interleaved
+
+    for rid, t, c, s, tp in zip(rids, texts, conds, seeds, temps):
+        solo = _drain_one(tiny_t3, c, t, seed=s, temperature=tp)
+        np.testing.assert_array_equal(results[rid], solo)
+
+
+def test_engine_int8_kv_isolation(tiny_t3, rng):
+    """The int8 KV cache path (per-row scatter of slabs AND scales) keeps
+    the isolation contract bit-exactly."""
+    conds = [_cond(rng) for _ in range(3)]
+    texts = [_text(rng, n) for n in (5, 7, 6)]
+    eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=2, text_bucket=16,
+                                      max_new_tokens=12, block=4, kv_int8=True)
+    rids = [eng.submit(t, c, seed=20 + i)
+            for i, (t, c) in enumerate(zip(texts, conds))]
+    results = eng.drain()
+    for i, (rid, t, c) in enumerate(zip(rids, texts, conds)):
+        solo = _drain_one(tiny_t3, c, t, seed=20 + i, kv_int8=True,
+                          max_new=12, block=4)
+        np.testing.assert_array_equal(results[rid], solo)
+
+
+def test_engine_limit_and_eos_trim(tiny_t3, rng):
+    """A request capped by max_new_tokens returns exactly `limit` ids with
+    no artificial fill-EOS appended; EOS-terminated requests include EOS."""
+    cond = _cond(rng)
+    text = _text(rng)
+    out = _drain_one(tiny_t3, cond, text, seed=5, max_new=16, block=8,
+                     max_new_tokens=3)
+    eos = TINY.stop_speech_token
+    if eos in out[:-1]:
+        assert out[-1] == eos            # genuine early EOS
+    else:
+        assert out.shape[0] <= 3
+
+
+def test_engine_rejects_oversized_text_and_promptless_cond(tiny_t3, rng):
+    eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=1, text_bucket=8,
+                                      max_new_tokens=8, block=4)
+    with pytest.raises(AssertionError):
+        eng.submit(_text(rng, 12), _cond(rng))
+        eng.drain()
+    bad = t3.T3Cond(speaker_emb=jnp.zeros((1, 16)))
+    with pytest.raises(ValueError):
+        eng.submit(_text(rng, 3), bad)
+    with pytest.raises(ValueError):
+        eng.submit(_text(rng, 3), _cond(rng), top_p=0.9)
