@@ -312,6 +312,11 @@ class ContinuousDecoder:
                 "engine slots are laid out for prompt-token conds "
                 f"(cond width {self.cond_w}); got width "
                 f"{t3.cond_width(cond, self.cfg)}")
+        n_text = np.atleast_2d(np.asarray(text_tokens)).shape[1]
+        if n_text > self.text_bucket:
+            raise ValueError(f"text ({n_text} tokens) exceeds the engine's "
+                             f"text bucket ({self.text_bucket}); chunk the "
+                             "text or build a wider engine")
         if top_p < 1.0 and not self.use_top_p:
             raise ValueError("top_p < 1.0 requires use_top_p=True at engine "
                              "construction (static program variant)")

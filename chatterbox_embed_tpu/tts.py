@@ -1193,7 +1193,19 @@ class ChatterboxTTS:
         """One lock-step decode over all pending chunks; `conds` is a shared
         Conditionals or a per-row list (multi-voice, one entry per text).
         Returns {row: wav} on success, {} on any failure (callers fall back
-        to the sequential retry pyramid)."""
+        to the sequential retry pyramid).
+
+        CHATTERBOX_CONTINUOUS=1 routes this pass through the slot-refill
+        engine (serving/continuous.py) instead of the lock-step decode:
+        chunk rows with skewed lengths stop idling in lock-step, and freed
+        slots take the remaining queue mid-flight. OPT-IN until the TPU
+        probe (scripts/continuous_probe.py) arbitrates the default."""
+        if _env_bool("CHATTERBOX_CONTINUOUS", False) and len(texts) > 1:
+            try:
+                return self._continuous_first_pass(texts, per_chunk, conds,
+                                                   max_new_tokens, seed)
+            except Exception:  # noqa: BLE001 — fall back to lock-step
+                logger.exception("continuous chunk pass failed; falling back")
         try:
             wavs = self.generate_batch(
                 texts,
@@ -1209,6 +1221,43 @@ class ChatterboxTTS:
         except Exception:  # noqa: BLE001 — fall back to sequential
             logger.exception("batched chunk pass failed; falling back")
             return {}
+
+    def _continuous_first_pass(self, texts: List[str],
+                               per_chunk: List[Dict[str, float]], conds,
+                               max_new_tokens: int,
+                               seed: int) -> Dict[int, np.ndarray]:
+        """The batched first pass on the slot-refill engine
+        (serving/continuous.py): rows decode at independent depths and
+        freed slots immediately take the remaining queue, so skewed chunk
+        lengths stop costing lock-step idle steps. Per-row adaptive params
+        and per-row voices ride along; per-request seeds follow the
+        sub-batch convention (seed + row). One engine per (text bucket,
+        slots, cap) geometry — its programs stay warm across calls."""
+        from .serving.continuous import ContinuousServer
+        conds_list = (list(conds) if isinstance(conds, (list, tuple))
+                      else [conds] * len(texts))
+        tok_lens = [len(self.tokenizer.text_to_tokens(t)[0]) + 2 for t in texts]
+        bucket = t3_mod._bucket(max(tok_lens))
+        slots = min(len(texts), t3_mod.max_decode_utterances(), 16)
+        srv = ContinuousServer(
+            self, slots=slots, text_bucket=bucket,
+            max_new_tokens=min(max_new_tokens, 1000), block=64,
+            vocode_batch=max(4, slots // 2),
+            use_top_p=bool(np.any([p["top_p"] < 1.0 for p in per_chunk])),
+            retries=0)
+        rid_to_row = {}
+        for row, (text, p, c) in enumerate(zip(texts, per_chunk, conds_list)):
+            rid = srv.submit(text, c, temperature=p["temperature"],
+                             cfg_weight=p["cfg_weight"],
+                             repetition_penalty=p["repetition_penalty"],
+                             min_p=p["min_p"], top_p=p["top_p"],
+                             exaggeration=p.get("exaggeration"),
+                             seed=seed + row, max_new_tokens=max_new_tokens)
+            rid_to_row[rid] = row
+        wavs = srv.drain()
+        # failed rows (too-short decodes) simply miss from the dict — the
+        # caller's _accept_or_retry runs the sequential pyramid for them
+        return {rid_to_row[rid]: w for rid, w in wavs.items()}
 
     def _accept_or_retry(self, info: ChunkInfo, params: Dict[str, float],
                          wav0: Optional[np.ndarray], conds: Conditionals,

@@ -155,12 +155,93 @@ def test_engine_limit_and_eos_trim(tiny_t3, rng):
         assert out.shape[0] <= 3
 
 
+@pytest.fixture(scope="module")
+def tiny_tts(tmp_path_factory):
+    """Tiny random ChatterboxTTS with a prepared synthetic voice (the
+    test_pipeline.py pattern) for server-level continuous tests."""
+    from tests.test_pipeline import TINY as PIPE_TINY
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts = ChatterboxTTS.from_random(seed=0, config=PIPE_TINY)
+    rng_ = np.random.default_rng(5)
+    t = np.arange(2 * 24_000) / 24_000
+    wav = (0.3 * np.sin(2 * np.pi * 150 * t)
+           + 0.01 * rng_.standard_normal(t.shape)).astype(np.float32)
+    from chatterbox_embed_tpu.stitching.stitcher import write_wav
+    d = tmp_path_factory.mktemp("cvoice")
+    write_wav(str(d / "ref.wav"), wav, 24_000)
+    prof = str(d / "voice.npy")
+    tts.save_voice_profile(str(d / "ref.wav"), prof)
+    tts.prepare_conditionals_with_voice_profile(prof, exaggeration=0.5)
+    return tts
+
+
+def test_continuous_server_end_to_end(tiny_tts):
+    """Three requests through a 2-slot server: all produce finite audio of
+    the vocode-contract length (2 * cleaned_tokens * 480 samples)."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    srv = ContinuousServer(tiny_tts, slots=2, text_bucket=32,
+                           max_new_tokens=24, block=8, vocode_batch=2)
+    texts = ["Hello world.", "A second test utterance.", "Third one."]
+    rids = [srv.submit(t, seed=3 + i) for i, t in enumerate(texts)]
+    wavs = srv.drain()
+    assert not srv.failed
+    assert set(rids) == set(wavs)
+    for rid in rids:
+        w = wavs[rid]
+        assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
+        assert w.size % (2 * 480) == 0
+
+
+def test_continuous_server_multi_voice(tiny_tts, tmp_path):
+    """Per-request voices ride the multi-voice vocode bundle."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    from chatterbox_embed_tpu.stitching.stitcher import write_wav
+    rng_ = np.random.default_rng(9)
+    t = np.arange(2 * 24_000) / 24_000
+    wav2 = (0.2 * np.sin(2 * np.pi * 220 * t)
+            + 0.01 * rng_.standard_normal(t.shape)).astype(np.float32)
+    write_wav(str(tmp_path / "v2.wav"), wav2, 24_000)
+    prof2 = str(tmp_path / "v2.npy")
+    tiny_tts.save_voice_profile(str(tmp_path / "v2.wav"), prof2)
+    conds1 = tiny_tts.conds          # prepare() below re-points tts.conds
+    conds2 = tiny_tts._get_or_prepare_conditionals(
+        voice_profile_path=prof2, exaggeration=0.5)
+
+    srv = ContinuousServer(tiny_tts, slots=2, text_bucket=24,
+                           max_new_tokens=16, block=8, vocode_batch=4)
+    r1 = srv.submit("Voice one speaking.", conds=conds1, seed=1)
+    r2 = srv.submit("Voice two speaking.", conds=conds2, seed=2)
+    wavs = srv.drain()
+    assert not srv.failed
+    assert {r1, r2} == set(wavs)
+    assert all(np.isfinite(w).all() and w.size > 0 for w in wavs.values())
+
+
+def test_continuous_first_pass_gate(tiny_tts, monkeypatch):
+    """CHATTERBOX_CONTINUOUS=1 routes the batched chunk first pass through
+    the slot-refill engine; the {row: wav} contract (and the callers'
+    retry-pyramid fallback for missing rows) is unchanged."""
+    monkeypatch.setenv("CHATTERBOX_CONTINUOUS", "1")
+    texts = ["Hello there.", "Another chunk.", "Third chunk here."]
+    p = dict(temperature=0.7, cfg_weight=0.5, repetition_penalty=1.2,
+             min_p=0.05, top_p=1.0, exaggeration=0.5)
+    out = tiny_tts._batched_first_pass(texts, [dict(p) for _ in texts],
+                                       tiny_tts.conds, max_new_tokens=16,
+                                       seed=0)
+    assert set(out) <= {0, 1, 2} and out
+    for w in out.values():
+        assert np.isfinite(w).all() and w.size > 0
+
+
 def test_engine_rejects_oversized_text_and_promptless_cond(tiny_t3, rng):
     eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=1, text_bucket=8,
                                       max_new_tokens=8, block=4)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         eng.submit(_text(rng, 12), _cond(rng))
-        eng.drain()
     bad = t3.T3Cond(speaker_emb=jnp.zeros((1, 16)))
     with pytest.raises(ValueError):
         eng.submit(_text(rng, 3), bad)
