@@ -50,6 +50,7 @@ the int8 KV cache default applies unchanged.
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, NamedTuple, Optional
 
@@ -297,6 +298,12 @@ class ContinuousDecoder:
         self._results: Dict[int, np.ndarray] = {}
         self._next_rid = 0
         self.blocks_run = 0
+        # host-side stage timers (exposed for probes/ops): refill covers the
+        # per-request prefill + insert dispatches, decode covers the block
+        # dispatch + the batched result fetch
+        self.t_refill = 0.0
+        self.t_decode = 0.0
+        self.steps_run = 0
 
     # -- submission ---------------------------------------------------------
 
@@ -335,6 +342,7 @@ class ContinuousDecoder:
     # -- engine loop --------------------------------------------------------
 
     def _refill(self):
+        t0 = time.time()
         for s_idx, sl in enumerate(self._slots):
             if sl.rid is not None or not self._queue:
                 continue
@@ -352,6 +360,7 @@ class ContinuousDecoder:
                 jax.random.PRNGKey(req["seed"]), jnp.asarray(meta))
             self._slots[s_idx] = _Slot(rid=req["rid"], buf=[], count=0,
                                        limit=req["max_new"])
+        self.t_refill += time.time() - t0
 
     @property
     def idle(self) -> bool:
@@ -363,12 +372,15 @@ class ContinuousDecoder:
         self._refill()
         if all(s.rid is None for s in self._slots):
             return {}
+        t0 = time.time()
         self.state, tokens, n = engine_decode_block(
             self.params, self.state, self.cfg, self.block, self.p_len,
             self.use_top_p, self.dtype)
         tokens_h, n_h, done_h = jax.device_get(
             (tokens, n, self.state.done))
+        self.t_decode += time.time() - t0
         self.blocks_run += 1
+        self.steps_run += int(n_h)
         nj = int(n_h)
         eos = self.cfg.stop_speech_token
         out: Dict[int, np.ndarray] = {}

@@ -140,6 +140,10 @@ def main():
         toks = sum(res[r].shape[0] for r in rids)
         emit(tag, wall, toks, len(lens),
              {"blocks": eng.blocks_run,
+              "refill_s": round(eng.t_refill, 3),
+              "decode_s": round(eng.t_decode, 3),
+              "decode_ms_per_step": round(
+                  1e3 * eng.t_decode / max(eng.steps_run, 1), 3),
               "slot_step_ms": round(1e3 * wall / max(eng.blocks_run, 1)
                                     / args.block, 3)})
 
