@@ -105,7 +105,6 @@ def main():
                            [cfg.stop_text_token]]).astype(np.int32)[None]
 
     S = args.slots
-    MAX_NEW = 24 if args.smoke else 384
     results = []
     out_path = args.out
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -123,14 +122,16 @@ def main():
         with open(out_path, "a") as f:
             f.write(line + "\n")
 
-    def make_engine():
+    def make_engine(cap):
         return ContinuousDecoder(params, cfg, slots=S,
                                  text_bucket=args.text_len,
-                                 max_new_tokens=MAX_NEW, block=args.block,
+                                 max_new_tokens=cap, block=args.block,
                                  dtype=dtype)
 
     def run_engine(lens, tag, seed0):
-        eng = make_engine()
+        # match the lock-step cache capacity (p_len + max(max_new, 256)) so
+        # the full-capacity KV read per step is identical in both paths
+        eng = make_engine(max(int(max(lens)), 256))
         t_a = time.time()
         rids = [eng.submit(text, cond, seed=seed0 + i, temperature=0.7,
                            cfg_weight=0.5, max_new_tokens=int(n))
