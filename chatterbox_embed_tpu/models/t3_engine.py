@@ -5,7 +5,7 @@ decode a FIXED set of rows: a row that hits EOS early idles (masked) until the
 whole block's EOS early-exit fires, and new requests wait for the next pooled
 batch. This engine keeps a fixed set of S decode *slots* hot instead: each
 slot holds one in-flight request, rows advance at independent depths, and when
-a row finishes, the host prefies a queued request into the freed slot between
+a row finishes, the host prefills a queued request into the freed slot between
 blocks — the vLLM-style continuous batching design, built TPU-first:
 
 - ONE compiled decode-block program serves every occupancy pattern: per-slot
