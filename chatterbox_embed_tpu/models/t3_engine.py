@@ -180,11 +180,11 @@ def engine_insert(state: EngineState, sub, slot, key,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block", "p_len", "use_top_p",
-                                    "dtype"),
+                                    "dtype", "ablate"),
                    donate_argnames=("state",))
 def engine_decode_block(params, state: EngineState, cfg: T3Config,
                         block: int, p_len: int, use_top_p: bool,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, ablate: str = ""):
     """Decode up to `block` tokens on every live slot (early-exits when all
     slots finish). Returns (state, tokens (block, S) int32, n_steps ()).
 
@@ -192,7 +192,18 @@ def engine_decode_block(params, state: EngineState, cfg: T3Config,
     per-row vector: depth i, insert column p_len + i[b], attention window
     [pad_b, p_len + i_b], RoPE position p_len - pad_b + i_b, PRNG key
     fold_in(keys[s], i[s]), EOS/limit per row. Finished rows keep emitting
-    EOS (the host trims at the first EOS) and stop advancing."""
+    EOS (the host trims at the first EOS) and stop advancing.
+
+    `ablate` is PROBE-ONLY (scripts/continuous_probe.py --ablate) — it
+    attributes the engine-vs-lock-step per-step gap by reverting per-row
+    structures to the lock-step shape, which is only semantics-preserving
+    when every slot sits at the same depth (the probe's uniform cell):
+      "pos" — slot 0's depth drives a SHARED insert column (scalar
+              cache_pos -> the lock-step dynamic_update_slice path) and a
+              broadcast (1,1,L) attention mask;
+      "rng" — one batch-shaped categorical draw per step (lock-step RNG)
+              instead of per-slot key chains.
+    Never set in production: both change request-isolation semantics."""
     s_slots = state.done.shape[0]
     b = 2 * s_slots
     total = state.cache.k.shape[1]
@@ -205,6 +216,9 @@ def engine_decode_block(params, state: EngineState, cfg: T3Config,
             lg, st.counts, valid_size=cfg.start_speech_token, eos_id=eos,
             temperature=st.temperature, repetition_penalty_val=st.rep_penalty,
             min_p=st.min_p, top_p=st.top_p, use_top_p=use_top_p)
+        if "rng" in ablate:   # probe-only: lock-step RNG shape
+            return sampling.sample_token(
+                jax.random.fold_in(st.keys[0], st.i[0]), lg)
         ks = jax.vmap(jax.random.fold_in)(st.keys, st.i)
         return jax.vmap(sampling.sample_token)(ks, lg)        # (S,)
 
@@ -229,11 +243,17 @@ def engine_decode_block(params, state: EngineState, cfg: T3Config,
         emb = jnp.concatenate([emb, emb], axis=0)[:, None]    # (2S, 1, D)
         i2 = jnp.concatenate([st.i, st.i])
         pad2 = jnp.concatenate([st.pad, st.pad])
-        pos_id = (p_len - pad2 + i2)[:, None]                 # (2S, 1)
-        cache_pos = p_len + i2                                # (2S,) per-row
         kidx = jnp.arange(total)
-        mask = ((kidx[None, :] >= pad2[:, None])
-                & (kidx[None, :] <= cache_pos[:, None]))[:, None, :]
+        if "pos" in ablate:   # probe-only: lock-step shared column + mask
+            pos_id = jnp.full((b, 1), p_len - pad2[0] + st.i[0], jnp.int32)
+            cache_pos = p_len + st.i[0]                       # () shared
+            mask = ((kidx <= cache_pos) & (kidx >= pad2[0]))[None, None, :]
+            mask = jnp.broadcast_to(mask, (b, 1, total))
+        else:
+            pos_id = (p_len - pad2 + i2)[:, None]             # (2S, 1)
+            cache_pos = p_len + i2                            # (2S,) per-row
+            mask = ((kidx[None, :] >= pad2[:, None])
+                    & (kidx[None, :] <= cache_pos[:, None]))[:, None, :]
         hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id,
                                    mask, cache=st.cache, cache_pos=cache_pos,
                                    cfg=cfg.llama, dtype=dtype)
@@ -275,7 +295,8 @@ class ContinuousDecoder:
     def __init__(self, params, cfg: T3Config = T3Config(), *, slots: int = 8,
                  text_bucket: int = 192, max_new_tokens: int = 512,
                  block: int = 64, dtype=jnp.float32,
-                 kv_int8: Optional[bool] = None, use_top_p: bool = False):
+                 kv_int8: Optional[bool] = None, use_top_p: bool = False,
+                 _ablate: str = ""):
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -286,6 +307,7 @@ class ContinuousDecoder:
         self.kv_int8 = (llama._kv_int8_mode() > 0 if kv_int8 is None
                         else kv_int8)
         self.use_top_p = use_top_p
+        self._ablate = _ablate    # probe-only (engine_decode_block docstring)
         self.cond_w = 2 + cfg.perceiver_num_queries
         self.p_len, self.total = engine_geometry(
             cfg, text_bucket, self.cond_w, max_new_tokens)
@@ -375,7 +397,7 @@ class ContinuousDecoder:
         t0 = time.time()
         self.state, tokens, n = engine_decode_block(
             self.params, self.state, self.cfg, self.block, self.p_len,
-            self.use_top_p, self.dtype)
+            self.use_top_p, self.dtype, self._ablate)
         tokens_h, n_h, done_h = jax.device_get(
             (tokens, n, self.state.done))
         self.t_decode += time.time() - t0

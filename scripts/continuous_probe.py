@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--text-len", type=int, default=96)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny config on CPU (flow check only)")
+    ap.add_argument("--ablate", action="store_true",
+                    help="also run the pos/rng ablation cells (attribution)")
     ap.add_argument("--out", default="measurements/continuous_probe.jsonl")
     args = ap.parse_args()
 
@@ -122,16 +124,16 @@ def main():
         with open(out_path, "a") as f:
             f.write(line + "\n")
 
-    def make_engine(cap):
+    def make_engine(cap, ablate=""):
         return ContinuousDecoder(params, cfg, slots=S,
                                  text_bucket=args.text_len,
                                  max_new_tokens=cap, block=args.block,
-                                 dtype=dtype)
+                                 dtype=dtype, _ablate=ablate)
 
-    def run_engine(lens, tag, seed0):
+    def run_engine(lens, tag, seed0, ablate=""):
         # match the lock-step cache capacity (p_len + max(max_new, 256)) so
         # the full-capacity KV read per step is identical in both paths
-        eng = make_engine(max(int(max(lens)), 256))
+        eng = make_engine(max(int(max(lens)), 256), ablate)
         t_a = time.time()
         rids = [eng.submit(text, cond, seed=seed0 + i, temperature=0.7,
                            cfg_weight=0.5, max_new_tokens=int(n))
@@ -178,6 +180,13 @@ def main():
     uniform = [16 if args.smoke else 250] * S
     cell(run_locked, uniform, "locked_uniform")
     cell(run_engine, uniform, "engine_uniform")
+
+    if args.ablate:
+        # per-row-structure attribution at UNIFORM depths, where the "pos"
+        # ablation is semantics-preserving (engine_decode_block docstring)
+        for ab in ("pos", "rng", "posrng"):
+            run_engine(uniform, f"cold_engine_uniform_{ab}", 100, ab)
+            run_engine(uniform, f"engine_uniform_{ab}", 5000, ab)
 
     skew = (rng.integers(8, 24, 2 * S) if args.smoke
             else rng.integers(120, 380, 2 * S)).tolist()
