@@ -67,7 +67,20 @@ from . import t3
 
 class EngineState(NamedTuple):
     """Device-resident state of an S-slot engine (B = 2S rows: CFG layout
-    [cond rows 0..S-1; uncond rows S..2S-1], like t3.decode_block)."""
+    [cond rows 0..S-1; uncond rows S..2S-1], like t3.decode_block).
+
+    RING-COLUMN cache layout (the key to lock-step-speed inserts): the
+    generated-KV region [p_len, p_len + R) is a ring indexed by the GLOBAL
+    engine step g — every step, ALL rows write physical column
+    p_len + (g mod R), one shared-scalar dynamic_update_slice per slab,
+    exactly the lock-step insert. Because a live slot advances every global
+    step, occupant tokens sit at ws ∈ [g_start, g_start + i] where ws is the
+    per-column written-at-step vector — so per-row validity is a cheap
+    compare mask, no per-row scatter anywhere. A slot's span can never wrap
+    onto itself (its lifetime in steps == its token count ≤ R = the engine
+    token cap), and stale/junk columns are excluded by the ws window. The
+    q4x ablation measured the per-row-scatter layout this replaces at
+    +1.5 ms/slot-step on v5e (PERF_NOTES continuous-batching section)."""
     cache: llama.KVCache         # (L, total, 2S, H, D) sequence-major
     logits: jnp.ndarray          # (2S, V) fp32 — logits at each row's position
     counts: jnp.ndarray          # (S, V) int32 repetition-penalty counts
@@ -81,6 +94,9 @@ class EngineState(NamedTuple):
     rep_penalty: jnp.ndarray     # (S, 1)
     min_p: jnp.ndarray           # (S, 1)
     top_p: jnp.ndarray           # (S, 1)
+    g: jnp.ndarray               # () int32 global engine step counter
+    g_start: jnp.ndarray         # (S,) int32 occupant's join step
+    ws: jnp.ndarray              # (R,) int32 ring column written-at step (-1 = never)
 
 
 def engine_geometry(cfg: T3Config, text_bucket: int, cond_w: int,
@@ -119,6 +135,9 @@ def engine_init(cfg: T3Config, *, slots: int, text_bucket: int, cond_w: int,
         rep_penalty=jnp.ones((s, 1), jnp.float32),
         min_p=jnp.zeros((s, 1), jnp.float32),
         top_p=jnp.ones((s, 1), jnp.float32),
+        g=jnp.int32(0),
+        g_start=jnp.zeros((s,), jnp.int32),
+        ws=jnp.full((total - p_len,), -1, jnp.int32),
     )
 
 
@@ -161,7 +180,7 @@ def engine_insert(state: EngineState, sub, slot, key,
 
     limit = meta[0].astype(jnp.int32)
     pad = meta[1].astype(jnp.int32)
-    return EngineState(
+    return state._replace(
         cache=llama.KVCache(ck, cv, cks, cvs),
         logits=state.logits.at[rows].set(sub.logits),
         counts=state.counts.at[slot].set(sub.counts[0]),
@@ -175,6 +194,9 @@ def engine_insert(state: EngineState, sub, slot, key,
         rep_penalty=state.rep_penalty.at[slot, 0].set(meta[4]),
         min_p=state.min_p.at[slot, 0].set(meta[5]),
         top_p=state.top_p.at[slot, 0].set(meta[6]),
+        # ring bookkeeping: the occupant's tokens will be written at global
+        # steps [g, g + limit), i.e. ws values in [g_start, g_start + i]
+        g_start=state.g_start.at[slot].set(state.g),
     )
 
 
@@ -188,22 +210,19 @@ def engine_decode_block(params, state: EngineState, cfg: T3Config,
     """Decode up to `block` tokens on every live slot (early-exits when all
     slots finish). Returns (state, tokens (block, S) int32, n_steps ()).
 
-    Mirrors t3.decode_block's body with every per-batch scalar promoted to a
-    per-row vector: depth i, insert column p_len + i[b], attention window
-    [pad_b, p_len + i_b], RoPE position p_len - pad_b + i_b, PRNG key
-    fold_in(keys[s], i[s]), EOS/limit per row. Finished rows keep emitting
-    EOS (the host trims at the first EOS) and stop advancing.
+    Mirrors t3.decode_block's body with the per-request scalars promoted to
+    per-row vectors (RoPE position p_len - pad_b + i_b, PRNG key
+    fold_in(keys[s], i[s]), EOS/limit per row) while the KV INSERT stays the
+    lock-step shared-scalar dynamic_update_slice via the ring-column layout
+    (EngineState docstring): write column = p_len + (g mod R); per-row
+    validity is the ws window [g_start, g_start + i]. Finished rows keep
+    emitting EOS (the host trims at the first EOS) and stop advancing; their
+    ring writes are junk on dead rows and never enter any live mask.
 
-    `ablate` is PROBE-ONLY (scripts/continuous_probe.py --ablate) — it
-    attributes the engine-vs-lock-step per-step gap by reverting per-row
-    structures to the lock-step shape, which is only semantics-preserving
-    when every slot sits at the same depth (the probe's uniform cell):
-      "pos" — slot 0's depth drives a SHARED insert column (scalar
-              cache_pos -> the lock-step dynamic_update_slice path) and a
-              broadcast (1,1,L) attention mask;
-      "rng" — one batch-shaped categorical draw per step (lock-step RNG)
-              instead of per-slot key chains.
-    Never set in production: both change request-isolation semantics."""
+    `ablate` is PROBE-ONLY (scripts/continuous_probe.py --ablate) — "rng"
+    reverts the per-slot key chains to one batch-shaped categorical draw per
+    step (lock-step RNG; breaks request-isolation semantics) to price the
+    per-row sampling chain. Never set in production."""
     s_slots = state.done.shape[0]
     b = 2 * s_slots
     total = state.cache.k.shape[1]
@@ -243,24 +262,27 @@ def engine_decode_block(params, state: EngineState, cfg: T3Config,
         emb = jnp.concatenate([emb, emb], axis=0)[:, None]    # (2S, 1, D)
         i2 = jnp.concatenate([st.i, st.i])
         pad2 = jnp.concatenate([st.pad, st.pad])
+        gs2 = jnp.concatenate([st.g_start, st.g_start])
         kidx = jnp.arange(total)
-        if "pos" in ablate:   # probe-only: lock-step shared column + mask
-            pos_id = jnp.full((b, 1), p_len - pad2[0] + st.i[0], jnp.int32)
-            cache_pos = p_len + st.i[0]                       # () shared
-            mask = ((kidx <= cache_pos) & (kidx >= pad2[0]))[None, None, :]
-            mask = jnp.broadcast_to(mask, (b, 1, total))
-        else:
-            pos_id = (p_len - pad2 + i2)[:, None]             # (2S, 1)
-            cache_pos = p_len + i2                            # (2S,) per-row
-            mask = ((kidx[None, :] >= pad2[:, None])
-                    & (kidx[None, :] <= cache_pos[:, None]))[:, None, :]
+        pos_id = (p_len - pad2 + i2)[:, None]                 # (2S, 1) RoPE
+        # ring-column insert: ALL rows write this step's shared physical
+        # column — the same dynamic_update_slice shape as lock-step decode
+        ring_col = jnp.mod(st.g, total - p_len)
+        cache_pos = p_len + ring_col                          # () shared
+        ws2 = jax.lax.dynamic_update_slice(st.ws, st.g[None], (ring_col,))
+        # validity: prefill window per row + the occupant's ws window
+        wsx = jnp.concatenate([jnp.full((p_len,), -1, jnp.int32), ws2])
+        mask = (((kidx[None, :] >= pad2[:, None]) & (kidx[None, :] < p_len))
+                | ((wsx[None, :] >= gs2[:, None])
+                   & (wsx[None, :] - gs2[:, None] <= i2[:, None])))
         hh, cache2 = llama.forward(params["llama"], emb.astype(dtype), pos_id,
-                                   mask, cache=st.cache, cache_pos=cache_pos,
-                                   cfg=cfg.llama, dtype=dtype)
+                                   mask[:, None, :], cache=st.cache,
+                                   cache_pos=cache_pos, cfg=cfg.llama,
+                                   dtype=dtype)
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
         i_new = jnp.where(st.done, st.i, st.i + 1)
         st2 = st._replace(cache=cache2, logits=logits, counts=counts,
-                          i=i_new, done=done)
+                          i=i_new, done=done, g=st.g + 1, ws=ws2)
         return Carry(st2, tokens, c.j + 1)
 
     state = state._replace(cache=llama.pin_cache_row_major(state.cache))

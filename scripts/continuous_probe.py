@@ -182,9 +182,9 @@ def main():
     cell(run_engine, uniform, "engine_uniform")
 
     if args.ablate:
-        # per-row-structure attribution at UNIFORM depths, where the "pos"
-        # ablation is semantics-preserving (engine_decode_block docstring)
-        for ab in ("pos", "rng", "posrng"):
+        # price the per-row sampling chain (the ring-column redesign already
+        # removed the per-row insert/mask cost the old "pos" cell measured)
+        for ab in ("rng",):
             run_engine(uniform, f"cold_engine_uniform_{ab}", 100, ab)
             run_engine(uniform, f"engine_uniform_{ab}", 5000, ab)
 
