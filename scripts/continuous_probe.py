@@ -124,16 +124,16 @@ def main():
         with open(out_path, "a") as f:
             f.write(line + "\n")
 
-    def make_engine(cap, ablate=""):
+    def make_engine(cap, ablate="", block=None):
         return ContinuousDecoder(params, cfg, slots=S,
                                  text_bucket=args.text_len,
-                                 max_new_tokens=cap, block=args.block,
+                                 max_new_tokens=cap, block=block or args.block,
                                  dtype=dtype, _ablate=ablate)
 
-    def run_engine(lens, tag, seed0, ablate=""):
+    def run_engine(lens, tag, seed0, ablate="", block=None):
         # match the lock-step cache capacity (p_len + max(max_new, 256)) so
         # the full-capacity KV read per step is identical in both paths
-        eng = make_engine(max(int(max(lens)), 256), ablate)
+        eng = make_engine(max(int(max(lens)), 256), ablate, block)
         t_a = time.time()
         rids = [eng.submit(text, cond, seed=seed0 + i, temperature=0.7,
                            cfg_weight=0.5, max_new_tokens=int(n))
@@ -193,6 +193,16 @@ def main():
     cell(run_locked, skew, "locked_skewed")
     cell(run_engine, skew, "engine_skewed")
 
+    # deep queue (4x slots): refill's tail/quantization waste amortizes with
+    # queue depth — the regime continuous batching exists for. The finer
+    # block halves the refill-boundary idle at 2x the host round-trips.
+    deep = (rng.integers(8, 24, 4 * S) if args.smoke
+            else rng.integers(120, 380, 4 * S)).tolist()
+    cell(run_locked, deep, "locked_deep")
+    cell(run_engine, deep, "engine_deep")
+    run_engine(deep, "cold_engine_deep_b32", 100, "", 32)
+    run_engine(deep, "engine_deep_b32", 5000, "", 32)
+
     by = {r["cell"]: r for r in results}
     summary = {
         "cell": "summary",
@@ -203,6 +213,13 @@ def main():
             round(by["engine_skewed"]["tokens_per_s"]
                   / by["locked_skewed"]["tokens_per_s"], 3),
     }
+    if "locked_deep" in by:
+        summary["engine_speedup_deep"] = round(
+            by["engine_deep"]["tokens_per_s"]
+            / by["locked_deep"]["tokens_per_s"], 3)
+        summary["engine_speedup_deep_b32"] = round(
+            by["engine_deep_b32"]["tokens_per_s"]
+            / by["locked_deep"]["tokens_per_s"], 3)
     print(json.dumps(summary))
     with open(out_path, "a") as f:
         f.write(json.dumps(summary) + "\n")
