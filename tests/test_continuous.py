@@ -125,6 +125,25 @@ def test_engine_isolation_under_traffic(tiny_t3, rng):
         np.testing.assert_array_equal(results[rid], solo)
 
 
+def test_engine_ring_wraparound_isolation(tiny_t3, rng):
+    """Requests entering after the ring has wrapped several times decode the
+    same tokens as in a fresh engine: ring columns are written-at-step (ws)
+    gated, so stale content from earlier occupants/wraps never leaks into a
+    later occupant's attention window."""
+    texts = [_text(rng, 4) for _ in range(5)]
+    conds = [_cond(rng) for _ in range(5)]
+    eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=1, text_bucket=16,
+                                      max_new_tokens=6, block=3)
+    rids = [eng.submit(t, c, seed=40 + i, max_new_tokens=6)
+            for i, (t, c) in enumerate(zip(texts, conds))]
+    results = eng.drain()
+    assert int(np.asarray(eng.state.g)) > 12   # the R=6 ring wrapped twice+
+    for i, (rid, t, c) in enumerate(zip(rids, texts, conds)):
+        solo = _drain_one(tiny_t3, c, t, seed=40 + i, max_new=6, block=3,
+                          max_new_tokens=6)
+        np.testing.assert_array_equal(results[rid], solo)
+
+
 def test_engine_int8_kv_isolation(tiny_t3, rng):
     """The int8 KV cache path (per-row scatter of slabs AND scales) keeps
     the isolation contract bit-exactly."""
