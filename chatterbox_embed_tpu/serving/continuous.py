@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Optional, Tuple
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -173,3 +175,249 @@ class ContinuousServer:
     @property
     def failed(self) -> Dict[int, str]:
         return dict(self._failed)
+
+
+# ---------------------------------------------------------------------------
+# job-level continuous serving (whole stories through the engine)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _StoryJob:
+    """One in-flight story: its chunks ride the engine independently."""
+    chunks: list                               # List[ChunkInfo]
+    per_chunk: List[Dict[str, float]]          # adaptive params per chunk
+    conds: Any                                 # Conditionals
+    seed: int
+    pause_scale: Optional[float]
+    t0: float
+    max_new: Optional[int] = None
+    wavs: List[Optional[np.ndarray]] = field(default_factory=list)
+    last_wav: List[Optional[np.ndarray]] = field(default_factory=list)
+    attempts: List[int] = field(default_factory=list)
+    pending: int = 0
+    regenerations: int = 0
+
+
+class ContinuousStoryServer:
+    """Arrival-driven STORY serving on the slot-refill engine.
+
+    The lock-step story paths (`tts.generate_long_text` /
+    `jobs.generate_tts_stories_batch` under WORKER_MAX_BATCH) decode a fixed
+    pool: a story that arrives mid-decode waits for the whole pool. Here
+    whole stories stream through one persistent engine — each story is
+    chunked on arrival and its chunks join the RUNNING decode at the next
+    block boundary (measured 6.5x mean / 36x p95 latency win under Poisson
+    arrivals, PERF_NOTES.md q4aa). Quality semantics match the lock-step
+    pipeline chunk-for-chunk:
+
+    - per-chunk adaptive params: the same `tts._adaptive_chunk_params`
+      blend (reference tts.py:1074-1096);
+    - acceptance gates: the same `tts._chunk_gates_ok` (silence hard gate +
+      QA regen, reference tts.py:1114-1124,1236-1285) plus the >= 8-token
+      minimum, applied as each chunk's audio lands;
+    - retries: failed chunks RE-ENTER the engine with the sequential
+      pyramid's exact param drift and seed schedule
+      (seed + attempt*1000 + chunk id, temperature/cfg/exaggeration drift —
+      reference tts.py:1199-1206) instead of blocking the loop;
+    - finalize: stitch + watermark + metadata identical to
+      `generate_long_text` (reference tts.py:1409-1484), emitted the moment
+      a story's last chunk passes its gates.
+
+    The engine is multi-voice by construction (conditioning lives in each
+    slot's KV columns), so concurrent stories may carry different voices.
+    """
+
+    def __init__(self, tts, *, slots: Optional[int] = None,
+                 text_bucket: int = 256, max_new_tokens: int = 1000,
+                 block: int = 64, vocode_batch: int = 4,
+                 max_attempts: Optional[int] = None):
+        self.tts = tts
+        self.srv = ContinuousServer(
+            tts, slots=slots, text_bucket=text_bucket,
+            max_new_tokens=max_new_tokens, block=block,
+            vocode_batch=vocode_batch, use_top_p=True, retries=1)
+        self.text_bucket = text_bucket
+        self.max_attempts = (int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS",
+                                           "4"))
+                             if max_attempts is None else max_attempts)
+        self._jobs: Dict[int, _StoryJob] = {}
+        self._rid_map: Dict[int, Tuple[int, int, int]] = {}  # rid -> (jid, ci, attempt)
+        self._next_jid = 0
+
+    # -- submission ---------------------------------------------------------
+
+    def submit_story(self, text: str, conds, *, exaggeration: float = 0.5,
+                     cfg_weight: float = 0.6, temperature: float = 0.7,
+                     target_chars: int = 400, max_chars: int = 600,
+                     seed: int = 0, pause_scale: Optional[float] = None,
+                     max_new_tokens: Optional[int] = None,
+                     adaptive_voice_param_blend: float = 0.2) -> int:
+        """Chunk one story and queue every chunk; returns a job id whose
+        (wav, metadata) appears in pump()/drain(). Raises before touching the
+        engine if the story is unsynthesisable or any chunk exceeds the
+        engine's text bucket (callers fall back to the lock-step path)."""
+        tts = self.tts
+        chunks = tts.chunk_text(text, target_chars, max_chars)
+        if not chunks:
+            raise ValueError("no synthesisable text after sanitisation")
+        base = dict(exaggeration=exaggeration, cfg_weight=cfg_weight,
+                    temperature=temperature, repetition_penalty=1.2,
+                    min_p=0.05, top_p=1.0)
+        blend = tts.experiment_config.get("force_adaptive_blend")
+        if blend is None:
+            blend = adaptive_voice_param_blend
+        per_chunk = tts._adaptive_chunk_params(chunks, base, blend)
+        # atomic pre-check: nothing is submitted if any chunk won't fit
+        for info in chunks:
+            n_tok = len(tts.tokenizer.text_to_tokens(info.text)[0]) + 2
+            if n_tok > self.text_bucket:
+                raise ValueError(
+                    f"chunk {info.id} is {n_tok} tokens; engine bucket is "
+                    f"{self.text_bucket} — use the lock-step path or a wider "
+                    "engine")
+        jid = self._next_jid
+        self._next_jid += 1
+        n = len(chunks)
+        job = _StoryJob(chunks=chunks, per_chunk=per_chunk, conds=conds,
+                        seed=seed, pause_scale=pause_scale, t0=time.time(),
+                        max_new=max_new_tokens, wavs=[None] * n,
+                        last_wav=[None] * n, attempts=[0] * n, pending=n)
+        self._jobs[jid] = job
+        for ci in range(n):
+            self._submit_chunk(jid, ci, attempt=0)
+        return jid
+
+    def _submit_chunk(self, jid: int, ci: int, attempt: int):
+        job = self._jobs[jid]
+        info = job.chunks[ci]
+        p = dict(job.per_chunk[ci])
+        if attempt > 0 and self.tts.experiment_config.get(
+                "enable_retry_param_drift", True):
+            # the sequential pyramid's retry drift (reference tts.py:1199-1206)
+            p["temperature"] = max(0.5, p["temperature"] - 0.08 * attempt)
+            p["cfg_weight"] = min(0.8, p["cfg_weight"] + 0.08 * attempt)
+            p["exaggeration"] = max(0.1, p["exaggeration"] - 0.05 * attempt)
+        rid = self.srv.submit(
+            info.text, job.conds, temperature=p["temperature"],
+            cfg_weight=p["cfg_weight"],
+            repetition_penalty=p["repetition_penalty"], min_p=p["min_p"],
+            top_p=p["top_p"], exaggeration=p.get("exaggeration"),
+            seed=job.seed + attempt * 1000 + info.id,
+            max_new_tokens=job.max_new)
+        self._rid_map[rid] = (jid, ci, attempt)
+
+    # -- serving loop -------------------------------------------------------
+
+    @property
+    def idle(self) -> bool:
+        return not self._jobs and self.srv.idle
+
+    def pump(self) -> Dict[int, Tuple[np.ndarray, Dict[str, Any]]]:
+        """One engine block; gates any chunk audio that landed; returns
+        {job id: (wav (1, T), metadata)} for stories that finished."""
+        finished = dict(self.srv.pump())
+        # engine-level failures (empty decode after the inner retry) gate
+        # like silent takes: re-enter with drift or exhaust to the fallback
+        for rid in list(self.srv._failed):
+            if rid not in self._rid_map:
+                continue
+            self.srv._failed.pop(rid)
+            finished[rid] = None
+        out: Dict[int, Tuple[np.ndarray, Dict[str, Any]]] = {}
+        for rid, wav in finished.items():
+            # a long-running server must not accumulate finished audio in
+            # the inner layer — this layer owns the result's lifetime
+            self.srv._wavs.pop(rid, None)
+            jid, ci, attempt = self._rid_map.pop(rid)
+            job = self._jobs[jid]
+            if self._gate_chunk(jid, job, ci, attempt, wav):
+                job.pending -= 1
+            if job.pending == 0:
+                out[jid] = self._finalize(jid, job)
+        return out
+
+    def _gate_chunk(self, jid: int, job: _StoryJob, ci: int, attempt: int,
+                    wav: Optional[np.ndarray]) -> bool:
+        """Accept/retry one landed chunk take; True when the chunk is done.
+        Mirrors tts._generate_single_chunk_with_quality's accept rules."""
+        info = job.chunks[ci]
+        flat = None if wav is None else np.asarray(wav).reshape(-1)
+        if flat is not None:
+            job.last_wav[ci] = flat
+        job.attempts[ci] = attempt + 1
+        # the sequential path's _guard_tokens floor in samples
+        # (>= 8 speech tokens x 2 mel frames x 480-sample hop)
+        if flat is None or flat.size < 8 * 2 * 480:
+            ok, reason = False, "silence"
+        else:
+            ok, reason = self.tts._chunk_gates_ok(flat, info)
+        last_try = attempt >= self.max_attempts - 1
+        if ok or (reason == "qa" and last_try):
+            job.wavs[ci] = flat
+            return True
+        if not last_try:
+            logger.info("job %d chunk %d %s — re-entering the engine "
+                        "(attempt %d/%d)", jid, ci, reason or "retry",
+                        attempt + 2, self.max_attempts)
+            job.regenerations += 1
+            self._submit_chunk(jid, ci, attempt + 1)
+            return False
+        # exhausted: keep the best take (even a silent one beats a gap —
+        # reference tts.py:1268-1285), else half a second of silence
+        job.wavs[ci] = (job.last_wav[ci] if job.last_wav[ci] is not None
+                        else np.zeros(self.tts.sr // 2, np.float32))
+        logger.warning("job %d chunk %d failed after %d attempts; keeping "
+                       "best take", jid, ci, self.max_attempts)
+        return True
+
+    def _finalize(self, jid: int,
+                  job: _StoryJob) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Stitch + watermark + metadata, identical to generate_long_text
+        (reference tts.py:1409-1484)."""
+        tts = self.tts
+        del self._jobs[jid]
+        stitcher = tts.advanced_stitcher
+        prev = stitcher.global_pause_factor
+        if job.pause_scale is not None:
+            stitcher.global_pause_factor = job.pause_scale
+        try:
+            wav, sr, duration = tts.stitch_and_normalize(job.wavs, job.chunks)
+        finally:
+            stitcher.global_pause_factor = prev
+        wav = tts.watermarker.apply_watermark(wav, sample_rate=sr)
+        total = time.time() - job.t0
+        eng = self.srv.decoder
+        metadata = {
+            "runtime_version": _runtime_version(),
+            "num_chunks": len(job.chunks),
+            "duration_s": duration,
+            "generation_time_s": total,
+            "audio_ratio": duration / total if total > 0 else 0.0,
+            "cache_stats": tts.get_conditional_cache_stats(),
+            "chunk_stats": {
+                "chunks": [{"id": info.id, "attempts": job.attempts[i],
+                            "samples": int(job.wavs[i].size),
+                            "params": job.per_chunk[i]}
+                           for i, info in enumerate(job.chunks)],
+                "regenerations": job.regenerations,
+                "continuous": True,
+            },
+            # engine-level counters (shared across interleaved jobs — wall
+            # attribution per job is not separable by design)
+            "engine": {"blocks_run": eng.blocks_run,
+                       "steps_run": eng.steps_run,
+                       "slots": eng.slots},
+        }
+        return wav[None, :], metadata
+
+    def drain(self) -> Dict[int, Tuple[np.ndarray, Dict[str, Any]]]:
+        """Run until every submitted story has audio; returns all of them."""
+        out: Dict[int, Tuple[np.ndarray, Dict[str, Any]]] = {}
+        while not self.idle:
+            out.update(self.pump())
+        return out
+
+
+def _runtime_version() -> str:
+    from ..tts import CHATTERBOX_RUNTIME_VERSION
+    return CHATTERBOX_RUNTIME_VERSION

@@ -256,6 +256,63 @@ def test_continuous_first_pass_gate(tiny_tts, monkeypatch):
         assert np.isfinite(w).all() and w.size > 0
 
 
+def test_story_server_end_to_end(tiny_tts):
+    """Whole stories through the engine: chunking, stitching, watermark and
+    metadata match the generate_long_text contract; a story break yields two
+    chunks; two stories interleave on one engine."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousStoryServer
+    srv = ContinuousStoryServer(tiny_tts, slots=2, text_bucket=32,
+                                max_new_tokens=24, block=8, vocode_batch=2)
+    j1 = srv.submit_story("The knight rode far. ⁂ The dragon was kind.",
+                          tiny_tts.conds, seed=1)
+    j2 = srv.submit_story("A quiet morning by the sea.", tiny_tts.conds,
+                          seed=2)
+    out = srv.drain()
+    assert srv.idle
+    assert {j1, j2} == set(out)
+    wav1, meta1 = out[j1]
+    assert wav1.ndim == 2 and wav1.shape[0] == 1 and np.isfinite(wav1).all()
+    assert meta1["num_chunks"] == 2                 # the story break split
+    assert meta1["chunk_stats"]["continuous"] is True
+    assert meta1["duration_s"] > 0
+    assert all(c["attempts"] >= 1 for c in meta1["chunk_stats"]["chunks"])
+    _wav2, meta2 = out[j2]
+    assert meta2["num_chunks"] == 1
+
+
+def test_story_server_retry_reenters_engine(tiny_tts, monkeypatch):
+    """A gate-failing chunk re-enters the ENGINE with the sequential
+    pyramid's drift (never blocks the loop); QA exhaustion keeps the last
+    take, exactly like the lock-step retry semantics."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousStoryServer
+    monkeypatch.setattr(tiny_tts, "_chunk_gates_ok",
+                        lambda flat, info: (False, "qa"))
+    srv = ContinuousStoryServer(tiny_tts, slots=1, text_bucket=32,
+                                max_new_tokens=24, block=8, vocode_batch=1,
+                                max_attempts=2)
+    jid = srv.submit_story("A single short chunk.", tiny_tts.conds, seed=4)
+    out = srv.drain()
+    wav, meta = out[jid]
+    chunk = meta["chunk_stats"]["chunks"][0]
+    assert chunk["attempts"] == 2                   # one engine re-entry
+    assert meta["chunk_stats"]["regenerations"] >= 1
+    assert np.isfinite(wav).all() and wav.size > 0  # last take kept
+
+
+def test_story_server_rejects_oversized_chunks(tiny_tts):
+    """A story whose chunks exceed the engine bucket raises at submit,
+    atomically (nothing enters the engine) — the worker falls back to the
+    lock-step path on this."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousStoryServer
+    srv = ContinuousStoryServer(tiny_tts, slots=1, text_bucket=8,
+                                max_new_tokens=8, block=4)
+    with pytest.raises(ValueError):
+        srv.submit_story("This sentence is very much longer than an eight "
+                         "token engine bucket could ever hold at once.",
+                         tiny_tts.conds)
+    assert srv.idle and not srv._rid_map
+
+
 def test_engine_rejects_oversized_text_and_promptless_cond(tiny_t3, rng):
     eng = t3_engine.ContinuousDecoder(tiny_t3, TINY, slots=1, text_bucket=8,
                                       max_new_tokens=8, block=4)

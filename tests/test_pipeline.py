@@ -766,6 +766,101 @@ def test_worker_dynamic_batch_isolates_bad_job(ref_voice_wav, tmp_path,
     assert client.streams[DLQ_STREAM][0][1]["job_id"] == "bad"
 
 
+def _continuous_worker_env(monkeypatch, tmp_path):
+    monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
+    monkeypatch.setenv("WORKER_CONTINUOUS", "1")
+    monkeypatch.setenv("WORKER_SLOTS", "2")
+    monkeypatch.setenv("WORKER_TEXT_BUCKET", "24")
+    monkeypatch.setenv("WORKER_BLOCK", "8")
+    monkeypatch.setenv("WORKER_MAX_NEW_TOKENS", "16")
+
+
+def test_worker_continuous_serving(ref_voice_wav, tmp_path, monkeypatch):
+    """Arrival-driven serving: jobs stream through one persistent
+    slot-refill engine (run_continuous); the per-job status, result payload,
+    storage and ack contract is identical to the pooled path."""
+    import base64
+    import pathlib
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker,
+                                                     InMemoryStreams,
+                                                     STREAM_TTS)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    _continuous_worker_env(monkeypatch, tmp_path)
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    prof = str(tmp_path / "cont_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client,
+                         tts_factory=lambda: tts_inst)
+    texts = ["The knight rode far.",
+             "The dragon was kind.",
+             "They became friends."]
+    for i, text in enumerate(texts):
+        client.xadd(STREAM_TTS, {"payload": json.dumps({
+            "job_id": f"jc{i}", "type": "tts", "story_id": f"sc{i}",
+            "user_id": "uc", "text": text, "voice_profile_b64": prof_b64,
+            "exaggeration": 0.4 + 0.1 * i})})
+    assert worker.run_continuous(stop_when_drained=True) == 3
+    for i in range(3):
+        status = client.hgetall(f"runpod:job:jc{i}")
+        assert status["status"] == "done", status.get("error")
+        result = json.loads(status["result"])
+        assert result["status"] == "success" and result["duration"] > 0
+        assert result["story_id"] == f"sc{i}"
+        assert result["metadata"]["chunk_stats"]["continuous"] is True
+        stored = pathlib.Path(result["storage_url"])
+        assert stored.exists() and stored.stat().st_size > 500
+    key = (STREAM_TTS, worker.group)
+    assert len(client.acked[key]) == 3
+    # one voice, three jobs: the profile-source conds cache deduped the prep
+    assert tts_inst.get_conditional_cache_stats()["misses"] <= 2
+
+
+def test_worker_continuous_fallback_and_dlq(ref_voice_wav, tmp_path,
+                                            monkeypatch):
+    """A job the engine cannot admit (missing voice profile) falls back to
+    the lock-step single-job path, which reports its own error + DLQ entry;
+    healthy jobs on the same engine still complete."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker,
+                                                     InMemoryStreams,
+                                                     STREAM_TTS, DLQ_STREAM)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    _continuous_worker_env(monkeypatch, tmp_path)
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    prof = str(tmp_path / "contf_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client,
+                         tts_factory=lambda: tts_inst)
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "cgood", "type": "tts", "story_id": "scg", "user_id": "u",
+        "text": "A fine day indeed.", "voice_profile_b64": prof_b64})})
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "cbad", "type": "tts", "story_id": "scx", "user_id": "u",
+        "text": "No voice profile for me."})})
+    assert worker.run_continuous(stop_when_drained=True) == 2
+    assert client.hgetall("runpod:job:cgood")["status"] == "done"
+    bad = client.hgetall("runpod:job:cbad")
+    assert bad["status"] == "error" and "voice_profile" in bad["error"]
+    assert len(client.streams[DLQ_STREAM]) == 1
+    assert client.streams[DLQ_STREAM][0][1]["job_id"] == "cbad"
+
+
 def test_generate_chunks_multi_across_fence(tts, ref_voice_wav, tmp_path,
                                             monkeypatch):
     """Pooled multi-voice chunks that exceed max_decode_utterances() must
