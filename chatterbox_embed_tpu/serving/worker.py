@@ -258,11 +258,18 @@ class RedisWorker:
 
     @staticmethod
     def continuous_enabled() -> bool:
-        """WORKER_CONTINUOUS gate for run_forever's TTS loop. Opt-in until
-        the q4ab worker-level TPU smoke lands (PERF_NOTES.md q4aa promotion:
-        the engine wins 6.5x mean / 36x p95 latency under Poisson arrivals,
-        so arrival-driven serving flips to the engine once validated)."""
-        return os.getenv("WORKER_CONTINUOUS", "0") not in ("0", "false", "no")
+        """WORKER_CONTINUOUS gate for run_forever's TTS loop. DEFAULT ON
+        since round 4: under Poisson arrivals at 80% capacity the slot-refill
+        engine wins 6.5x mean / 36x p95 latency at 5.5x better makespan vs
+        WORKER_MAX_BATCH pooling (PERF_NOTES.md q4aa), and the worker-level
+        full-size TPU smoke (scripts/continuous_worker_smoke.py,
+        measurements/q4ab_cont_worker.log) validated the whole path —
+        jobs in (one arriving mid-decode) -> engine decode -> gates ->
+        stitch -> storage/status/ack. Kill-switch WORKER_CONTINUOUS=0
+        restores the pooled lock-step loop (still the right mode when all
+        jobs are known upfront — q4z: lock-step wins 0-10% tokens/s on
+        static deep queues)."""
+        return os.getenv("WORKER_CONTINUOUS", "1") not in ("0", "false", "no")
 
     def _conds_for_profile(self, payload: Dict[str, Any],
                            cache: Dict[str, Any]):

@@ -766,6 +766,17 @@ def test_worker_dynamic_batch_isolates_bad_job(ref_voice_wav, tmp_path,
     assert client.streams[DLQ_STREAM][0][1]["job_id"] == "bad"
 
 
+def test_continuous_serving_is_default(monkeypatch):
+    """Arrival-driven serving defaults to the slot-refill engine since
+    round 4 (PERF_NOTES q4aa latency win + q4ab worker-level TPU smoke);
+    WORKER_CONTINUOUS=0 restores the pooled lock-step loop."""
+    from chatterbox_embed_tpu.serving.worker import RedisWorker
+    monkeypatch.delenv("WORKER_CONTINUOUS", raising=False)
+    assert RedisWorker.continuous_enabled() is True
+    monkeypatch.setenv("WORKER_CONTINUOUS", "0")
+    assert RedisWorker.continuous_enabled() is False
+
+
 def _continuous_worker_env(monkeypatch, tmp_path):
     monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
     monkeypatch.setenv("WORKER_CONTINUOUS", "1")
