@@ -46,6 +46,14 @@ Alignment-analyzer decode (CHATTERBOX_ALIGNMENT) and the Pallas flash/fused
 kernels are lock-step-only and not composed here: the engine targets the
 batched XLA decode (the measured winner at >= 4 rows, PERF_NOTES.md), where
 the int8 KV cache default applies unchanged.
+
+Multi-chip: pass ``mesh=`` (ContinuousServer forwards ``tts.mesh`` from
+``tts.enable_mesh``) — slot/batch axes shard over ``dp`` via
+``engine_sharding`` and GSPMD propagates through the insert and decode-block
+programs; the Megatron ``tp`` weight sharding divides the streamed bytes per
+chip exactly as in the lock-step mesh decode. dp placement is bit-identical
+to the single-chip engine (every engine op is row-local; pinned by
+tests/test_continuous.py and the driver dryrun).
 """
 from __future__ import annotations
 
@@ -139,6 +147,42 @@ def engine_init(cfg: T3Config, *, slots: int, text_bucket: int, cond_w: int,
         g_start=jnp.zeros((s,), jnp.int32),
         ws=jnp.full((total - p_len,), -1, jnp.int32),
     )
+
+
+def engine_sharding(mesh, state: EngineState) -> EngineState:
+    """EngineState-of-NamedShardings for a serving mesh: slot/batch axes
+    shard over `dp` (cache batch is axis 2 of (L, total, 2S, H, D); the S-
+    and 2S-leading vectors shard on axis 0), ring bookkeeping (g, ws)
+    replicates, and a tp-only mesh replicates everything — the Megatron
+    weight sharding (parallel/serve.shard_t3_for_serving) drives the
+    partitioning there, exactly like the lock-step mesh decode. GSPMD
+    propagates these through engine_insert and the decode while-loop, so
+    the engine programs stay geometry-keyed (no per-occupancy recompiles)
+    on a mesh too."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s_slots = int(state.done.shape[0])
+    dp = dict(mesh.shape).get("dp", 1)
+    row = "dp" if dp > 1 else None
+    if row and s_slots % dp != 0:
+        raise ValueError(
+            f"{s_slots} engine slots do not divide the dp axis ({dp} "
+            "devices); pick WORKER_SLOTS / ContinuousServer slots as a "
+            "multiple of dp")
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    ck = state.cache
+    return EngineState(
+        cache=llama.KVCache(
+            ns(None, None, row), ns(None, None, row),
+            None if ck.k_scale is None else ns(None, None, row),
+            None if ck.v_scale is None else ns(None, None, row)),
+        logits=ns(row), counts=ns(row), i=ns(row), done=ns(row),
+        pad=ns(row), keys=ns(row), limit=ns(row), temperature=ns(row),
+        cfg_weight=ns(row), rep_penalty=ns(row), min_p=ns(row),
+        top_p=ns(row), g=ns(), g_start=ns(row), ws=ns())
 
 
 def prefill_request(params, cond: t3.T3Cond, text_tokens: np.ndarray, *,
@@ -318,10 +362,11 @@ class ContinuousDecoder:
                  text_bucket: int = 192, max_new_tokens: int = 512,
                  block: int = 64, dtype=jnp.float32,
                  kv_int8: Optional[bool] = None, use_top_p: bool = False,
-                 _ablate: str = ""):
+                 mesh=None, _ablate: str = ""):
         self.params = params
         self.cfg = cfg
         self.slots = slots
+        self.mesh = mesh
         self.text_bucket = text_bucket
         self.max_new_cap = max_new_tokens
         self.block = block
@@ -337,6 +382,14 @@ class ContinuousDecoder:
                                  cond_w=self.cond_w,
                                  max_new_tokens=max_new_tokens, dtype=dtype,
                                  kv_int8=self.kv_int8)
+        if mesh is not None:
+            # multi-chip engine: slot axes over dp / Megatron weights over tp
+            # (engine_sharding docstring). Params must already be mesh-placed
+            # (tts.enable_mesh / parallel.serve.shard_t3_for_serving) —
+            # mixing a mesh-sharded state with single-device params is the
+            # committed-device crash the round-3 streaming fix documents.
+            self.state = jax.device_put(self.state,
+                                        engine_sharding(mesh, self.state))
         self._queue: List[dict] = []
         self._slots = [_Slot() for _ in range(slots)]
         self._results: Dict[int, np.ndarray] = {}
@@ -391,8 +444,16 @@ class ContinuousDecoder:
             if sl.rid is not None or not self._queue:
                 continue
             req = self._queue.pop(0)
+            cond = req["cond"]
+            if self.mesh is not None:
+                # cond arrays may be committed to one device (tokenizer
+                # output) — replicate onto the mesh before they mix with
+                # mesh-placed params, same as t3.start_generation's mesh
+                # branch
+                from ..parallel.serve import replicate
+                cond = replicate(self.mesh, cond)
             sub, pad = prefill_request(
-                self.params, req["cond"], req["text"],
+                self.params, cond, req["text"],
                 text_bucket=self.text_bucket, p_len=self.p_len, cfg=self.cfg,
                 dtype=self.dtype, kv_int8=self.kv_int8)
             meta = np.asarray(

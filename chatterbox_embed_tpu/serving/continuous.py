@@ -74,12 +74,19 @@ class ContinuousServer:
                  use_top_p: bool = False, kv_int8: Optional[bool] = None,
                  retries: int = 1):
         self.tts = tts
+        mesh = getattr(tts, "mesh", None)
+        dp = dict(mesh.shape).get("dp", 1) if mesh is not None else 1
         if slots is None:
-            slots = min(16, t3_mod.max_decode_utterances())
+            # the decode-utterance fence is PER-CHIP HBM, so a dp mesh hosts
+            # dp x the slots (each chip holds slots/dp of them)
+            slots = min(16, t3_mod.max_decode_utterances()) * dp
+        elif dp > 1 and slots % dp != 0:
+            raise ValueError(f"slots={slots} must be a multiple of the dp "
+                             f"axis ({dp}) — each chip hosts slots/dp slots")
         self.decoder = ContinuousDecoder(
             tts.t3_params, tts.cfg.t3, slots=slots, text_bucket=text_bucket,
             max_new_tokens=max_new_tokens, block=block, dtype=tts.dtype,
-            kv_int8=kv_int8, use_top_p=use_top_p)
+            kv_int8=kv_int8, use_top_p=use_top_p, mesh=mesh)
         self.vocode_batch = vocode_batch
         self.retries = retries
         self._meta: Dict[int, dict] = {}      # engine rid -> request meta

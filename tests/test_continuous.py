@@ -323,3 +323,84 @@ def test_engine_rejects_oversized_text_and_promptless_cond(tiny_t3, rng):
         eng.submit(_text(rng, 3), bad)
     with pytest.raises(ValueError):
         eng.submit(_text(rng, 3), _cond(rng), top_p=0.9)
+
+
+# -- multi-chip engine (8-virtual-CPU-device mesh, like test_parallel.py) ----
+
+
+def test_engine_on_dp_mesh_matches_single_device(tiny_t3, rng):
+    """Slot axes sharded over dp reproduce the single-device engine
+    token-for-token: every engine op is row-local (per-row masks, RoPE
+    positions, PRNG chains), so GSPMD placement cannot change the
+    arithmetic. Covers refill-into-a-sharded-state too (4 requests through
+    2 slots)."""
+    from chatterbox_embed_tpu.parallel import make_dp_mesh
+    from chatterbox_embed_tpu.parallel.serve import replicate
+    cond = _cond(rng)
+    texts = [_text(rng, n=4 + i) for i in range(4)]
+
+    def run(params, mesh):
+        eng = t3_engine.ContinuousDecoder(
+            params, TINY, slots=2, text_bucket=16, max_new_tokens=12,
+            block=4, mesh=mesh)
+        rids = [eng.submit(t, cond, seed=7 + i, temperature=0.8,
+                           cfg_weight=0.5) for i, t in enumerate(texts)]
+        out = eng.drain()
+        return [out[r] for r in rids]
+
+    ref = run(tiny_t3, None)
+    mesh = make_dp_mesh(2)
+    got = run(replicate(mesh, tiny_t3), mesh)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_engine_on_dp_tp_mesh_near_greedy(tiny_t3, rng):
+    """Combined dp x tp mesh: slots over dp, Megatron weights over tp.
+    tp splits the per-layer reductions, so float order changes — near-greedy
+    sampling makes the token stream insensitive to that and must match
+    t3.generate exactly (the same cross-validation the single-chip engine
+    is pinned by)."""
+    from chatterbox_embed_tpu.parallel import make_dp_tp_mesh
+    from chatterbox_embed_tpu.parallel.serve import shard_t3_for_serving
+    cond = _cond(rng)
+    text = _text(rng)
+    ref = t3.generate(tiny_t3, cond, text, max_new_tokens=12,
+                      temperature=1e-4, cfg_weight=0.5, seed=3, cfg=TINY)
+    mesh = make_dp_tp_mesh(8, tp=4)          # dp=2 x tp=4 (4 heads)
+    sp = shard_t3_for_serving(mesh, tiny_t3)
+    eng = t3_engine.ContinuousDecoder(
+        sp, TINY, slots=2, text_bucket=16, max_new_tokens=12, block=4,
+        mesh=mesh)
+    rid = eng.submit(text, cond, seed=11, temperature=1e-4, cfg_weight=0.5)
+    got = eng.drain()[rid]
+    np.testing.assert_array_equal(np.asarray(ref), got)
+
+
+def test_engine_mesh_rejects_indivisible_slots(tiny_t3):
+    from chatterbox_embed_tpu.parallel import make_dp_mesh
+    from chatterbox_embed_tpu.parallel.serve import replicate
+    mesh = make_dp_mesh(4)
+    with pytest.raises(ValueError, match="divide the dp axis"):
+        t3_engine.ContinuousDecoder(replicate(mesh, tiny_t3), TINY, slots=3,
+                                    text_bucket=16, max_new_tokens=8,
+                                    block=4, mesh=mesh)
+
+
+def test_continuous_server_on_mesh(tiny_tts):
+    """ContinuousServer picks up a mesh-enabled ChatterboxTTS transparently
+    (tts.mesh -> sharded engine state): the serving default composes with
+    WORKER_MESH. Audio contract unchanged."""
+    import copy
+    tts2 = copy.copy(tiny_tts)
+    tts2.enable_mesh(4, tp=2)                # dp=2 x tp=2
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    srv = ContinuousServer(tts2, slots=2, text_bucket=24,
+                           max_new_tokens=16, block=8, vocode_batch=2)
+    assert srv.decoder.mesh is tts2.mesh
+    rids = [srv.submit(t, seed=5 + i) for i, t in
+            enumerate(["Hello mesh.", "Second row."])]
+    wavs = srv.drain()
+    assert not srv.failed and set(rids) == set(wavs)
+    for w in wavs.values():
+        assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
