@@ -344,28 +344,49 @@ def use_flash_attention(rows: int) -> bool:
     return pallas_gate(rows >= 4, cpu_ok=False)
 
 
-def _flash_block_choice(b: int, tp: int, has_ab: bool) -> tuple:
+_FLASH_VMEM_BUDGET = 14 << 20  # scoped VMEM limit is 16 MB; leave slack
+
+
+def _flash_vmem_footprint(bb: int, bq: int, tp: int, has_ab: bool,
+                          d: int, itemsize: int) -> int:
+    """Model of the stock flash kernel's scoped-VMEM bytes for one grid
+    program: fp32 scores tile (+ an ab bias tile when present), the
+    double-buffered k/v input tiles (these scale with block_b * T and were
+    MISSING from the round-2 model — at b=8/T=2432/d=64 they add ~10 MB and
+    the old choice of block_b=8 allocated 21 MB against the 16 MB scoped
+    limit, the q4ac continuous-serving OOM), q/out tiles and segment-id
+    tiles (q ids are lane-broadcast to (bq, 128) s32). Validated against the
+    compiler's reported 21.00M at (bb=8, bq=128, tp=2432, d=64): model says
+    21.9M."""
+    logits = bb * bq * tp * 4 * (2 if has_ab else 1)
+    kv = 4 * bb * tp * d * itemsize          # k + v tiles, double-buffered
+    q_out = 6 * bb * bq * d * itemsize       # q (x2 buffers) + out tiles
+    seg_ids = 2 * bb * (tp + bq * 128) * 4   # kv ids + lane-broadcast q ids
+    return logits + kv + q_out + seg_ids
+
+
+def _flash_block_choice(b: int, tp: int, has_ab: bool,
+                        d: int = 64, itemsize: int = 2) -> tuple:
     """Flash kernel tile sizes for a padded seq length `tp` (128-multiple).
 
     The default 128-everywhere grid spawns (B*H*T/128) overhead-bound
     micro-programs at these shapes (T under ~2k) and LOSES to XLA
     (scripts/microbench_cfm.py: 72.6 vs 41.2 ms). Whole-row kv blocks + as
-    many batch rows per program as the fp32 logits tile (doubled when an ab
-    bias tile rides along) leaves room for in VMEM keep the program count
-    near B*H/block_b with one pass over kv: 29.8 ms."""
-    budget = 10 << 20
-    bytes_per_row = tp * 4 * (2 if has_ab else 1)  # fp32 scores (+ ab tile)
+    many batch rows per program as fit the full scoped-VMEM footprint
+    (_flash_vmem_footprint) keep the program count near B*H/block_b with
+    one pass over kv: 29.8 ms."""
     block_q = 128
     for cand in range(min(tp, 1024), 0, -128):
-        # the has_ab doubling must bound block_q too: at T=2048 with the
-        # conformer's ab bias a 1024-row tile is ~16 MB and overflows v5e VMEM
-        if tp % cand == 0 and cand * bytes_per_row <= budget:
+        # long rows / ab bias bound block_q too: at T=2048 with the
+        # conformer's ab bias a 1024-row tile is ~16 MB and overflows VMEM
+        if tp % cand == 0 and _flash_vmem_footprint(
+                1, cand, tp, has_ab, d, itemsize) <= _FLASH_VMEM_BUDGET:
             block_q = cand
             break
     block_b = 1
-    vmem_logits = block_q * bytes_per_row
     for cand in (8, 4, 2):
-        if b % cand == 0 and cand * vmem_logits < budget:
+        if b % cand == 0 and _flash_vmem_footprint(
+                cand, block_q, tp, has_ab, d, itemsize) <= _FLASH_VMEM_BUDGET:
             block_b = cand
             break
     return block_q, block_b
@@ -402,7 +423,16 @@ def mha_flash(q, k, v, key_valid=None, ab=None):
         if ab is not None:
             ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pad), (0, pad)))
     tp = t + pad
-    block_q, block_b = _flash_block_choice(b, tp, ab is not None)
+    block_q, block_b = _flash_block_choice(b, tp, ab is not None,
+                                           d, q.dtype.itemsize)
+    if _flash_vmem_footprint(block_b, block_q, tp, ab is not None, d,
+                             q.dtype.itemsize) > _FLASH_VMEM_BUDGET:
+        # Even a single whole-row program overflows scoped VMEM (T beyond
+        # ~28k at d=64) — fall back to the chunked XLA path rather than OOM.
+        if ab is not None:  # pragma: no cover - conformer T never gets here
+            raise ValueError("flash ab bias unsupported at this T")
+        mask = key_valid[:, None, None, :]
+        return mha_chunked(q, k, v, mask=mask, q_chunk=block_q)[:, :t]
     blocks = BlockSizes(block_q=block_q, block_k_major=tp, block_k=tp,
                         block_b=block_b)
     ids = key_valid.astype(jnp.int32)

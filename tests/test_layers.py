@@ -153,15 +153,18 @@ def test_int8_linear_close_to_fp(rng):
 
 def test_flash_block_choice():
     """Tile selection for the flash kernels: block_q divides the padded T,
-    block_b divides the batch and respects the VMEM logits budget."""
-    from chatterbox_embed_tpu.models.layers import _flash_block_choice
-    for b in (1, 2, 4, 16, 32):
-        for tp in (128, 384, 640, 768, 1280, 1152, 2048):
+    block_b divides the batch and the FULL scoped-VMEM footprint (logits +
+    double-buffered k/v tiles + q/out + segment ids) fits the budget."""
+    from chatterbox_embed_tpu.models.layers import (
+        _FLASH_VMEM_BUDGET, _flash_block_choice, _flash_vmem_footprint)
+    for b in (1, 2, 4, 8, 16, 32):
+        for tp in (128, 384, 640, 768, 1280, 1152, 2048, 2432, 4096):
             for has_ab in (False, True):
                 bq, bb = _flash_block_choice(b, tp, has_ab)
                 assert tp % bq == 0 and bq <= 1024 and bq % 128 == 0
                 assert b % bb == 0
-                assert bb * bq * tp * 4 * (2 if has_ab else 1) < (10 << 20) or bb == 1
+                assert (_flash_vmem_footprint(bb, bq, tp, has_ab, 64, 2)
+                        <= _FLASH_VMEM_BUDGET) or bb == 1
     # whole row, batch rows bounded by the VMEM budget
     assert _flash_block_choice(16, 640, False) == (640, 4)
     # longer rows: block_q capped at 1024 falls to the largest divisor,
@@ -171,8 +174,19 @@ def test_flash_block_choice():
     # long T with ab bias: even a SINGLE program's q-tile must fit the VMEM
     # budget — block_q itself shrinks (1024x2048 fp32 x2 would be ~16 MB)
     bq, bb = _flash_block_choice(2, 2048, True)
-    assert bq * 2048 * 4 * 2 <= (10 << 20)
     assert bq == 512
     # without ab the same shape keeps the larger tile
     bq_no_ab, _ = _flash_block_choice(2, 2048, False)
     assert bq_no_ab == 1024
+    # q4ac regression: the continuous-serving OOM shape (b=8 rows, T=2432,
+    # d=64). The old logits-only model picked block_b=8 -> 21 MB scoped
+    # allocation vs the 16 MB limit; the footprint model must stay under
+    # budget at whatever it picks, and NOT collapse all the way to bb=1.
+    bq, bb = _flash_block_choice(8, 2432, False)
+    assert bq == 128 and bb == 4  # 2432 = 19*128, 19 prime -> only 128 divides
+    assert _flash_vmem_footprint(bb, bq, 2432, False, 64, 2) <= _FLASH_VMEM_BUDGET
+    assert _flash_vmem_footprint(8, bq, 2432, False, 64, 2) > (16 << 20)
+    # conformer headline configs keep their measured-good tiles (rows=16,
+    # T=768 upsampled with the ab bias rode block_b=2 in the -46% bench)
+    assert _flash_block_choice(16, 768, True) == (768, 2)
+    assert _flash_block_choice(32, 896, False) == (896, 2)
