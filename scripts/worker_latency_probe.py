@@ -172,6 +172,8 @@ def run_cell(mode, tts, jobs_payloads, schedule, smoke):
         while len(rec.done) < n:
             if worker.run_once() == 0:
                 time.sleep(0.05)
+    if not rec.done:
+        raise RuntimeError(f"{mode} cell finished no jobs")
     t_end = max(t for t, _ in rec.done.values())
     lat, errors = {}, []
     for jid, _fields in jobs_payloads:
@@ -261,8 +263,15 @@ def main():
           "makespan_s": round(makespan_p0, 2), "errors": err})
 
     # -- timed cells, same Poisson schedule ----------------------------------
+    failed = False
     for mode in ("pooled", "continuous"):
-        lat, makespan, err = run_cell(mode, tts, jobs, schedule, args.smoke)
+        try:
+            lat, makespan, err = run_cell(mode, tts, jobs, schedule,
+                                          args.smoke)
+        except Exception as e:  # noqa: BLE001 - record, keep the other cell
+            emit({"cell": f"{mode}_poisson", "exception": repr(e)[:500]})
+            failed = True
+            continue
         vals = np.asarray(sorted(lat.values()))
         emit({"cell": f"{mode}_poisson", "jobs": args.jobs,
               "mean_latency_s": round(float(vals.mean()), 3),
@@ -270,6 +279,8 @@ def main():
               "max_latency_s": round(float(vals.max()), 3),
               "makespan_s": round(makespan, 2), "errors": err})
     out_f.close()
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
