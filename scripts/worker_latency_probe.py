@@ -62,12 +62,17 @@ class TimedStreams:
         self._release_due()
         out = self._inner.xreadgroup(group, consumer, streams, count=count,
                                      block=block)
-        if not out and self._sched:
-            # consumer is idle and arrivals remain: block until the next one
+        if not out and self._sched and block:
+            # BLOCKING poll from an idle consumer while arrivals remain:
+            # hold it until the next release (NOT capped at `block` — a
+            # capped sleep lets stop_when_drained loops exit before the
+            # first Poisson arrival, which is exactly the q4ac try-1..3
+            # failure). A NON-blocking poll (block=0: the continuous
+            # engine pumping live slots) must return immediately — sleeping
+            # there stalls the decode loop and corrupts latencies.
             wait = self._sched[0][0] - (time.time() - self._t0)
             if wait > 0:
-                time.sleep(min(wait, max(block, 1) / 1000.0)
-                           if block else wait)
+                time.sleep(wait + 1e-3)
             self._release_due()
             out = self._inner.xreadgroup(group, consumer, streams,
                                          count=count, block=block)
