@@ -128,13 +128,23 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     Disable with CHATTERBOX_COMPILE_CACHE=0; CHATTERBOX_COMPILE_CACHE_MIN_S
     sets the min-compile-time threshold (default 0: on remote-dispatch
     backends even trivial programs cost a full round-trip to re-compile).
-    Returns True when active."""
+    Returns True when active.
+
+    The default directory is PARTITIONED BY BACKEND PLATFORM: on tunnel
+    backends the remote helper compiles every program — including
+    cpu-platform ones — on the REMOTE host, whose machine features (AMX,
+    avx512 prefer-no-gather/scatter) differ from this container's CPU.
+    Deserializing such an entry into a local cpu-platform process is a
+    hard SIGSEGV inside compilation_cache.get_executable_and_time (hit by
+    the int8-KV phased-cache test when a probe-smoke had shared its dir),
+    so cpu sessions and tunnel sessions must never share a namespace."""
     global _COMPILE_CACHE_DIR
     if os.getenv("CHATTERBOX_COMPILE_CACHE", "1") == "0":
         return False
     path = (cache_dir or os.getenv("CHATTERBOX_COMPILE_CACHE_DIR")
             or os.path.join(os.path.expanduser("~"), ".cache",
-                            "chatterbox_embed_tpu", "xla"))
+                            "chatterbox_embed_tpu", "xla",
+                            jax.default_backend()))
     if _COMPILE_CACHE_DIR is not None and path == _COMPILE_CACHE_DIR:
         return True
     try:

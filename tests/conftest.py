@@ -8,6 +8,13 @@ import os
 # Tests must be hermetic and fast, so we claw the selection back to CPU
 # *before* any backend is initialised.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests must NEVER touch the persistent XLA compilation cache: entries
+# written through the axon tunnel are compiled on the remote host (AMX-class
+# machine features) and deserializing one into this container's CPU process
+# segfaults (observed: test_phased_cache_matches_unphased_int8_kv dying in
+# compilation_cache.get_executable_and_time). ChatterboxTTS.__init__ enables
+# the cache process-globally, so disable it before anything imports.
+os.environ["CHATTERBOX_COMPILE_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
