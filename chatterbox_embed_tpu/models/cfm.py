@@ -40,7 +40,8 @@ def t_span_cosine(n_timesteps: int) -> np.ndarray:
 def solve_euler(params, z, mu, spks, cond, mask=None,
                 cfm: CFMConfig = CFMConfig(),
                 dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
-                dtype=jnp.float32, comm=None, cache_every=None):
+                dtype=jnp.float32, comm=None, cache_every=None,
+                cfg_steps=None):
     """Integrate dx/dt = v(x, t) from noise to mel.
 
     Args (channel-last):
@@ -52,6 +53,16 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
         CHATTERBOX_CFM_CACHE env var (trace-time binding); callers that
         derive a default per shape pass it explicitly so the jit key —
         not a hidden env read — owns the behavior.
+      cfg_steps: CFG-interval truncation — run the fused cond/uncond CFG
+        pair only on the FIRST k Euler steps; the remaining steps integrate
+        the cond-only velocity on b rows (half the estimator work per
+        step). The guidance direction is set early in the flow (the late
+        steps refine detail where cond/uncond have converged), the same
+        observation behind diffusion CFG-interval schedules. None/""/k >=
+        n_steps -> reference behavior (CFG every step, bit-identical).
+        Trace-time static like cache_every; quality is bounded by the same
+        full-size mel gate as the DeepCache stride
+        (scripts/cfm_cache_gate.py --cfg-steps).
     Returns (B, T, 80) fp32 mel.
 
     CFG exactly as the reference (flow_matching.py:95-116): the uncond branch
@@ -81,6 +92,11 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
     n_steps = len(t_span_cosine(cfm.n_timesteps)) - 1
     use_cache = cache_every >= 2 and comm is None and n_steps > 2
 
+    if cfg_steps is None:
+        cfg_steps = os.getenv("CHATTERBOX_CFM_CFG_STEPS") or None
+    k_cfg = n_steps if cfg_steps is None else max(0, min(int(cfg_steps),
+                                                         n_steps))
+
     def step(x, t_dt):
         t, dt = t_dt
         x2 = jnp.concatenate([x, x], axis=0)
@@ -91,55 +107,83 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
         v_cfg = (1.0 + w) * v_cond - w * v_uncond
         return x + dt * v_cfg, None
 
+    def step_cond(x, t_dt):
+        # post-interval step: cond-only velocity on b rows (no uncond pair)
+        t, dt = t_dt
+        t1 = jnp.full((b,), t, jnp.float32)
+        v = flow_decoder.forward(params, x, mu, t1, spks, cond, mask,
+                                 dec_cfg, dtype, comm=comm)
+        return x + dt * v, None
+
     if not use_cache:
-        x_final, _ = jax.lax.scan(step, z.astype(jnp.float32), (ts, dts))
-        return x_final
+        x = z.astype(jnp.float32)
+        if k_cfg > 0:
+            x, _ = jax.lax.scan(step, x, (ts[:k_cfg], dts[:k_cfg]))
+        if k_cfg < n_steps:
+            x, _ = jax.lax.scan(step_cond, x, (ts[k_cfg:], dts[k_cfg:]))
+        return x
 
     reuse_flags = np.array(
         [i % cache_every != 0 and i != n_steps - 1 for i in range(n_steps)])
 
-    def step_cached(carry, t_dt_r):
-        x, mid = carry
-        t, dt, reuse = t_dt_r
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.full((2 * b,), t, jnp.float32)
+    def _mk_step_cached(rows, mu_, spks_, cond_, mask_, pair):
+        def step_cached(carry, t_dt_r):
+            x, mid = carry
+            t, dt, reuse = t_dt_r
+            xr = jnp.concatenate([x, x], axis=0) if pair else x
+            tr = jnp.full((rows,), t, jnp.float32)
 
-        def fresh(args):
-            x2_, mid_ = args
-            return flow_decoder.forward_mid_cached(
-                params, x2_, mu2, t2, spks2, cond2, mask2, dec_cfg, dtype,
-                mid_feats=mid_, reuse_mid=False)
+            def fresh(args):
+                xr_, mid_ = args
+                return flow_decoder.forward_mid_cached(
+                    params, xr_, mu_, tr, spks_, cond_, mask_, dec_cfg,
+                    dtype, mid_feats=mid_, reuse_mid=False)
 
-        def cached(args):
-            x2_, mid_ = args
-            return flow_decoder.forward_mid_cached(
-                params, x2_, mu2, t2, spks2, cond2, mask2, dec_cfg, dtype,
-                mid_feats=mid_, reuse_mid=True)
+            def cached(args):
+                xr_, mid_ = args
+                return flow_decoder.forward_mid_cached(
+                    params, xr_, mu_, tr, spks_, cond_, mask_, dec_cfg,
+                    dtype, mid_feats=mid_, reuse_mid=True)
 
-        v, mid = jax.lax.cond(reuse, cached, fresh, (x2, mid))
-        v_cond, v_uncond = v[:b], v[b:]
-        v_cfg = (1.0 + w) * v_cond - w * v_uncond
-        return (x + dt * v_cfg, mid), None
+            v, mid = jax.lax.cond(reuse, cached, fresh, (xr, mid))
+            if pair:
+                v_cond, v_uncond = v[:b], v[b:]
+                v_out = (1.0 + w) * v_cond - w * v_uncond
+            else:
+                v_out = v
+            return (x + dt * v_out, mid), None
+        return step_cached
 
     c_down = dec_cfg.channels
-    mid0 = jnp.zeros((2 * b, tlen, c_down), dtype)
-    (x_final, _), _ = jax.lax.scan(
-        step_cached, (z.astype(jnp.float32), mid0),
-        (ts, dts, jnp.asarray(reuse_flags)))
-    return x_final
+    flags = jnp.asarray(reuse_flags)
+    x = z.astype(jnp.float32)
+    mid = jnp.zeros((2 * b, tlen, c_down), dtype)
+    if k_cfg > 0:
+        step_pair = _mk_step_cached(2 * b, mu2, spks2, cond2, mask2, True)
+        (x, mid), _ = jax.lax.scan(
+            step_pair, (x, mid), (ts[:k_cfg], dts[:k_cfg], flags[:k_cfg]))
+    if k_cfg < n_steps:
+        # the cond rows' cached mid features are the pair batch's first b
+        # rows — slice them across the phase boundary so a reuse step right
+        # after the interval still sees its own rows' cache
+        mid_c = mid[:b]
+        step_one = _mk_step_cached(b, mu, spks, cond, mask, False)
+        (x, _), _ = jax.lax.scan(
+            step_one, (x, mid_c), (ts[k_cfg:], dts[k_cfg:], flags[k_cfg:]))
+    return x
 
 
 def generate_mel(params, mu, spks, cond, mask=None, temperature: float = 1.0,
                  cfm: CFMConfig = CFMConfig(),
                  dec_cfg: FlowDecoderConfig = FlowDecoderConfig(),
-                 dtype=jnp.float32, cache_every=None):
+                 dtype=jnp.float32, cache_every=None, cfg_steps=None):
     """mu (B, T, 80) -> mel (B, T, 80) using the fixed noise buffer
     (reference: flow_matching.py:193-218)."""
     b, tlen, nf = mu.shape
     z = jnp.asarray(fixed_noise(nf)[:, :tlen, :]) * temperature
     z = jnp.broadcast_to(z, (b, tlen, nf))
     return solve_euler(params, z, mu, spks, cond, mask, cfm, dec_cfg, dtype,
-                       cache_every=cache_every)
+                       cache_every=cache_every, cfg_steps=cfg_steps)
 
 
 def generate_mel_stream(params, mu, spks, cond, mask, prompt_frames: int,

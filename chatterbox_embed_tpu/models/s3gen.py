@@ -54,7 +54,7 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
                       embedding: jnp.ndarray, finalize: bool = True,
                       cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
                       prompt_len: Optional[jnp.ndarray] = None,
-                      cache_every=None):
+                      cache_every=None, cfg_steps=None):
     """CausalMaskedDiffWithXvec.inference (reference: flow.py:236-282).
 
     Args:
@@ -122,7 +122,8 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
 
     mel = cfm.generate_mel(fl["decoder"], h, spks, conds, mask=mel_mask,
                            cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder,
-                           dtype=dtype, cache_every=cache_every)
+                           dtype=dtype, cache_every=cache_every,
+                           cfg_steps=cfg_steps)
     if prompt_len is None:
         return mel[:, mel_len1:]
     # realign: row b's generated frames start at 2*p_b
@@ -134,18 +135,18 @@ def _flow_to_mel_impl(params, tokens: jnp.ndarray, token_len: jnp.ndarray,
 
 _flow_to_mel_jit = jax.jit(_flow_to_mel_impl,
                            static_argnames=("finalize", "cfg", "dtype",
-                                            "cache_every"))
+                                            "cache_every", "cfg_steps"))
 
 
 def flow_to_mel(params, tokens, token_len, prompt_tokens, prompt_feat,
                 embedding, finalize: bool = True,
                 cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                prompt_len=None, cache_every=None):
+                prompt_len=None, cache_every=None, cfg_steps=None):
     """Jitted tokens->mel (one program per (bucket, prompt, finalize) shape;
     eager tracing would cost hundreds of dispatches on remote backends)."""
     return _flow_to_mel_jit(params, tokens, token_len, prompt_tokens,
                             prompt_feat, embedding, finalize, cfg, dtype,
-                            prompt_len, cache_every)
+                            prompt_len, cache_every, cfg_steps)
 
 
 def _flow_to_mel_window_impl(params, tokens: jnp.ndarray, vlen: jnp.ndarray,
@@ -246,10 +247,11 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
 def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                        embedding, key, finalize: bool,
                        cfg: S3GenConfig, dtype, apply_fade: bool,
-                       prompt_len=None, cache_every=None):
+                       prompt_len=None, cache_every=None, cfg_steps=None):
     mel = _flow_to_mel_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
                             embedding, finalize, cfg, dtype,
-                            prompt_len=prompt_len, cache_every=cache_every)
+                            prompt_len=prompt_len, cache_every=cache_every,
+                            cfg_steps=cfg_steps)
     wav, _src = hifigan.inference(params["hift"], mel, key=key, cfg=cfg.hift, dtype=dtype)
     if apply_fade:
         fade = jnp.asarray(trim_fade())
@@ -259,13 +261,15 @@ def _token_to_wav_impl(params, tokens, token_len, prompt_tokens, prompt_feat,
 
 _token_to_wav_jit = jax.jit(_token_to_wav_impl,
                             static_argnames=("finalize", "cfg", "dtype",
-                                             "apply_fade", "cache_every"))
+                                             "apply_fade", "cache_every",
+                                             "cfg_steps"))
 
 
 def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
                  embedding, key=None, finalize: bool = True,
                  cfg: S3GenConfig = S3GenConfig(), dtype=jnp.float32,
-                 apply_fade: bool = True, prompt_len=None, cache_every=None):
+                 apply_fade: bool = True, prompt_len=None, cache_every=None,
+                 cfg_steps=None):
     """S3Token2Wav.inference (reference: s3gen.py:332-350). Returns (B, T_wav).
 
     ONE jitted program per (token-bucket, prompt) shape: on remote-dispatch
@@ -276,7 +280,7 @@ def token_to_wav(params, tokens, token_len, prompt_tokens, prompt_feat,
         key = jax.random.PRNGKey(0)
     return _token_to_wav_jit(params, tokens, token_len, prompt_tokens, prompt_feat,
                              embedding, key, finalize, cfg, dtype, apply_fade,
-                             prompt_len, cache_every)
+                             prompt_len, cache_every, cfg_steps)
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,22 @@ def _derive_cfm_cache(rows: int) -> int:
     return 2 if rows >= 8 else 0
 
 
+def _derive_cfm_cfg_steps(rows: int):
+    """CFG-interval truncation for the batched S3Gen pass
+    (cfm.solve_euler cfg_steps): run the cond/uncond CFG pair only on the
+    first k Euler steps, cond-only rows after. OPT-IN via
+    CHATTERBOX_CFM_CFG_STEPS until the full-size TPU gate
+    (scripts/cfm_cache_gate.py --cfg-steps) promotes a default; None keeps
+    the reference's CFG-every-step solver bit-identically. Like the cache
+    stride, derived ONCE per request so partial sub-batches cannot flip
+    numerics mid-request."""
+    env = os.getenv("CHATTERBOX_CFM_CFG_STEPS")
+    if env is not None and env != "":
+        k = int(env)
+        return None if k <= 0 else k
+    return None
+
+
 def _env_bool(key: str, default: bool = False) -> bool:
     raw = os.getenv(key)
     if raw is None:
@@ -819,6 +835,7 @@ class ChatterboxTTS:
         # one stride for EVERY dispatch of the request (the last partial
         # sub-batch must not silently flip solver numerics mid-request)
         cfm_stride = _derive_cfm_cache(min(sub, u))
+        cfm_cfg_steps = _derive_cfm_cfg_steps(min(sub, u))
         outs = []
         for s0 in range(0, u, sub):
             s1 = min(u, s0 + sub)
@@ -829,7 +846,7 @@ class ChatterboxTTS:
                 key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype,
                 prompt_len=(None if prompt_len_dev is None
                             else prompt_len_dev[s0:s1]),
-                cache_every=cfm_stride)
+                cache_every=cfm_stride, cfg_steps=cfm_cfg_steps)
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
         return outs, lens

@@ -18,9 +18,17 @@ the one-line caveat from the int8 promotion applies unchanged — a final
 listen on converted checkpoints is the last sign-off
 (scripts/verify_on_network_host.py runbook).
 
+Round-4 extension: --cfg-steps gates CFG-INTERVAL truncation
+(cfm.solve_euler cfg_steps=k — the cond/uncond pair only on the first k of
+10 Euler steps, cond-only rows after; halves the estimator work of the
+truncated steps). Each cell runs at --cell-k (default 2, the promoted
+batched stride) so the gate bounds the COMPOSED product config against the
+exact CFG-every-step solver. Same bounds as the stride gate.
+
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/cfm_cache_gate.py \
-      [--rows 4] [--tokens 250] [--ks 2,3] [--smoke]
+      [--rows 4] [--tokens 250] [--ks 2,3] [--cfg-steps 5,6,8] [--cell-k 2] \
+      [--smoke]
 """
 from __future__ import annotations
 
@@ -38,6 +46,10 @@ def main():
     ap.add_argument("--rows", type=int, default=4, help="utterance rows")
     ap.add_argument("--tokens", type=int, default=250, help="speech tokens/row")
     ap.add_argument("--ks", default="2,3", help="cache strides to gate")
+    ap.add_argument("--cfg-steps", default="",
+                    help="CFG-interval cells to gate (comma list of k)")
+    ap.add_argument("--cell-k", type=int, default=2,
+                    help="cache stride the --cfg-steps cells compose with")
     ap.add_argument("--smoke", action="store_true", help="tiny config on CPU")
     args = ap.parse_args()
     if args.smoke:
@@ -94,7 +106,7 @@ def main():
     emb = jnp.asarray(rng.standard_normal((b, s3cfg.flow.spk_embed_dim)),
                       jnp.float32)
 
-    def run_with_k(k: int) -> np.ndarray:
+    def run_with_k(k: int, cfg_steps=None) -> np.ndarray:
         # fresh FUNCTION IDENTITY per K: CHATTERBOX_CFM_CACHE binds at trace
         # time, and jax's jaxpr cache is keyed on (fn, avals, statics) GLOBALLY
         # — a second jax.jit(s3gen_mod._flow_to_mel_impl) with the same shapes
@@ -103,17 +115,18 @@ def main():
         os.environ["CHATTERBOX_CFM_CACHE"] = str(k)
 
         def _fresh(params, tokens, token_len, prompt_tokens, prompt_feat,
-                   embedding, finalize, cfg, dtype):
+                   embedding, finalize, cfg, dtype, cfg_steps):
             return s3gen_mod._flow_to_mel_impl(
                 params, tokens, token_len, prompt_tokens, prompt_feat,
-                embedding, finalize, cfg, dtype)
+                embedding, finalize, cfg, dtype, cfg_steps=cfg_steps)
 
-        f = jax.jit(_fresh, static_argnames=("finalize", "cfg", "dtype"))
+        f = jax.jit(_fresh, static_argnames=("finalize", "cfg", "dtype",
+                                             "cfg_steps"))
         t1 = time.time()
         out = np.asarray(f(s3_params, toks, tl, pt, pf, emb, True,
-                           s3cfg, dtype), np.float64)
-        print(f"[cfm-gate] K={k}: mel {out.shape} in {time.time() - t1:.1f}s "
-              f"(compile-dominated)", file=sys.stderr)
+                           s3cfg, dtype, cfg_steps), np.float64)
+        print(f"[cfm-gate] K={k} cfg_steps={cfg_steps}: mel {out.shape} in "
+              f"{time.time() - t1:.1f}s (compile-dominated)", file=sys.stderr)
         return out
 
     prev = os.environ.get("CHATTERBOX_CFM_CACHE")
@@ -134,6 +147,23 @@ def main():
             }
             print(f"[cfm-gate] K={k}: cos(min) {min(cos):.5f} "
                   f"rel(max) {max(rel):.4f}", file=sys.stderr)
+        per_cfg = {}
+        for kc in [int(x) for x in args.cfg_steps.split(",") if x]:
+            mel = run_with_k(args.cell_k, cfg_steps=kc)
+            cos = [float(np.sum(ref[i] * mel[i])
+                         / (np.linalg.norm(ref[i]) * np.linalg.norm(mel[i])
+                            + 1e-12)) for i in range(b)]
+            rel = [float(np.linalg.norm(ref[i] - mel[i])
+                         / (np.linalg.norm(ref[i]) + 1e-12)) for i in range(b)]
+            per_cfg[str(kc)] = {
+                "cell_k": args.cell_k,
+                "mel_cosine_min": min(cos),
+                "mel_rel_l2_max": max(rel),
+                "pass": min(cos) >= 0.995 and max(rel) < 0.10,
+            }
+            print(f"[cfm-gate] K={args.cell_k} cfg_steps={kc}: "
+                  f"cos(min) {min(cos):.5f} rel(max) {max(rel):.4f}",
+                  file=sys.stderr)
     finally:
         if prev is None:
             os.environ.pop("CHATTERBOX_CFM_CACHE", None)
@@ -146,6 +176,8 @@ def main():
         "weights": "random",
         "per_k": per_k,
         "pass_ks": [k for k, v in per_k.items() if v["pass"]],
+        "per_cfg_steps": per_cfg,
+        "pass_cfg_steps": [k for k, v in per_cfg.items() if v["pass"]],
     }
     print(json.dumps(result))
 

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cfm-cache", type=int, default=0,
                     help="DeepCache stride K for the CFM stages")
+    ap.add_argument("--cfg-steps", type=int, default=0,
+                    help="CFG-interval truncation k (0 = CFG every step)")
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 conformer+estimator linears")
     ap.add_argument("--trace-dir", default=None)
@@ -107,6 +109,7 @@ def main():
 
     b, n_tok, n_prompt = args.rows, args.tokens, 150
     k = args.cfm_cache
+    kc = args.cfg_steps or None
     t_mel = 2 * (n_prompt + n_tok)
 
     def fresh_inputs(seed):
@@ -133,7 +136,7 @@ def main():
 
     _cfm_jit = jax.jit(lambda p, mu, spks, conds: cfm_mod.generate_mel(
         p, mu, spks, conds, cfm=cfg.flow.cfm, dec_cfg=cfg.flow.decoder,
-        dtype=dtype, cache_every=k))
+        dtype=dtype, cache_every=k, cfg_steps=kc))
     _hift_jit = jax.jit(lambda p, mel: hifigan.inference(
         p, mel, key=jax.random.PRNGKey(0), cfg=cfg.hift, dtype=dtype)[0])
 
@@ -141,11 +144,11 @@ def main():
         "token_to_wav": lambda i: s3gen_mod.token_to_wav(
             params, i["tokens"], i["token_len"], i["prompt_tokens"],
             i["prompt_feat"], i["embedding"], cfg=cfg, dtype=dtype,
-            cache_every=k),
+            cache_every=k, cfg_steps=kc),
         "flow_to_mel": lambda i: s3gen_mod.flow_to_mel(
             params, i["tokens"], i["token_len"], i["prompt_tokens"],
             i["prompt_feat"], i["embedding"], cfg=cfg, dtype=dtype,
-            cache_every=k),
+            cache_every=k, cfg_steps=kc),
         "cfm_only": lambda i: _cfm_jit(
             params["flow"]["decoder"], i["mu"], i["spks"], i["conds"]),
         "hifigan_only": lambda i: _hift_jit(params["hift"], i["mel"]),
@@ -184,6 +187,7 @@ def main():
     resid = results["token_to_wav"] - results["flow_to_mel"] - results["hifigan_only"]
     summary = {
         "rows": b, "tokens": n_tok, "t_mel": t_mel, "cfm_cache": k,
+        "cfg_steps": kc,
         "int8": args.int8, "iters": args.iters,
         "total_s": results["token_to_wav"],
         "cfm_s": results["cfm_only"],

@@ -133,6 +133,68 @@ def test_cfm_mid_cache_solver_bf16(rng, monkeypatch):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_cfm_cfg_interval_solver(rng, monkeypatch):
+    """CFG-interval truncation (cfg_steps=k): the cond/uncond pair runs only
+    on the first k Euler steps, cond-only rows after. k >= n_steps (and env
+    unset) must be bit-identical to the reference solver; a truncated k must
+    actually change the output (the interval engages); and with w=0 the CFG
+    combine is the cond velocity, so truncation at ANY k must reproduce the
+    full solve — this pins the phase-boundary arithmetic (t/dt alignment,
+    row slicing) independent of guidance strength."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    cond = jnp.zeros((2, 16, 8))
+    monkeypatch.delenv("CHATTERBOX_CFM_CFG_STEPS", raising=False)
+
+    full = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC),
+                      np.float64)
+    same = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC,
+                                       cfg_steps=CFMConfig().n_timesteps))
+    np.testing.assert_array_equal(same, full.astype(same.dtype))
+
+    trunc = np.asarray(cfm.generate_mel(params, mu, spks, cond,
+                                        dec_cfg=TINY_DEC, cfg_steps=6),
+                       np.float64)
+    assert trunc.shape == full.shape and np.isfinite(trunc).all()
+    assert not np.array_equal(trunc, full), "interval must actually engage"
+
+    w0 = CFMConfig(inference_cfg_rate=0.0)
+    base0 = np.asarray(cfm.generate_mel(params, mu, spks, cond, cfm=w0,
+                                        dec_cfg=TINY_DEC), np.float64)
+    for k in (0, 4, 7):
+        t0 = np.asarray(cfm.generate_mel(params, mu, spks, cond, cfm=w0,
+                                         dec_cfg=TINY_DEC, cfg_steps=k),
+                        np.float64)
+        np.testing.assert_allclose(t0, base0, atol=2e-5, rtol=1e-5)
+
+
+def test_cfm_cfg_interval_composes_with_mid_cache(rng, monkeypatch):
+    """cfg_steps under CHATTERBOX_CFM_CACHE=K: the phase boundary slices the
+    pair batch's first b rows of cached mid features for the cond-only scan,
+    so a reuse step right after the interval still sees its own rows' cache.
+    With w=0 the composed path must reproduce the cache-only solve (the
+    cond rows' math is row-independent of the uncond half)."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    cond = jnp.zeros((2, 16, 8))
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "2")
+    w0 = CFMConfig(inference_cfg_rate=0.0)
+    cache_only = np.asarray(cfm.generate_mel(params, mu, spks, cond, cfm=w0,
+                                             dec_cfg=TINY_DEC), np.float64)
+    for k in (3, 6):   # k=3: boundary lands on a reuse step (3 % 2 != 0)
+        both = np.asarray(cfm.generate_mel(params, mu, spks, cond, cfm=w0,
+                                           dec_cfg=TINY_DEC, cfg_steps=k),
+                          np.float64)
+        np.testing.assert_allclose(both, cache_only, atol=2e-5, rtol=1e-5)
+    # and with real guidance it runs + differs from the cache-only solve
+    real = np.asarray(cfm.generate_mel(params, mu, spks, cond,
+                                       dec_cfg=TINY_DEC, cfg_steps=6))
+    full = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC))
+    assert np.isfinite(real).all() and not np.array_equal(real, full)
+
+
 def test_cfm_loss_finite(rng):
     params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
     x1 = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
