@@ -59,16 +59,18 @@ run_watched() {
   echo "[q4ae] $tag FAILED" >&2
   return 1
 }
-run_watched q4ae_quality_gate 900 3600 \
+# stall window 2400 s: the gate's transfer + per-cell remote compiles are
+# low-CPU for tens of minutes (the 900 s window false-killed try 1)
+run_watched q4ae_quality_gate 2400 5400 \
   python scripts/cfm_cache_gate.py --rows 4 --tokens 250 --ks 2 \
     --cfg-steps 5,6,8 --cell-k 2
-run_watched q4ae_speed_k2 900 2400 \
+run_watched q4ae_speed_k2 2400 3600 \
   python scripts/profile_s3gen.py --rows 16 --tokens 250 --iters 3 \
     --cfm-cache 2
-run_watched q4ae_speed_k2_cfg6 900 2400 \
+run_watched q4ae_speed_k2_cfg6 2400 3600 \
   python scripts/profile_s3gen.py --rows 16 --tokens 250 --iters 3 \
     --cfm-cache 2 --cfg-steps 6
-run_watched q4ae_speed_k2_cfg5 900 2400 \
+run_watched q4ae_speed_k2_cfg5 2400 3600 \
   python scripts/profile_s3gen.py --rows 16 --tokens 250 --iters 3 \
     --cfm-cache 2 --cfg-steps 5
 echo "[q4ae] done $(date +%H:%M:%S)" >&2
