@@ -915,6 +915,23 @@ def test_cfm_cache_default_derivation(monkeypatch):
     assert _derive_cfm_cache(4) == 3
 
 
+def test_cfm_cfg_steps_derivation(monkeypatch):
+    """CFG-interval truncation is OPT-IN until the full-size gate promotes
+    a default: unset/empty/0 all keep the reference CFG-every-step solver
+    (None), a positive env value is forced at any row count."""
+    from chatterbox_embed_tpu.tts import _derive_cfm_cfg_steps
+    monkeypatch.delenv("CHATTERBOX_CFM_CFG_STEPS", raising=False)
+    assert _derive_cfm_cfg_steps(1) is None
+    assert _derive_cfm_cfg_steps(16) is None
+    monkeypatch.setenv("CHATTERBOX_CFM_CFG_STEPS", "")
+    assert _derive_cfm_cfg_steps(16) is None
+    monkeypatch.setenv("CHATTERBOX_CFM_CFG_STEPS", "0")
+    assert _derive_cfm_cfg_steps(16) is None
+    monkeypatch.setenv("CHATTERBOX_CFM_CFG_STEPS", "6")
+    assert _derive_cfm_cfg_steps(1) == 6
+    assert _derive_cfm_cfg_steps(16) == 6
+
+
 def test_generate_batch_passes_cfm_stride(tts, ref_voice_wav, tmp_path,
                                           monkeypatch):
     """generate_batch must thread ONE derived stride into every S3Gen
