@@ -87,15 +87,20 @@ def solve_euler(params, z, mu, spks, cond, mask=None,
     # path). Changes numerics — quality bounds in tests/test_s3gen.py and
     # scripts/cfm_cache_gate.py (full size).
     if cache_every is None:
-        cache_every = int(os.getenv("CHATTERBOX_CFM_CACHE", "0"))
+        env = os.getenv("CHATTERBOX_CFM_CACHE")
+        cache_every = int(env) if env not in (None, "") else 0
     cache_every = int(cache_every)
     n_steps = len(t_span_cosine(cfm.n_timesteps)) - 1
     use_cache = cache_every >= 2 and comm is None and n_steps > 2
 
     if cfg_steps is None:
-        cfg_steps = os.getenv("CHATTERBOX_CFM_CFG_STEPS") or None
-    k_cfg = n_steps if cfg_steps is None else max(0, min(int(cfg_steps),
-                                                         n_steps))
+        env = os.getenv("CHATTERBOX_CFM_CFG_STEPS")
+        cfg_steps = int(env) if env not in (None, "") else None
+    # 0/unset/"" = the reference solver (CFG every step) — a non-positive
+    # value must NEVER mean "no CFG at all" (that silently disables guidance)
+    if cfg_steps is not None and int(cfg_steps) <= 0:
+        cfg_steps = None
+    k_cfg = n_steps if cfg_steps is None else min(int(cfg_steps), n_steps)
 
     def step(x, t_dt):
         t, dt = t_dt

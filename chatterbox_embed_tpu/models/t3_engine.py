@@ -362,7 +362,7 @@ class ContinuousDecoder:
                  text_bucket: int = 192, max_new_tokens: int = 512,
                  block: int = 64, dtype=jnp.float32,
                  kv_int8: Optional[bool] = None, use_top_p: bool = False,
-                 mesh=None, _ablate: str = ""):
+                 mesh=None, retain_results: bool = True, _ablate: str = ""):
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -392,6 +392,10 @@ class ContinuousDecoder:
                                         engine_sharding(mesh, self.state))
         self._queue: List[dict] = []
         self._slots = [_Slot() for _ in range(slots)]
+        # retain_results=False for run-forever callers that consume step()'s
+        # return value — retaining every finished token array forever is a
+        # host-memory leak at serving timescales (drain() callers keep True)
+        self.retain_results = retain_results
         self._results: Dict[int, np.ndarray] = {}
         self._next_rid = 0
         self.blocks_run = 0
@@ -503,7 +507,8 @@ class ContinuousDecoder:
                 # genuine EOS (always within the limit) stays included
                 end = min(end, sl.limit)
                 out[sl.rid] = seq[:end]
-                self._results[sl.rid] = out[sl.rid]
+                if self.retain_results:
+                    self._results[sl.rid] = out[sl.rid]
                 self._slots[s_idx] = _Slot()
         return out
 

@@ -72,7 +72,7 @@ class ContinuousServer:
                  text_bucket: int = 192, max_new_tokens: int = 600,
                  block: int = 64, vocode_batch: int = 8,
                  use_top_p: bool = False, kv_int8: Optional[bool] = None,
-                 retries: int = 1):
+                 retries: int = 1, retain_wavs: bool = True):
         self.tts = tts
         mesh = getattr(tts, "mesh", None)
         dp = dict(mesh.shape).get("dp", 1) if mesh is not None else 1
@@ -86,9 +86,14 @@ class ContinuousServer:
         self.decoder = ContinuousDecoder(
             tts.t3_params, tts.cfg.t3, slots=slots, text_bucket=text_bucket,
             max_new_tokens=max_new_tokens, block=block, dtype=tts.dtype,
-            kv_int8=kv_int8, use_top_p=use_top_p, mesh=mesh)
+            kv_int8=kv_int8, use_top_p=use_top_p, mesh=mesh,
+            retain_results=False)
         self.vocode_batch = vocode_batch
         self.retries = retries
+        # a run-forever caller (the continuous worker) consumes results from
+        # pump()'s return value — retain_wavs=False keeps this server from
+        # accumulating every wav ever generated (drain() callers keep True)
+        self.retain_wavs = retain_wavs
         self._meta: Dict[int, dict] = {}      # engine rid -> request meta
         self._ext_of: Dict[int, int] = {}     # engine rid -> external rid
         # completed, not yet vocoded: (ext rid, tokens, conds, seed)
@@ -163,12 +168,20 @@ class ContinuousServer:
         if self._ready and (len(self._ready) >= self.vocode_batch
                             or self.decoder.idle):
             batch, self._ready = self._ready, []
-            wavs, _lens = self.tts._vocode_batch(
-                [t for _, t, _, _ in batch],
-                conds_list=[c for _, _, c, _ in batch],
-                seed=int(batch[0][3]))
+            try:
+                wavs, _lens = self.tts._vocode_batch(
+                    [t for _, t, _, _ in batch],
+                    conds_list=[c for _, _, c, _ in batch],
+                    seed=int(batch[0][3]))
+            except Exception:
+                # a transient vocode failure (OOM, tunnel wedge) must not
+                # lose the completed decodes — restore them so the next
+                # pump (or a rebuilt server's caller) can retry the flush
+                self._ready = batch + self._ready
+                raise
             for (ext, _t, _c, _s), wav in zip(batch, wavs):
-                self._wavs[ext] = wav
+                if self.retain_wavs:
+                    self._wavs[ext] = wav
                 out[ext] = wav
         return out
 
@@ -182,6 +195,13 @@ class ContinuousServer:
     @property
     def failed(self) -> Dict[int, str]:
         return dict(self._failed)
+
+    def take_failures(self) -> Dict[int, str]:
+        """Pop and return failures recorded since the last call — the
+        pump-loop failure channel for run-forever callers (the `.failed`
+        view keeps accumulating for drain()-style use)."""
+        out, self._failed = self._failed, {}
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +262,8 @@ class ContinuousStoryServer:
         self.srv = ContinuousServer(
             tts, slots=slots, text_bucket=text_bucket,
             max_new_tokens=max_new_tokens, block=block,
-            vocode_batch=vocode_batch, use_top_p=True, retries=1)
+            vocode_batch=vocode_batch, use_top_p=True, retries=1,
+            retain_wavs=False)  # this layer owns result lifetimes
         self.text_bucket = text_bucket
         self.max_attempts = (int(os.getenv("CHATTERBOX_CHUNK_REGEN_ATTEMPTS",
                                            "4"))
@@ -325,16 +346,13 @@ class ContinuousStoryServer:
         finished = dict(self.srv.pump())
         # engine-level failures (empty decode after the inner retry) gate
         # like silent takes: re-enter with drift or exhaust to the fallback
-        for rid in list(self.srv._failed):
-            if rid not in self._rid_map:
-                continue
-            self.srv._failed.pop(rid)
+        for rid in self.srv.take_failures():
             finished[rid] = None
         out: Dict[int, Tuple[np.ndarray, Dict[str, Any]]] = {}
         for rid, wav in finished.items():
-            # a long-running server must not accumulate finished audio in
-            # the inner layer — this layer owns the result's lifetime
-            self.srv._wavs.pop(rid, None)
+            if rid not in self._rid_map:   # ownerless result — never ours
+                logger.warning("dropping result for unknown request %s", rid)
+                continue
             jid, ci, attempt = self._rid_map.pop(rid)
             job = self._jobs[jid]
             if self._gate_chunk(jid, job, ci, attempt, wav):

@@ -199,7 +199,8 @@ def generate_tts_stories_batch(tts, payloads: List[Dict[str, Any]],
     profile_paths: List[Optional[str]] = [None] * n
     # profiles with identical bytes share one temp file (and therefore one
     # Conditionals prep) — batches from the same voice are common
-    profile_dedupe: Dict[Tuple[Optional[str], Optional[str]], str] = {}
+    profile_dedupe: Dict[Tuple[Optional[str], Optional[str], Optional[str]],
+                         str] = {}
     live: List[int] = []
     try:
         for i, p in enumerate(payloads):
@@ -213,7 +214,12 @@ def generate_tts_stories_batch(tts, payloads: List[Dict[str, Any]],
                                             p.get("voice_id", ""),
                                             p.get("metadata"),
                                             p.get("update_firestore"))
-                key = (p.get("voice_profile_b64"), p.get("voice_profile_r2_key"))
+                # the bucket is part of an R2 key's identity — two jobs with
+                # the same key in different buckets are DIFFERENT voices
+                # (inline b64 bytes are bucket-independent)
+                key = (p.get("voice_profile_b64"), p.get("voice_profile_r2_key"),
+                       p.get("bucket", bucket)
+                       if p.get("voice_profile_r2_key") else None)
                 if key not in profile_dedupe:
                     profile_dedupe[key] = _fetch_profile(key[0], key[1],
                                                          p.get("bucket", bucket))

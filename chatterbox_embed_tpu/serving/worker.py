@@ -283,8 +283,12 @@ class RedisWorker:
         from . import jobs as jobs_mod
         b64 = payload.get("voice_profile_b64")
         r2key = payload.get("voice_profile_r2_key")
+        # the bucket is part of an R2 key's identity (same key, different
+        # bucket = different voice); inline b64 bytes are bucket-independent
+        bucket = (payload.get("bucket") or "") if r2key else ""
         key = hashlib.sha1(
-            (b64 or "").encode() + b"|" + (r2key or "").encode()).hexdigest()
+            (b64 or "").encode() + b"|" + (r2key or "").encode()
+            + b"|" + bucket.encode()).hexdigest()
         if key in cache:
             return cache[key]
         path = jobs_mod._fetch_profile(b64, r2key, payload.get("bucket"))
@@ -401,10 +405,14 @@ class RedisWorker:
         live: Dict[int, Dict[str, Any]] = {}
         conds_cache: Dict[str, Any] = {}
         handled = 0
+        pump_failures = 0
         while True:
             # poll without blocking while the engine has work; block briefly
-            # when idle so an empty stream doesn't spin the host
-            block_ms = 0 if live else 2000
+            # when idle so an empty stream doesn't spin the host. NB: redis
+            # treats BLOCK 0 as "block forever" — a non-blocking read must
+            # OMIT the option (block=None), or an in-flight decode would
+            # deadlock waiting for the next arrival
+            block_ms = None if live else 2000
             msgs = self.client.xreadgroup(
                 self.group, self.consumer, {self.stream: ">"},
                 count=max(1, srv.srv.decoder.slots), block=block_ms)
@@ -413,7 +421,33 @@ class RedisWorker:
                 handled += self._continuous_intake(srv, live, conds_cache,
                                                    mid, fields)
             if live:
-                for jid, (wav, meta) in srv.pump().items():
+                try:
+                    finished = srv.pump()
+                    pump_failures = 0
+                except Exception as e:  # noqa: BLE001 — jobs must not wedge
+                    # transient device/tunnel failures: retry the pump (the
+                    # server restores un-vocoded completions internally);
+                    # persistent ones: fail every in-flight job VISIBLY
+                    # (status + DLQ + ack) instead of leaving them stuck in
+                    # "processing" forever, then surface to run_forever
+                    pump_failures += 1
+                    logger.exception("continuous pump failed (%d/3)",
+                                     pump_failures)
+                    if pump_failures < 3:
+                        time.sleep(min(2.0 * pump_failures, 10.0))
+                        continue
+                    for jid, rec in list(live.items()):
+                        job_id = rec["payload"].get("job_id", rec["mid"])
+                        self.set_status(job_id, "error",
+                                        error=f"continuous serving failed: {e}")
+                        self.client.xadd(DLQ_STREAM,
+                                         {"source": self.stream,
+                                          "job_id": str(job_id),
+                                          "error": str(e)})
+                        self.client.xack(self.stream, self.group, rec["mid"])
+                        live.pop(jid)
+                    raise
+                for jid, (wav, meta) in finished.items():
                     self._continuous_finish(live.pop(jid), wav, meta)
                     handled += 1
             elif stop_when_drained and not entries:

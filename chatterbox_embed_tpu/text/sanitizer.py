@@ -242,10 +242,18 @@ class AdvancedTextSanitizer:
     def verbalize_equations(self, text: str) -> str:
         """Light inline-equation verbalization — E=mc^2, x_1=3.14, a*b=c —
         not a math parser (reference: text_sanitizer.py:325-392
-        _verbalize_simple_equations). Only runs when the text looks math-ish
-        (contains one of = ^ _ { }) so prose with '-' or '/' is untouched."""
-        if not any(ch in text for ch in ("=", "^", "_", "{", "}")):
-            return text
+        _verbalize_simple_equations). Runs PER SENTENCE, only on sentences
+        that look math-ish (= ^ { } or a single-letter subscript), so one
+        equation somewhere cannot turn a whole story's hyphens into "minus"
+        — and the <STORY_BREAK> marker's underscore never opens the gate."""
+
+        def _mathish(seg: str) -> bool:
+            seg = seg.replace(STORY_BREAK_TOKEN, " ")
+            if any(ch in seg for ch in ("=", "^", "{", "}")):
+                return True
+            # '_' gates only as a single-letter subscript (x_1) — never on
+            # snake_case words or the sanitizer's own placeholder keys
+            return re.search(r"\b[A-Za-z]\s*_\s*[A-Za-z0-9{]", seg) is not None
 
         def _exp(m: re.Match) -> str:
             base, exp = m.group(1), m.group(2)
@@ -255,29 +263,42 @@ class AdvancedTextSanitizer:
                 return f"{base} cubed"
             return f"{base} to the power of {exp}"
 
-        text = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*\{\s*([0-9]+)\s*\}", _exp, text)
-        text = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*([0-9]+)", _exp, text)
-        # subscripts (skip the sanitizer's own __PLACEHOLDER__ keys and
-        # snake_case words: require a SINGLE-letter base at a word boundary)
-        text = re.sub(r"\b([A-Za-z])\s*_\s*\{\s*([A-Za-z0-9]+)\s*\}", r"\1 sub \2", text)
-        text = re.sub(r"\b([A-Za-z])\s*_\s*([A-Za-z0-9]+)\b", r"\1 sub \2", text)
-        if "=" in text:
-            # split compact products next to a verbalized exponent: mc squared
-            text = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(squared|cubed)\b",
-                          r"\1 \2 \3", text)
-            text = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(to the power of)\b",
-                          r"\1 \2 \3", text)
-        text = text.replace("{", " ").replace("}", " ")
-        text = re.sub(r"(?<=[A-Za-z0-9\)\]])\s*=\s*(?=[A-Za-z0-9\(\[\]-])",
-                      " equals ", text)
-        text = re.sub(r"(?<=\w)\s*\+\s*(?=\w)", " plus ", text)
-        text = re.sub(r"(?<=\w)\s*-\s*(?=\w)", " minus ", text)
-        text = re.sub(r"\bequals\s*-\s*(\d+)\b", r"equals minus \1", text)
-        text = re.sub(r"(?<=\w)\s*\*\s*(?=\w)", " times ", text)
-        text = re.sub(r"(\d)\s*/\s*(\w)", r"\1 divided by \2", text)
-        text = re.sub(r"(\w)\s*/\s*(\d)", r"\1 divided by \2", text)
-        text = re.sub(r"\b([A-Za-z])\s*/\s*([A-Za-z])\b", r"\1 divided by \2", text)
-        return text
+        # operands for the +/-/* rules: a number or a SINGLE-letter variable,
+        # so compound words (well-known, mother-in-law) survive even inside
+        # a math-ish sentence
+        opnd = r"(\d+(?:\.\d+)?|\b[A-Za-z])"
+        rhs = r"(?=\d|[A-Za-z]\b|[\(\[])"
+
+        def _verbalize(seg: str) -> str:
+            seg = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*\{\s*([0-9]+)\s*\}", _exp, seg)
+            seg = re.sub(r"([A-Za-z0-9\)\]])\s*\^\s*([0-9]+)", _exp, seg)
+            # subscripts (single-letter base at a word boundary only)
+            seg = re.sub(r"\b([A-Za-z])\s*_\s*\{\s*([A-Za-z0-9]+)\s*\}", r"\1 sub \2", seg)
+            seg = re.sub(r"\b([A-Za-z])\s*_\s*([A-Za-z0-9]+)\b", r"\1 sub \2", seg)
+            if "=" in seg:
+                # split compact products next to a verbalized exponent: mc squared
+                seg = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(squared|cubed)\b",
+                             r"\1 \2 \3", seg)
+                seg = re.sub(r"\b([A-Za-z])([A-Za-z])\s+(to the power of)\b",
+                             r"\1 \2 \3", seg)
+            seg = seg.replace("{", " ").replace("}", " ")
+            seg = re.sub(r"(?<=[A-Za-z0-9\)\]])\s*=\s*(?=[A-Za-z0-9\(\[\]-])",
+                         " equals ", seg)
+            seg = re.sub(opnd + r"\s*\+\s*" + rhs, r"\1 plus ", seg)
+            seg = re.sub(opnd + r"\s*-\s*" + rhs, r"\1 minus ", seg)
+            seg = re.sub(r"\bequals\s*-\s*(\d+)\b", r"equals minus \1", seg)
+            seg = re.sub(opnd + r"\s*\*\s*" + rhs, r"\1 times ", seg)
+            seg = re.sub(r"(\d)\s*/\s*(\w)", r"\1 divided by \2", seg)
+            seg = re.sub(r"(\w)\s*/\s*(\d)", r"\1 divided by \2", seg)
+            seg = re.sub(r"\b([A-Za-z])\s*/\s*([A-Za-z])\b", r"\1 divided by \2", seg)
+            return seg
+
+        if not _mathish(text):
+            return text
+        # sentence/line segmentation keeps every separator so the join is exact
+        parts = re.split(r"(\n+|(?<=[.!?])\s+)", text)
+        return "".join(_verbalize(p) if i % 2 == 0 and _mathish(p) else p
+                       for i, p in enumerate(parts))
 
     def expand_abbreviations(self, text: str) -> str:
         def repl(m: re.Match) -> str:

@@ -182,6 +182,7 @@ class ChatterboxTTS:
         # multi-voice batches: stacked per-voice prompt bundles, keyed by the
         # voice-id tuple (bounded; each entry pins its source dicts)
         self._gen_dev_multi: Dict[Any, Dict[str, Any]] = {}
+        self._gen_dev_rows: Dict[Any, Dict[str, Any]] = {}
 
         # perf counters: `perf` is the LAST request's stage timing (the
         # runtime counterpart of the reference's per-run generation-time /
@@ -605,13 +606,40 @@ class ChatterboxTTS:
             self._gen_dev_ref = gen   # pin the dict so its id can't recycle
         return self._gen_dev
 
+    def _gen_device_voice_row(self, gen: Dict[str, Any], p_bkt: int,
+                              n_mel: int) -> Dict[str, Any]:
+        """ONE voice's prompt bundle as device-resident (1, ...) rows padded
+        to the shared prompt bucket, cached per (voice, bucket) — so the
+        batch-composition layer above never re-transfers a known voice."""
+        key = (id(gen), p_bkt)
+        row = self._gen_dev_rows.get(key)
+        if row is not None:
+            return row
+        p = int(np.asarray(gen["prompt_token_len"]).reshape(-1)[0])
+        pt = np.zeros((1, p_bkt), np.int32)
+        pt[0, :p] = np.asarray(gen["prompt_token"]).reshape(1, -1)[0, :p]
+        pf = np.zeros((1, 2 * p_bkt, n_mel), np.float32)
+        feat = np.asarray(gen["prompt_feat"])
+        feat = feat.reshape(feat.shape[-2], feat.shape[-1])[: 2 * p]
+        pf[0, : feat.shape[0]] = feat
+        em = np.asarray(gen["embedding"]).reshape(1, -1).astype(np.float32)
+        row = dict(pt=jnp.asarray(pt), pf=jnp.asarray(pf), em=jnp.asarray(em),
+                   p=p, _pin=gen)  # pin the dict so its id can't recycle
+        jax.block_until_ready(row["pf"])
+        if len(self._gen_dev_rows) >= 64:
+            self._gen_dev_rows.pop(next(iter(self._gen_dev_rows)))
+        self._gen_dev_rows[key] = row
+        return row
+
     def _gen_device_multi(self, conds_list) -> Dict[str, Any]:
         """Stacked device-resident prompt bundle for a MULTI-VOICE batch:
         per-voice prompt tokens / mels padded to a shared 64-token-bucketed
         width (one compiled s3gen program per (token-bucket, prompt-bucket)
-        pair), per-row valid prompt lengths riding along. Cached per
-        voice-id tuple — repeat batches over the same voice set transfer
-        nothing."""
+        pair), per-row valid prompt lengths riding along. Two cache layers:
+        the exact composition tuple (stable lock-step batches hit it), and
+        per-voice device rows underneath (continuous serving's ever-changing
+        vocode flushes stack cached rows ON DEVICE — each voice transfers
+        once, not once per flush)."""
         key = tuple(id(c.gen) for c in conds_list)
         hit = self._gen_dev_multi.get(key)
         if hit is not None:
@@ -619,28 +647,16 @@ class ChatterboxTTS:
         p_lens = [int(np.asarray(c.gen["prompt_token_len"]).reshape(-1)[0])
                   for c in conds_list]
         p_bkt = max(64, -(-max(p_lens) // 64) * 64)
-        u = len(conds_list)
         n_mel = int(np.asarray(conds_list[0].gen["prompt_feat"]).shape[-1])
-        pt = np.zeros((u, p_bkt), np.int32)
-        pf = np.zeros((u, 2 * p_bkt, n_mel), np.float32)
-        em = np.zeros((u, np.asarray(conds_list[0].gen["embedding"]).shape[-1]),
-                      np.float32)
-        for i, c in enumerate(conds_list):
-            g = c.gen
-            p = p_lens[i]
-            pt[i, :p] = np.asarray(g["prompt_token"]).reshape(1, -1)[0, :p]
-            feat = np.asarray(g["prompt_feat"])
-            feat = feat.reshape(feat.shape[-2], feat.shape[-1])[: 2 * p]
-            pf[i, : feat.shape[0]] = feat
-            em[i] = np.asarray(g["embedding"]).reshape(-1)
+        rows = [self._gen_device_voice_row(c.gen, p_bkt, n_mel)
+                for c in conds_list]
         bundle = dict(
-            prompt_token=jnp.asarray(pt),
-            prompt_feat=jnp.asarray(pf),
-            embedding=jnp.asarray(em),
+            prompt_token=jnp.concatenate([r["pt"] for r in rows], axis=0),
+            prompt_feat=jnp.concatenate([r["pf"] for r in rows], axis=0),
+            embedding=jnp.concatenate([r["em"] for r in rows], axis=0),
             prompt_len=np.asarray(p_lens, np.int32),
             p_bkt=p_bkt,
             _pins=[c.gen for c in conds_list])  # keep ids stable
-        jax.block_until_ready(bundle["prompt_feat"])
         if len(self._gen_dev_multi) >= 8:
             self._gen_dev_multi.pop(next(iter(self._gen_dev_multi)))
         self._gen_dev_multi[key] = bundle

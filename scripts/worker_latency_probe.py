@@ -67,9 +67,10 @@ class TimedStreams:
             # hold it until the next release (NOT capped at `block` — a
             # capped sleep lets stop_when_drained loops exit before the
             # first Poisson arrival, which is exactly the q4ac try-1..3
-            # failure). A NON-blocking poll (block=0: the continuous
-            # engine pumping live slots) must return immediately — sleeping
-            # there stalls the decode loop and corrupts latencies.
+            # failure). A NON-blocking poll (block=None — the continuous
+            # engine pumping live slots; redis BLOCK 0 would mean "forever")
+            # must return immediately — sleeping there stalls the decode
+            # loop and corrupts latencies.
             wait = self._sched[0][0] - (time.time() - self._t0)
             if wait > 0:
                 time.sleep(wait + 1e-3)

@@ -404,3 +404,45 @@ def test_continuous_server_on_mesh(tiny_tts):
     assert not srv.failed and set(rids) == set(wavs)
     for w in wavs.values():
         assert w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
+
+
+def test_vocode_failure_preserves_completions(tiny_tts, monkeypatch):
+    """A transient vocode failure must not lose completed decodes: the
+    flushed batch is restored to the ready queue and the next pump retries
+    it (regression: pop-before-vocode dropped requests forever)."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    srv = ContinuousServer(tiny_tts, slots=2, text_bucket=32,
+                           max_new_tokens=16, block=8, vocode_batch=1)
+    rid = srv.submit("Hello there.", seed=7)
+    real = type(tiny_tts)._vocode_batch
+    calls = {"n": 0}
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient OOM")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(type(tiny_tts), "_vocode_batch", flaky)
+    with pytest.raises(RuntimeError, match="transient OOM"):
+        while True:
+            srv.pump()
+    assert srv._ready, "completed decode must survive the failed flush"
+    wavs = srv.drain()
+    assert rid in wavs and np.isfinite(wavs[rid]).all()
+    assert calls["n"] == 2
+
+
+def test_serving_paths_do_not_accumulate_results(tiny_tts):
+    """Run-forever ownership: the story server consumes results from pump's
+    return value — neither the inner server's wav dict nor the engine's
+    result dict may retain them (host-memory leak at serving timescales)."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousStoryServer
+    srv = ContinuousStoryServer(tiny_tts, slots=2, text_bucket=48,
+                                max_new_tokens=16, block=8, vocode_batch=1)
+    jid = srv.submit_story("One line here.", tiny_tts.conds, seed=3)
+    out = srv.drain()
+    assert jid in out
+    assert srv.srv._wavs == {}
+    assert srv.srv.decoder._results == {}
+    assert srv.srv._ready == [] and srv._jobs == {}

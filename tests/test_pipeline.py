@@ -952,3 +952,145 @@ def test_generate_batch_passes_cfm_stride(tts, ref_voice_wav, tmp_path,
     monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "2")   # explicit: force K=2
     tts.generate_batch(["One.", "Two.", "Three."], max_new_tokens=12, seed=1)
     assert seen == [2, 2]  # 2+1 rows -> two dispatches, same stride
+
+
+def test_sanitizer_equations_scoped_per_sentence():
+    """The equation verbalizer is sentence-scoped: one math-ish sentence (or
+    the <STORY_BREAK> marker's underscore) must not turn a whole story's
+    hyphens/slashes into operator words (regression: the round-4 review
+    reproduced 'well-known -> well minus known' on any story with a break)."""
+    from chatterbox_embed_tpu.text import AdvancedTextSanitizer
+    s = AdvancedTextSanitizer()
+    # a story break must not open the math gate for the prose around it
+    out = s.deep_clean("She was a well-known singer, a mother-in-law.\n"
+                       "* * *\nYears later, they met again.")
+    assert "well-known" in out and "mother-in-law" in out
+    assert "minus" not in out and "<STORY_BREAK>" in out
+    # an equation in ONE sentence leaves other sentences' hyphens alone
+    out = s.deep_clean("E=mc^2 changed physics. A well-known result.")
+    assert "m c squared" in out and "well-known" in out
+    # inside the math sentence itself, compound words survive the operator
+    # rules (operands are numbers or single-letter variables only)
+    out = s.deep_clean("The well-known equation E=mc^2 holds.")
+    assert "well-known" in out and "equals" in out
+    # multi-op chains still verbalize
+    out = s.verbalize_equations("x=1-2+3")
+    assert out == "x equals 1 minus 2 plus 3"
+
+
+def test_worker_continuous_nonblocking_poll(ref_voice_wav, tmp_path,
+                                            monkeypatch):
+    """While the engine has live jobs, run_continuous must poll with
+    block=None (NO BLOCK option) — redis treats BLOCK 0 as 'block forever',
+    which deadlocked in-flight decodes on real redis (the in-memory backend
+    ignores block, so only this spy catches it)."""
+    import base64
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker,
+                                                     InMemoryStreams,
+                                                     STREAM_TTS)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    _continuous_worker_env(monkeypatch, tmp_path)
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    prof = str(tmp_path / "nb_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    class SpyClient(InMemoryStreams):
+        def __init__(self):
+            super().__init__()
+            self.blocks = []
+
+        def xreadgroup(self, group, consumer, streams, count=1, block=0):
+            self.blocks.append(block)
+            return super().xreadgroup(group, consumer, streams, count=count,
+                                      block=block)
+
+    client = SpyClient()
+    worker = RedisWorker(mode="tts", client=client,
+                         tts_factory=lambda: tts_inst)
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "nb0", "type": "tts", "story_id": "nb0", "user_id": "u",
+        "text": "A short line.", "voice_profile_b64": prof_b64})})
+    assert worker.run_continuous(stop_when_drained=True) == 1
+    assert client.hgetall("runpod:job:nb0")["status"] == "done"
+    # every live-phase poll used None; 0 (redis: block forever) never sent
+    assert None in client.blocks and 0 not in client.blocks
+
+
+def test_worker_continuous_pump_failure_fails_jobs(ref_voice_wav, tmp_path,
+                                                   monkeypatch):
+    """A persistently failing pump must FAIL in-flight jobs visibly (status
+    error + DLQ + ack) and surface, never leave them 'processing' forever."""
+    import base64
+    import time as _time
+    from chatterbox_embed_tpu.serving import continuous as cont_mod
+    from chatterbox_embed_tpu.serving.worker import (RedisWorker,
+                                                     InMemoryStreams,
+                                                     STREAM_TTS, DLQ_STREAM)
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+    import chatterbox_embed_tpu.models.t3 as t3mod
+    import chatterbox_embed_tpu.tts as ttsmod
+    _continuous_worker_env(monkeypatch, tmp_path)
+    t3mod._TEXT_BUCKETS = (24, 48)
+    ttsmod._TOKEN_BUCKETS = (32, 64, 128)
+    tts_inst = ChatterboxTTS.from_random(seed=0, config=TINY)
+    prof = str(tmp_path / "pf_voice.npy")
+    tts_inst.save_voice_profile(ref_voice_wav, prof)
+    with open(prof, "rb") as f:
+        prof_b64 = base64.b64encode(f.read()).decode()
+
+    def boom(self):
+        raise RuntimeError("vocode exploded")
+
+    monkeypatch.setattr(cont_mod.ContinuousStoryServer, "pump", boom)
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    client = InMemoryStreams()
+    worker = RedisWorker(mode="tts", client=client,
+                         tts_factory=lambda: tts_inst)
+    client.xadd(STREAM_TTS, {"payload": json.dumps({
+        "job_id": "pf0", "type": "tts", "story_id": "pf0", "user_id": "u",
+        "text": "A short line.", "voice_profile_b64": prof_b64})})
+    with pytest.raises(RuntimeError, match="vocode exploded"):
+        worker.run_continuous(stop_when_drained=True)
+    status = client.hgetall("runpod:job:pf0")
+    assert status["status"] == "error" and "vocode exploded" in status["error"]
+    assert len(client.streams[DLQ_STREAM]) == 1
+    assert len(client.acked[(STREAM_TTS, worker.group)]) == 1
+
+
+def test_conds_profile_cache_keys_on_bucket(monkeypatch, tmp_path):
+    """The per-profile conds cache must treat the same R2 key in DIFFERENT
+    buckets as different voices (regression: cross-tenant voice reuse)."""
+    from chatterbox_embed_tpu.serving import jobs as jobs_mod
+    from chatterbox_embed_tpu.serving.worker import RedisWorker, InMemoryStreams
+    fetched = []
+
+    def fake_fetch(b64, r2key, bucket=None):
+        fetched.append((r2key, bucket))
+        p = tmp_path / f"prof{len(fetched)}.npy"
+        p.write_bytes(b"x")
+        return str(p)
+
+    class StubTTS:
+        def _get_or_prepare_conditionals(self, voice_profile_path=None,
+                                         exaggeration=0.5):
+            return ("conds", voice_profile_path)
+
+    monkeypatch.setattr(jobs_mod, "_fetch_profile", fake_fetch)
+    worker = RedisWorker(mode="tts", client=InMemoryStreams(),
+                         tts_factory=StubTTS)
+    cache = {}
+    pA = {"voice_profile_r2_key": "voices/v1.npy", "bucket": "tenant-a"}
+    pB = {"voice_profile_r2_key": "voices/v1.npy", "bucket": "tenant-b"}
+    cA = worker._conds_for_profile(pA, cache)
+    cB = worker._conds_for_profile(pB, cache)
+    assert len(fetched) == 2 and fetched[0] != fetched[1]
+    assert cA != cB
+    # same bucket re-uses the cache
+    assert worker._conds_for_profile(dict(pA), cache) == cA
+    assert len(fetched) == 2

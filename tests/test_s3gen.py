@@ -333,3 +333,39 @@ def test_voice_profile_roundtrip(tmp_path, rng):
     raw = np.load(path, allow_pickle=True).item()
     assert set(raw.keys()) == {"embedding", "prompt_feat", "prompt_token",
                                "prompt_token_len", "ve_embedding"}
+
+
+def test_cfm_cfg_steps_env_zero_is_reference(rng, monkeypatch):
+    """Regression: CHATTERBOX_CFM_CFG_STEPS=0 — documented as 'reference
+    solver bit-identically' — must run CFG on EVERY step (the old truthy
+    `or None` read turned '0' into k_cfg=0, silently disabling guidance)."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    cond = jnp.zeros((1, 16, 8))
+    monkeypatch.delenv("CHATTERBOX_CFM_CFG_STEPS", raising=False)
+    ref = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC))
+    for val in ("0", "", "-3"):
+        monkeypatch.setenv("CHATTERBOX_CFM_CFG_STEPS", val)
+        out = np.asarray(cfm.generate_mel(params, mu, spks, cond,
+                                          dec_cfg=TINY_DEC))
+        np.testing.assert_array_equal(out, ref)
+    # a positive env value engages truncation (differs from the reference)
+    monkeypatch.setenv("CHATTERBOX_CFM_CFG_STEPS", "3")
+    trunc = np.asarray(cfm.generate_mel(params, mu, spks, cond,
+                                        dec_cfg=TINY_DEC))
+    assert not np.array_equal(trunc, ref)
+
+
+def test_cfm_cache_env_empty_string(rng, monkeypatch):
+    """CHATTERBOX_CFM_CACHE= (empty) means unset on EVERY path — the
+    single-utterance env fallback used to crash on int('')."""
+    params = flow_decoder.init(jax.random.PRNGKey(0), TINY_DEC)
+    mu = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    spks = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    cond = jnp.zeros((1, 16, 8))
+    monkeypatch.delenv("CHATTERBOX_CFM_CACHE", raising=False)
+    ref = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC))
+    monkeypatch.setenv("CHATTERBOX_CFM_CACHE", "")
+    out = np.asarray(cfm.generate_mel(params, mu, spks, cond, dec_cfg=TINY_DEC))
+    np.testing.assert_array_equal(out, ref)
