@@ -181,6 +181,11 @@ def main():
         # silently measured the exact solver the product no longer runs.
         cfm_stride = _derive_cfm_cache(min(sub, u))
         stage["cfm_cache"] = cfm_stride
+        # enqueue EVERY sub-batch before fetching (dispatches are async, so
+        # the tens-of-MB wav fetch of dispatch N overlaps compute of N+1 —
+        # same as tts._vocode_batch); one hoisted PRNGKey, not one per
+        # dispatch (each eager op is an RTT through the tunnel)
+        key = jax.random.PRNGKey(seed)
         wavs = []
         for s0 in range(0, u, sub):
             b = min(sub, u - s0)
@@ -188,12 +193,10 @@ def main():
             pf = jnp.broadcast_to(prompt_feat, (b,) + prompt_feat.shape[1:])
             em = jnp.broadcast_to(embedding, (b,) + embedding.shape[1:])
             tl = jnp.broadcast_to(token_len, (b,))
-            wav = s3gen_mod.token_to_wav(s3_params, jnp.asarray(pad[s0:s0 + b]), tl,
-                                         pt, pf, em,
-                                         key=jax.random.PRNGKey(seed), cfg=cfg.s3gen,
-                                         dtype=dtype, cache_every=cfm_stride)
-            wavs.append(np.asarray(wav))
-        wav = np.concatenate(wavs, axis=0)
+            wavs.append(s3gen_mod.token_to_wav(
+                s3_params, jnp.asarray(pad[s0:s0 + b]), tl, pt, pf, em,
+                key=key, cfg=cfg.s3gen, dtype=dtype, cache_every=cfm_stride))
+        wav = np.concatenate([np.asarray(w) for w in wavs], axis=0)
         stage["s3gen"] = time.time() - t_a
         return wav
 

@@ -852,17 +852,25 @@ class ChatterboxTTS:
         # sub-batch must not silently flip solver numerics mid-request)
         cfm_stride = _derive_cfm_cache(min(sub, u))
         cfm_cfg_steps = _derive_cfm_cfg_steps(min(sub, u))
-        outs = []
+        key = jax.random.PRNGKey(seed)   # hoisted: one eager device op, not
+        #                                  one per sub-batch dispatch (RTT
+        #                                  each on remote backends)
+        wavs_dev = []
         for s0 in range(0, u, sub):
             s1 = min(u, s0 + sub)
-            wav = s3gen_mod.token_to_wav(
+            wavs_dev.append((s0, s1, s3gen_mod.token_to_wav(
                 self.s3gen_params, jnp.asarray(toks_arr[s0:s1]),
                 jnp.asarray(token_len_all[s0:s1]), prompt_token[s0:s1],
                 prompt_feat[s0:s1], embedding[s0:s1],
-                key=jax.random.PRNGKey(seed), cfg=self.cfg.s3gen, dtype=self.dtype,
+                key=key, cfg=self.cfg.s3gen, dtype=self.dtype,
                 prompt_len=(None if prompt_len_dev is None
                             else prompt_len_dev[s0:s1]),
-                cache_every=cfm_stride, cfg_steps=cfm_cfg_steps)
+                cache_every=cfm_stride, cfg_steps=cfm_cfg_steps)))
+        # dispatches are async: enqueue EVERY sub-batch before fetching so
+        # the (tens-of-MB) wav fetch of dispatch N overlaps the device
+        # compute of dispatch N+1 instead of serialising with it
+        outs = []
+        for s0, s1, wav in wavs_dev:
             wav = np.asarray(wav)
             outs.extend(wav[i, : 2 * lens[s0 + i] * 480] for i in range(s1 - s0))
         return outs, lens
