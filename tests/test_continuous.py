@@ -446,3 +446,69 @@ def test_serving_paths_do_not_accumulate_results(tiny_tts):
     assert srv.srv._wavs == {}
     assert srv.srv.decoder._results == {}
     assert srv.srv._ready == [] and srv._jobs == {}
+
+
+def test_vocode_batch_sub_batch_slicing_order_and_trim(tiny_tts, monkeypatch):
+    """Pin the enqueue-all-then-fetch vocode loop's bookkeeping (the q4af
+    overlap refactor): with a forced sub-batch of 2, a 5-row batch must
+    dispatch exactly the row slices [0:2],[2:4],[4:5] of the padded token
+    matrix, and outs[i] must be dispatch-row i trimmed to 2*len_i*480
+    samples, in submission order. A spy token_to_wav returns a wav that
+    encodes (row identity, sample index) so any slice/order/trim slip is a
+    value mismatch, not just a shape one."""
+    from chatterbox_embed_tpu import tts as ttsmod
+
+    lens = [3, 5, 2, 4, 1]
+    rng_ = np.random.default_rng(11)
+    token_lists = [rng_.integers(1, 30, size=n).astype(np.int32)
+                   for n in lens]
+    monkeypatch.setenv("CHATTERBOX_S3GEN_SUB_BATCH", "2")
+    seen = []
+
+    def spy_token_to_wav(params, tokens, token_len, prompt_token,
+                         prompt_feat, embedding, **kw):
+        tok = np.asarray(tokens)
+        seen.append(tok.copy())
+        b, bkt = tok.shape
+        t = np.arange(2 * bkt * 480, dtype=np.float32)
+        # row fingerprint: first real token id * 1e6 + sample index
+        return jnp.asarray(tok[:, :1].astype(np.float32) * 1e6 + t[None, :])
+
+    monkeypatch.setattr(ttsmod.s3gen_mod, "token_to_wav", spy_token_to_wav)
+    outs, out_lens = tiny_tts._vocode_batch(
+        token_lists, conds=tiny_tts.conds, seed=7)
+
+    assert out_lens == lens
+    assert [s.shape[0] for s in seen] == [2, 2, 1]   # slices [0:2],[2:4],[4:5]
+    for i, (w, toks) in enumerate(zip(outs, token_lists)):
+        assert w.shape == (2 * lens[i] * 480,)
+        expect = toks[0] * 1e6 + np.arange(2 * lens[i] * 480,
+                                           dtype=np.float32)
+        np.testing.assert_array_equal(np.asarray(w), expect)
+    # the padded rows the dispatches saw are exactly the submission order
+    flat_rows = np.concatenate(seen, axis=0)
+    for i, toks in enumerate(token_lists):
+        np.testing.assert_array_equal(flat_rows[i, :lens[i]], toks)
+        assert (flat_rows[i, lens[i]:] == 0).all()
+
+
+def test_vocode_batch_multi_dispatch_real_and_deterministic(tiny_tts,
+                                                            monkeypatch):
+    """Real tiny-model run with a forced 2-row sub-batch (3 dispatches):
+    every row's wav is finite, carries the 2*len*480 vocode contract, and
+    an identical second call is bit-identical (the enqueue-all overlap must
+    not introduce any cross-dispatch state)."""
+    monkeypatch.setenv("CHATTERBOX_S3GEN_SUB_BATCH", "2")
+    rng_ = np.random.default_rng(13)
+    lens = [4, 6, 3, 5, 2]
+    token_lists = [rng_.integers(1, 30, size=n).astype(np.int32)
+                   for n in lens]
+    outs1, l1 = tiny_tts._vocode_batch(token_lists, conds=tiny_tts.conds,
+                                       seed=5)
+    outs2, l2 = tiny_tts._vocode_batch(token_lists, conds=tiny_tts.conds,
+                                       seed=5)
+    assert l1 == lens and l2 == lens
+    for i, (a, b) in enumerate(zip(outs1, outs2)):
+        assert a.shape == (2 * lens[i] * 480,)
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
