@@ -498,21 +498,43 @@ def _use_pallas_decode() -> bool:
     return L.pallas_gate(True)
 
 
-def _phased_cache_k() -> int:
-    """Phased cache growth for the batched XLA decode (OPT-IN,
-    CHATTERBOX_PHASED_CACHE=K >= 2). The XLA attention reads the WHOLE
-    static cache capacity every step while the live prefix grows from
-    p_len to cap — on a 250-token request that is ~1.5x the live bytes on
-    average, and batched decode is KV-bandwidth bound (PERF_NOTES). With
-    K phases the request decodes against K successively larger caches
-    (64-aligned), migrating via ONE zero-pad between phases; EOS
-    early-exit means short generations never touch the large caches at
-    all. Cost: K compiled (cache-size, block) decode programs per bucket
-    instead of one. Trace-time binding like the other decode knobs."""
-    try:
-        return int(os.getenv("CHATTERBOX_PHASED_CACHE", "0"))
-    except ValueError:
+# Derived phased-cache geometry: the q4s/q4ag A/Bs bracket the phase
+# length, not a magic K — 64-token phases lose (q4s K=4 at a 250 cap:
+# +8.7%/step, switches too frequent), a single 250-token cache is barely
+# worth splitting (q4s K=2: -3%), and 256-token phases at the product's
+# default 1000-token cap win big (q4ag K=4: t3 10.72 -> 7.68 s/request,
+# -28.4%/step; K=2's 512-token phases gave -19.5%). So: derive
+# K = ceil(gen_cap / 256) (~256-token phases at every cap), gated to long
+# caps where the dead-capacity reads dominate.
+_PHASED_MIN_CAP = 600
+_PHASED_PHASE_LEN = 256
+
+
+def _phased_cache_k(gen_cap: int = 0) -> int:
+    """Phase count for the batched XLA decode's cache growth. The XLA
+    attention reads the WHOLE static cache capacity every step while the
+    live prefix grows from p_len to cap — at the product's default
+    1000-token cap the average live/cap ratio is ~40%, and batched decode
+    is KV-bandwidth bound (PERF_NOTES). With K phases the request decodes
+    against K successively larger caches (64-aligned), migrating via ONE
+    zero-pad between phases; EOS early-exit means short generations never
+    touch the large caches at all. Cost: K compiled (cache-size, block)
+    decode programs per bucket instead of one.
+
+    CHATTERBOX_PHASED_CACHE always wins (0/1 = single-capacity everywhere,
+    K >= 2 forced); unset derives ~256-token phases for long caps
+    (gen_cap >= _PHASED_MIN_CAP; K=4 at the default 1000-token cap) and
+    single-capacity below (q4s/q4ag tables in PERF_NOTES). Trace-time
+    binding like the other decode knobs."""
+    raw = os.getenv("CHATTERBOX_PHASED_CACHE", "").strip()
+    if raw:
+        try:
+            return int(raw)
+        except ValueError:
+            return 0
+    if gen_cap < _PHASED_MIN_CAP:
         return 0
+    return -(-gen_cap // _PHASED_PHASE_LEN)
 
 
 def _use_fused_step() -> bool:
@@ -667,7 +689,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # no dead capacity (phasing buys nothing there); mesh caches carry
     # sharding layouts a host-side grow has not been validated against.
     phase_totals = [total]
-    k_ph = _phased_cache_k()
+    k_ph = _phased_cache_k(cap - p_len)
     if (k_ph >= 2 and not use_flash and not use_fused and mesh is None
             and cap - p_len > 64):
         per = -(-(cap - p_len) // k_ph)

@@ -273,6 +273,49 @@ def test_phased_cache_matches_unphased_int8_kv(tiny_t3, rng, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_phased_cache_default_derivation(monkeypatch):
+    """Phased cache is DERIVED from the generation capacity (q4ag: K=4 =
+    ~256-token phases at the 1000-token product cap is -28.4% t3/step,
+    K=2 -19.5%; q4s: 250-token caps stay single-capacity): unset env ->
+    K = ceil(cap/256) at caps >= 600, single-capacity below; the env
+    always wins (0/1 = off everywhere, K >= 2 forced, junk = off)."""
+    monkeypatch.delenv("CHATTERBOX_PHASED_CACHE", raising=False)
+    assert t3._phased_cache_k(1000) == 4
+    assert t3._phased_cache_k(768) == 3
+    assert t3._phased_cache_k(600) == 3
+    assert t3._phased_cache_k(599) == 0
+    assert t3._phased_cache_k(250) == 0
+    assert t3._phased_cache_k() == 0
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "0")
+    assert t3._phased_cache_k(1000) == 0
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "1")
+    assert t3._phased_cache_k(1000) == 1   # < 2 disables at the call site
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "4")
+    assert t3._phased_cache_k(100) == 4
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "junk")
+    assert t3._phased_cache_k(1000) == 0
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "")
+    assert t3._phased_cache_k(1000) == 4   # empty = unset (derive)
+
+
+def test_phased_cache_derived_engages_and_matches(tiny_t3, rng, monkeypatch):
+    """With the env unset, a long-cap batched decode derives ~256-token
+    phases (ceil(640/256) = 3) and stays bit-identical to the forced
+    single-capacity decode."""
+    rows = np.stack([np.r_[5, rng.integers(1, 50, 9)].astype(np.int32)] * 2)
+    cond = _cond(rng)
+    kw = dict(max_new_tokens=640, cfg_weight=0.5, temperature=0.7, seed=6,
+              cfg=TINY)
+    monkeypatch.delenv("CHATTERBOX_PHASED_CACHE", raising=False)
+    derived = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) == 3
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "0")
+    base = t3.generate_batch(tiny_t3, cond, rows, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) == 1
+    for a, b in zip(derived, base):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_one_compiled_program_per_bucket(tiny_t3, rng):
     """Different text lengths in one bucket must reuse the SAME compiled
     prefill and decode programs (pad is a traced operand, not a static) —
