@@ -6,14 +6,26 @@ decode (fused-CFG, 30-layer Llama, on-device sampling) followed by S3Gen
 checkpoints are unreachable in this environment; FLOPs and memory traffic
 are identical to converted weights).
 
-Prints ONE JSON line:
-  {"metric": "rtf", "value": <wall_sec / audio_sec>, "unit": "wall_s/audio_s",
-   "vs_baseline": <0.1 / rtf>}
+Prints ONE JSON line. The DEFAULT full-size invocation (what the driver
+runs) measures the three headline cells in ONE session (shared init /
+transfer / warm device): the single-utterance RTF (headline `value`), the
+batch-32 throughput RTF (BASELINE.md "batch: 32 sentences" config under the
+shipped defaults: int8 weights, int8 KV, derived CFM cache), and the
+streaming time-to-first-audio p50 — round-4 verdict item 2: the
+throughput/latency headlines must live in the driver-recorded bench, not
+only in builder-run measurement files.
+
+  {"metric": "rtf", "value": <wall/audio>, "unit": "wall_s/audio_s",
+   "vs_baseline": <0.1/rtf>, "cells": [
+     {"name": "rtf_b1", ...}, {"name": "rtf_b32", ...}, {"name": "ttfa", ...}]}
+
 Baseline: the BASELINE.md target RTF < 0.1 per chip; vs_baseline > 1 beats it.
 
 Usage:
-  python bench.py              # full-size model on the default device (TPU)
+  python bench.py              # full-size, all three cells (TPU)
   python bench.py --smoke      # tiny model on CPU (CI / correctness check)
+  python bench.py --batch 32 --tokens 1000   # ONE explicit cell (A/B scripts)
+  python bench.py --stream     # ONE explicit TTFA cell
 """
 from __future__ import annotations
 
@@ -33,10 +45,11 @@ def main():
                     help="speech tokens per utterance (25/s; 250 = 10 s audio)")
     ap.add_argument("--text-len", type=int, default=96, help="text tokens")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=1,
-                    help="utterances decoded in lock-step (throughput mode)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="utterances decoded in lock-step (throughput mode); "
+                         "passing this runs ONE explicit cell")
     ap.add_argument("--stream", action="store_true",
-                    help="measure time-to-first-audio via the streaming path")
+                    help="measure ONLY time-to-first-audio via the streaming path")
     ap.add_argument("--int8", action="store_true", default=None,
                     help="int8-quantized T3 backbone weights (DEFAULT ON for TPU "
                          "since round 4 — gated by scripts/int8_quality_gate.py; "
@@ -48,6 +61,14 @@ def main():
                     help="int8 KV cache for the batched XLA decode "
                          "(CHATTERBOX_INT8_KV=1; flash/fused paths keep bf16 slabs)")
     args = ap.parse_args()
+
+    # default full run = the three headline cells; any explicit shape/mode
+    # selection (A/B measurement scripts) or smoke runs exactly one cell
+    multi_cell = (not args.smoke and not args.stream and args.batch is None
+                  and args.tokens == 250
+                  and os.getenv("CHATTERBOX_BENCH_CELLS", "1") != "0")
+    if args.batch is None:
+        args.batch = 1
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -148,123 +169,165 @@ def main():
     embedding = jnp.asarray(rng.standard_normal((1, cfg.s3gen.flow.spk_embed_dim)),
                             jnp.float32)
 
-    stage = {"t3": 0.0, "s3gen": 0.0}
-
-    u = args.batch
-    text_b = np.broadcast_to(text, (u, text.shape[1])).copy()
-
-    def synthesize(seed: int):
-        t_a = time.time()
-        # one decode_block per request: through a high-latency tunnel each
-        # extra block costs a full host round-trip (microbench: the raw loop
-        # is 2.1 ms/step; the rest of round-1's 3.5 ms/step was dispatch)
-        tok_lists = t3_mod.generate_batch(
-            t3_params, cond, text_b, max_new_tokens=args.tokens,
-            temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
-            seed=seed, block=args.tokens, cfg=cfg.t3, dtype=dtype)
-        stage["t3"] = time.time() - t_a
-        pad = np.zeros((u, args.tokens), np.int32)
-        for i, toks in enumerate(tok_lists):
-            n = min(len(toks), args.tokens)
-            pad[i, :n] = toks[:n]
-        token_len = jnp.asarray([n_prompt + args.tokens])
-        t_a = time.time()
-        # s3gen sub-batching (CFM attention memory; see tts.generate_batch).
-        # Derived from T_mel + free HBM; CHATTERBOX_S3GEN_SUB_BATCH overrides.
-        from chatterbox_embed_tpu.tts import (_derive_cfm_cache,
-                                              _derive_s3gen_sub_batch)
-        sub = _derive_s3gen_sub_batch(u, n_prompt + args.tokens, cfg.s3gen)
-        stage["s3gen_sub"] = sub
-        # CFM DeepCache stride: SAME default as the product path
-        # (tts.generate_batch derives K=2 for >= 8 live rows/dispatch;
-        # CHATTERBOX_CFM_CACHE overrides) — without this the batched bench
-        # silently measured the exact solver the product no longer runs.
-        cfm_stride = _derive_cfm_cache(min(sub, u))
-        stage["cfm_cache"] = cfm_stride
-        # enqueue EVERY sub-batch before fetching (dispatches are async, so
-        # the tens-of-MB wav fetch of dispatch N overlaps compute of N+1 —
-        # same as tts._vocode_batch); one hoisted PRNGKey, not one per
-        # dispatch (each eager op is an RTT through the tunnel)
-        key = jax.random.PRNGKey(seed)
-        wavs = []
-        for s0 in range(0, u, sub):
-            b = min(sub, u - s0)
-            pt = jnp.broadcast_to(prompt_tokens, (b,) + prompt_tokens.shape[1:])
-            pf = jnp.broadcast_to(prompt_feat, (b,) + prompt_feat.shape[1:])
-            em = jnp.broadcast_to(embedding, (b,) + embedding.shape[1:])
-            tl = jnp.broadcast_to(token_len, (b,))
-            wavs.append(s3gen_mod.token_to_wav(
-                s3_params, jnp.asarray(pad[s0:s0 + b]), tl, pt, pf, em,
-                key=key, cfg=cfg.s3gen, dtype=dtype, cache_every=cfm_stride))
-        wav = np.concatenate([np.asarray(w) for w in wavs], axis=0)
-        stage["s3gen"] = time.time() - t_a
-        return wav
-
-    if args.stream:
-        return bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
-                            n_prompt, prompt_tokens, prompt_feat, embedding)
-
-    # warmup / compile
-    t0 = time.time()
-    wav = synthesize(0)
-    compile_s = time.time() - t0
-    print(f"[bench] compile+first-run {compile_s:.1f}s", file=sys.stderr)
-
-    times = []
-    for i in range(args.iters):
-        t0 = time.time()
-        wav = synthesize(i + 1)
-        times.append(time.time() - t0)
-
-    audio_sec = args.batch * args.tokens / 25.0
-    wall = float(np.median(times))
-    rtf = wall / audio_sec
-
-    # Falsifiability: record the static decode decisions and fail LOUDLY if
-    # the Pallas kernel silently fell back where it was expected to engage
-    # (round-1 lesson: an unobserved fallback is indistinguishable from pool
-    # variance in the headline number).
-    gen_info = dict(t3_mod.LAST_GENERATION_INFO)
     platform = jax.devices()[0].platform
-    expect_flash = (platform not in ("cpu",)
-                    and args.batch <= t3_mod.FLASH_DECODE_MAX_UTTERANCES
-                    and os.getenv("CHATTERBOX_PALLAS") != "0")
-    if expect_flash and not gen_info.get("use_flash", False):
-        print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
-              file=sys.stderr)
-        sys.exit(3)
 
-    result = {
-        "metric": "rtf",
-        "value": round(rtf, 5),
-        "unit": "wall_s/audio_s",
-        "vs_baseline": round(0.1 / rtf, 3),
-        "detail": {
+    def run_cell(u: int, tokens: int, iters: int) -> dict:
+        """Warm up + time `iters` full synthesis passes at (batch=u, tokens)."""
+        stage = {"t3": 0.0, "s3gen": 0.0}
+        text_b = np.broadcast_to(text, (u, text.shape[1])).copy()
+
+        def synthesize(seed: int):
+            t_a = time.time()
+            # one decode_block per request: through a high-latency tunnel each
+            # extra block costs a full host round-trip (microbench: the raw loop
+            # is 2.1 ms/step; the rest of round-1's 3.5 ms/step was dispatch)
+            tok_lists = t3_mod.generate_batch(
+                t3_params, cond, text_b, max_new_tokens=tokens,
+                temperature=0.7, cfg_weight=0.5, stop_on_eos=False,
+                seed=seed, block=tokens, cfg=cfg.t3, dtype=dtype)
+            stage["t3"] = time.time() - t_a
+            pad = np.zeros((u, tokens), np.int32)
+            for i, toks in enumerate(tok_lists):
+                n = min(len(toks), tokens)
+                pad[i, :n] = toks[:n]
+            token_len = jnp.asarray([n_prompt + tokens])
+            t_a = time.time()
+            # s3gen sub-batching (CFM attention memory; see tts.generate_batch).
+            # Derived from T_mel + free HBM; CHATTERBOX_S3GEN_SUB_BATCH overrides.
+            from chatterbox_embed_tpu.tts import (_derive_cfm_cache,
+                                                  _derive_s3gen_sub_batch)
+            sub = _derive_s3gen_sub_batch(u, n_prompt + tokens, cfg.s3gen)
+            stage["s3gen_sub"] = sub
+            # CFM DeepCache stride: SAME default as the product path
+            # (tts.generate_batch derives K=2 for >= 8 live rows/dispatch;
+            # CHATTERBOX_CFM_CACHE overrides) — without this the batched bench
+            # silently measured the exact solver the product no longer runs.
+            cfm_stride = _derive_cfm_cache(min(sub, u))
+            stage["cfm_cache"] = cfm_stride
+            # enqueue EVERY sub-batch before fetching (dispatches are async, so
+            # the tens-of-MB wav fetch of dispatch N overlaps compute of N+1 —
+            # same as tts._vocode_batch); one hoisted PRNGKey, not one per
+            # dispatch (each eager op is an RTT through the tunnel)
+            key = jax.random.PRNGKey(seed)
+            wavs = []
+            for s0 in range(0, u, sub):
+                b = min(sub, u - s0)
+                pt = jnp.broadcast_to(prompt_tokens, (b,) + prompt_tokens.shape[1:])
+                pf = jnp.broadcast_to(prompt_feat, (b,) + prompt_feat.shape[1:])
+                em = jnp.broadcast_to(embedding, (b,) + embedding.shape[1:])
+                tl = jnp.broadcast_to(token_len, (b,))
+                wavs.append(s3gen_mod.token_to_wav(
+                    s3_params, jnp.asarray(pad[s0:s0 + b]), tl, pt, pf, em,
+                    key=key, cfg=cfg.s3gen, dtype=dtype, cache_every=cfm_stride))
+            wav = np.concatenate([np.asarray(w) for w in wavs], axis=0)
+            stage["s3gen"] = time.time() - t_a
+            return wav
+
+        t0 = time.time()
+        wav = synthesize(0)
+        compile_s = time.time() - t0
+        print(f"[bench] b{u} compile+first-run {compile_s:.1f}s", file=sys.stderr)
+        times, t3_iters, s3_iters = [], [], []
+        for i in range(iters):
+            t0 = time.time()
+            wav = synthesize(i + 1)
+            times.append(time.time() - t0)
+            t3_iters.append(round(stage["t3"], 4))
+            s3_iters.append(round(stage["s3gen"], 4))
+        audio_sec = u * tokens / 25.0
+        wall = float(np.median(times))
+        rtf = wall / audio_sec
+
+        # Falsifiability: record the static decode decisions and fail LOUDLY if
+        # the Pallas kernel silently fell back where it was expected to engage
+        # (round-1 lesson: an unobserved fallback is indistinguishable from pool
+        # variance in the headline number).
+        gen_info = dict(t3_mod.LAST_GENERATION_INFO)
+        expect_flash = (platform not in ("cpu",)
+                        and u <= t3_mod.FLASH_DECODE_MAX_UTTERANCES
+                        and os.getenv("CHATTERBOX_PALLAS") != "0")
+        if expect_flash and not gen_info.get("use_flash", False):
+            print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
+                  file=sys.stderr)
+            sys.exit(3)
+        return {
+            "name": f"rtf_b{u}",
+            "metric": "rtf",
+            "value": round(rtf, 5),
+            "unit": "wall_s/audio_s",
+            "vs_baseline": round(0.1 / rtf, 3),
             "audio_s": audio_sec,
             "wall_s_median": round(wall, 4),
             "compile_s": round(compile_s, 1),
-            "iters": args.iters,
-            "device": str(jax.devices()[0]),
-            "mode": "smoke" if args.smoke else "full",
+            "iters": iters,
             "wav_samples": int(wav.size),
-            "t3_s": round(stage["t3"], 4),
-            "s3gen_s": round(stage["s3gen"], 4),
-            "t3_ms_per_step": round(1000.0 * stage["t3"] / args.tokens, 3),
+            "t3_s": round(float(np.median(t3_iters)), 4),
+            "s3gen_s": round(float(np.median(s3_iters)), 4),
+            "t3_s_iters": t3_iters,
+            "s3gen_s_iters": s3_iters,
+            "t3_ms_per_step": round(1000.0 * float(np.median(t3_iters)) / tokens, 3),
             "use_flash": gen_info.get("use_flash"),
             "cache_total": gen_info.get("cache_total"),
-            "batch": args.batch,
-            "int8": args.int8,
-            "int8_s3gen": args.int8_s3gen,
+            "phase_totals": gen_info.get("phase_totals"),
+            "batch": u,
+            "tokens": tokens,
             "kv_int8": gen_info.get("kv_int8"),
             "s3gen_sub_batch": int(stage.get("s3gen_sub", 0)),
             "cfm_cache": int(stage.get("cfm_cache", 0)),
-        },
+        }
+
+    if args.stream:
+        cell = measure_ttfa(args, cfg, dtype, t3_params, s3_params, cond,
+                            n_prompt, prompt_tokens, prompt_feat, embedding)
+        print(json.dumps({
+            "metric": "ttfa_p50", "value": cell["value"], "unit": "s",
+            "vs_baseline": round(0.2 / cell["value"], 3),
+            "detail": cell}))
+        return
+
+    if multi_cell:
+        # one session, three headline cells: shared init/transfer above, the
+        # models stay resident between cells (B=1 first so its compile wins
+        # the warm cache; B=32 is the BASELINE batch config; TTFA last)
+        cells = [run_cell(1, args.tokens, args.iters),
+                 run_cell(32, args.tokens, args.iters)]
+        cells.append(measure_ttfa(args, cfg, dtype, t3_params, s3_params,
+                                  cond, n_prompt, prompt_tokens, prompt_feat,
+                                  embedding))
+        head = cells[0]
+        result = {
+            "metric": "rtf",
+            "value": head["value"],
+            "unit": "wall_s/audio_s",
+            "vs_baseline": head["vs_baseline"],
+            "cells": cells,
+            "detail": {
+                "device": str(jax.devices()[0]),
+                "mode": "full",
+                "int8": args.int8,
+                "int8_s3gen": args.int8_s3gen,
+                "rtf_b32": cells[1]["value"],
+                "ttfa_p50_s": cells[2]["value"],
+            },
+        }
+        print(json.dumps(result))
+        return
+
+    cell = run_cell(args.batch, args.tokens, args.iters)
+    result = {
+        "metric": "rtf",
+        "value": cell["value"],
+        "unit": "wall_s/audio_s",
+        "vs_baseline": cell["vs_baseline"],
+        "detail": dict(cell, device=str(jax.devices()[0]),
+                       mode="smoke" if args.smoke else "full",
+                       int8=args.int8, int8_s3gen=args.int8_s3gen),
     }
     print(json.dumps(result))
 
 
-def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
-                 n_prompt, prompt_tokens, prompt_feat, embedding):
+def measure_ttfa(args, cfg, dtype, t3_params, s3_params, cond,
+                 n_prompt, prompt_tokens, prompt_feat, embedding) -> dict:
     """p50 time-to-first-audio (BASELINE.md stretch goal: < 200 ms),
     measured THROUGH the public API: ChatterboxTTS.stream_generate's first
     yielded chunk is the fused one-dispatch program (streaming.first_chunk —
@@ -296,7 +359,10 @@ def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
             return w
         return np.zeros((0,), np.float32)
 
+    t0 = time.time()
     w = first_audio(0)  # compile
+    print(f"[bench] ttfa compile+first-run {time.time() - t0:.1f}s",
+          file=sys.stderr)
     times = []
     for i in range(args.iters):
         t0 = time.time()
@@ -314,16 +380,12 @@ def bench_stream(args, cfg, dtype, t3_params, s3_params, cond, text,
         print("[bench] ERROR: Pallas flash decode expected but NOT engaged",
               file=sys.stderr)
         sys.exit(3)
-    print(json.dumps({
-        "metric": "ttfa_p50",
-        "value": round(ttfa, 4),
-        "unit": "s",
-        "vs_baseline": round(0.2 / ttfa, 3),
-        "detail": {"block_tokens": block, "first_chunk_samples": int(w.size),
-                   "iters": args.iters, "device": str(jax.devices()[0]),
-                   "fused_dispatch": True, "through_api": True,
-                   "use_flash": gen_info.get("use_flash")},
-    }))
+    return {"name": "ttfa", "metric": "ttfa_p50",
+            "value": round(ttfa, 4), "unit": "s",
+            "vs_baseline": round(0.2 / ttfa, 3),
+            "block_tokens": block, "first_chunk_samples": int(w.size),
+            "iters": args.iters, "fused_dispatch": True, "through_api": True,
+            "use_flash": gen_info.get("use_flash")}
 
 
 if __name__ == "__main__":

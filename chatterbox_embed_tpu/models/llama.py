@@ -170,22 +170,6 @@ def pin_cache_row_major(cache: "KVCache") -> "KVCache":
                    pin(cache.k_scale), pin(cache.v_scale))
 
 
-def grow_cache(cache: KVCache, new_len: int) -> KVCache:
-    """Zero-pad the sequence axis up to `new_len` (phased cache growth:
-    the batched XLA decode reads the WHOLE capacity every step, so early
-    decode steps against a small cache read fewer dead future slots; the
-    t3 driver migrates between per-phase decode programs). Padded slots
-    are never attended — the decode mask bounds keys at cache_pos — and
-    zero int8 slabs with zero scales contribute only pre-mask zeros."""
-    def pad(x):
-        if x is None:
-            return None
-        return jnp.pad(x, ((0, 0), (0, new_len - x.shape[1]))
-                       + ((0, 0),) * (x.ndim - 2))
-    return KVCache(pad(cache.k), pad(cache.v),
-                   pad(cache.k_scale), pad(cache.v_scale))
-
-
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
     shape = (cfg.num_layers, max_len, batch, cfg.num_kv_heads, cfg.head_dim)
     if dtype == jnp.int8:
@@ -214,7 +198,8 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             cfg: LlamaConfig = LlamaConfig(), dtype=jnp.float32,
             flash_decode: bool = False, flash_start: int | jnp.ndarray = 0,
             flash_hole: Optional[jnp.ndarray] = None,
-            collect_attn_layer: Optional[int] = None):
+            collect_attn_layer: Optional[int] = None,
+            read_len: Optional[int] = None):
     """Run the transformer over a block of embeddings.
 
     Args:
@@ -228,6 +213,16 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         return layer N's head-mean attention probabilities over the cache —
         the alignment analyzer's "attention spy" (reference:
         alignment_stream_analyzer.py:59-87 hooks tfmr layer 9).
+      read_len: optional STATIC prefix length — attention reads only cache
+        slots [0, read_len) (a static slice XLA fuses into the dot operands:
+        no copy, no reallocation). This is the phased-cache mechanism: the
+        full-capacity cache is allocated ONCE and early decode phases run
+        programs that read a shorter prefix, so per-step KV bandwidth tracks
+        the live prefix instead of the final capacity. Callers guarantee
+        every attended slot (and every insert) lands below read_len, and
+        pass attn_mask with key width == read_len. Replaces the round-4
+        grow_cache zero-pad migration, whose old+new transient double
+        allocation sat at the HBM fence at the b32/1000-cap shape (q4ah).
     Returns (hidden (B, T, D) post final norm, updated cache[, attn_row (B, L)]).
     """
     b, t, d = x.shape
@@ -239,7 +234,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
         if cache is None:
             attn_mask = jnp.tril(jnp.ones((t, t), bool))[None]
         else:
-            lcache = cache.k.shape[1]
+            lcache = read_len if read_len is not None else cache.k.shape[1]
             idx = jnp.arange(lcache)[None, :]
             q_idx = cache_pos + jnp.arange(t)[:, None]
             attn_mask = (idx[None] <= q_idx[None])               # (1, T, L)
@@ -282,6 +277,10 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             "per-row cache_pos requires the eager single-token XLA decode path"
     new_ks, new_vs = [], []
     lcache_n = ck.shape[1] if ck is not None else 0
+    # effective attention key width: the phased prefix, or the whole cache
+    lw = read_len if read_len is not None else lcache_n
+    assert read_len is None or (not flash_decode and not defer), \
+        "read_len (phased prefix) requires the eager XLA cache path"
     for i, lp in enumerate(params["layers"]):
         hin = L.rms_norm(lp["ln1"], h, cfg.rms_norm_eps)
         q = L.split_heads(L.linear(lp["q"], hin, dtype), cfg.num_heads)
@@ -371,7 +370,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
             # appended logit/value column.
             km = attn_mask[:, 0]                                   # (B|1, L)
             if defer:
-                km = km & (jnp.arange(lcache_n)[None, :]
+                km = km & (jnp.arange(lw)[None, :]
                            < jnp.asarray(cache_pos, jnp.int32))
                 lcur = (jnp.sum(q[:, 0].astype(jnp.float32)
                                 * k[:, 0].astype(jnp.float32), axis=-1)
@@ -386,28 +385,29 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                 qs = (jnp.max(jnp.abs(q[:, 0].astype(jnp.float32)),
                               axis=-1, keepdims=True) / 127.0 + 1e-12)
                 qi = jnp.round(q[:, 0].astype(jnp.float32) / qs).astype(jnp.int8)
-                logits = jnp.einsum("bhd,lbhd->bhl", qi, ck[i],
+                logits = jnp.einsum("bhd,lbhd->bhl", qi, ck[i][:lw],
                                     preferred_element_type=jnp.int32)
                 logits = (logits.astype(jnp.float32) * qs
-                          * jnp.transpose(cks[i], (1, 2, 0)))
+                          * jnp.transpose(cks[i][:lw], (1, 2, 0)))
                 logits = logits / np.sqrt(cfg.head_dim)
                 logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
                 if defer:
                     logits = jnp.concatenate([logits, lcur], axis=-1)
                 w = jax.nn.softmax(logits, axis=-1)
                 if collect_attn_layer is not None and i == collect_attn_layer:
-                    attn_row = _spy_row(w, lcache_n, cache_pos, defer)
-                wv = w[..., :lcache_n] * jnp.transpose(cvs[i], (1, 2, 0))
+                    attn_row = _spy_row(w, lw, cache_pos, defer)
+                wv = w[..., :lw] * jnp.transpose(cvs[i][:lw], (1, 2, 0))
                 ws = jnp.max(wv, axis=-1, keepdims=True) / 127.0 + 1e-20
                 wi = jnp.round(wv / ws).astype(jnp.int8)
-                att_i = jnp.einsum("bhl,lbhd->bhd", wi, cv[i],
+                att_i = jnp.einsum("bhl,lbhd->bhd", wi, cv[i][:lw],
                                    preferred_element_type=jnp.int32)
                 att = att_i.astype(jnp.float32) * ws
                 if defer:
-                    att = att + w[..., lcache_n:] * v[:, 0].astype(jnp.float32)
+                    att = att + w[..., lw:] * v[:, 0].astype(jnp.float32)
                 att = att.astype(dtype)[:, None]
             else:
-                kc, vc = ck[i].astype(dtype), cv[i].astype(dtype)  # (L, B, H, D)
+                kc = ck[i][:lw].astype(dtype)                      # (L, B, H, D)
+                vc = cv[i][:lw].astype(dtype)
                 logits = jnp.einsum("bhd,lbhd->bhl", q[:, 0], kc,
                                     preferred_element_type=jnp.float32)
                 if kv_int8:
@@ -415,30 +415,30 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
                     # feeds the MXU directly, no dequantized copy (mode 1;
                     # relies on XLA fusing the int8->bf16 convert into the
                     # dot — mode 2 above removes the convert entirely)
-                    logits = logits * jnp.transpose(cks[i], (1, 2, 0))
+                    logits = logits * jnp.transpose(cks[i][:lw], (1, 2, 0))
                 logits = logits / np.sqrt(cfg.head_dim)
                 logits = jnp.where(km[:, None, :], logits, jnp.float32(-1e10))
                 if defer:
                     logits = jnp.concatenate([logits, lcur], axis=-1)
                 w = jax.nn.softmax(logits, axis=-1)
                 if collect_attn_layer is not None and i == collect_attn_layer:
-                    attn_row = _spy_row(w, lcache_n, cache_pos, defer)
-                wl = w[..., :lcache_n]
+                    attn_row = _spy_row(w, lw, cache_pos, defer)
+                wl = w[..., :lw]
                 if kv_int8:
-                    wl = wl * jnp.transpose(cvs[i], (1, 2, 0))
+                    wl = wl * jnp.transpose(cvs[i][:lw], (1, 2, 0))
                 att = jnp.einsum("bhl,lbhd->bhd", wl.astype(dtype), vc)
                 if defer:
                     att = (att.astype(jnp.float32)
-                           + w[..., lcache_n:] * v[:, 0].astype(jnp.float32)
+                           + w[..., lw:] * v[:, 0].astype(jnp.float32)
                            ).astype(dtype)
                 att = att[:, None]
         else:
             if cache is not None:
-                k_att = jnp.swapaxes(ck[i], 0, 1).astype(dtype)    # (B, L, H, D)
-                v_att = jnp.swapaxes(cv[i], 0, 1).astype(dtype)
+                k_att = jnp.swapaxes(ck[i][:lw], 0, 1).astype(dtype)  # (B, L, H, D)
+                v_att = jnp.swapaxes(cv[i][:lw], 0, 1).astype(dtype)
                 if kv_int8:
-                    k_att = k_att * jnp.swapaxes(cks[i], 0, 1)[..., None].astype(dtype)
-                    v_att = v_att * jnp.swapaxes(cvs[i], 0, 1)[..., None].astype(dtype)
+                    k_att = k_att * jnp.swapaxes(cks[i][:lw], 0, 1)[..., None].astype(dtype)
+                    v_att = v_att * jnp.swapaxes(cvs[i][:lw], 0, 1)[..., None].astype(dtype)
             else:
                 k_att, v_att = k, v
             att = L.mha(q, k_att, v_att, mask=attn_mask[:, None] if attn_mask.ndim == 3 else attn_mask)

@@ -295,10 +295,11 @@ class DecodeState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
-                                             "dtype", "kv_int8"))
+                                             "dtype", "kv_int8", "read_len"))
 def prefill(params, context, cfg: T3Config, total: int, pad_len,
             cfg_on: bool = True, dtype=jnp.float32,
-            key_valid=None, kv_int8: bool = False) -> DecodeState:
+            key_valid=None, kv_int8: bool = False,
+            read_len: int | None = None) -> DecodeState:
     """Full-context forward filling the static cache (capacity `total`).
 
     context: (B, P, D) with `pad_len` masked junk slots on the LEFT.
@@ -306,18 +307,24 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len,
     length in a bucket (P and `total` are per-bucket constants).
     key_valid: optional (B, total) bool excluding per-row pad keys (batched
     right-padded text).
+    read_len: optional STATIC prefix width — the prefill attention reads
+    only cache slots [0, read_len) (the phased first phase; llama.forward
+    docstring). The cache is still allocated at the FULL capacity `total`,
+    so later phases reuse the same buffer with longer read programs.
     """
     b, p_len, d = context.shape
     cache = llama.init_cache(cfg.llama, b, total,
                              jnp.int8 if kv_int8 else dtype)
+    w = read_len if read_len is not None else total
     idx = jnp.arange(p_len)
-    kidx = jnp.arange(total)
+    kidx = jnp.arange(w)
     causal = ((kidx[None, :] <= idx[:, None]) & (kidx[None, :] >= pad_len))[None]
     if key_valid is not None:
-        causal = causal & key_valid[:, None, :]
+        causal = causal & key_valid[:, None, :w]
     pos = jnp.broadcast_to(jnp.maximum(idx - pad_len, 0)[None], (b, p_len))
     h, cache = llama.forward(params["llama"], context, pos, causal,
-                             cache=cache, cache_pos=0, cfg=cfg.llama, dtype=dtype)
+                             cache=cache, cache_pos=0, cfg=cfg.llama,
+                             dtype=dtype, read_len=read_len)
     # keep the slabs row-major OUT of prefill so the decode carry never
     # inherits the attention-transpose layout (llama.pin_cache_row_major)
     cache = llama.pin_cache_row_major(cache)
@@ -333,10 +340,11 @@ def prefill(params, context, cfg: T3Config, total: int, pad_len,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "total", "cfg_on",
-                                             "dtype", "kv_int8"))
+                                             "dtype", "kv_int8", "read_len"))
 def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
                      cfg: T3Config, total: int, cfg_on: bool,
-                     dtype=jnp.float32, kv_int8: bool = False) -> DecodeState:
+                     dtype=jnp.float32, kv_int8: bool = False,
+                     read_len: int | None = None) -> DecodeState:
     """Fused cond-embed + context build + prefill (single host dispatch).
 
     text_tokens: (U, bucket) LEFT-padded to the bucket on the host; pad_len
@@ -345,13 +353,13 @@ def _context_prefill(params, cond: T3Cond, text_tokens, key_valid, pad_len,
     context = _build_context(params, cond, text_tokens, cfg, cfg_on,
                              pad=pad_len)
     return prefill(params, context, cfg, total, pad_len, cfg_on, dtype,
-                   key_valid, kv_int8)
+                   key_valid, kv_int8, read_len)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block", "p_len", "cfg_on",
                                     "use_top_p", "stop_on_eos", "use_flash", "dtype",
-                                    "align_layer", "use_fused"),
+                                    "align_layer", "use_fused", "read_len"),
                    donate_argnames=("state",))
 def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, limit,
                  cfg: T3Config, block: int, p_len: int, pad_len, cfg_on: bool,
@@ -359,7 +367,8 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                  dtype=jnp.float32, key_valid=None,
                  align_layer: int | None = None,
                  text_start=None, text_len=None, hole=None,
-                 use_fused: bool = False, fused=None):
+                 use_fused: bool = False, fused=None,
+                 read_len: int | None = None):
     """Decode up to `block` tokens (stopping at EOS or the dynamic `limit`).
 
     Returns (state, tokens (block,) int32, n_new ()). One compiled program per
@@ -376,8 +385,17 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
     jumps (reference: alignment_stream_analyzer.py:89-154). Composes with the
     flash decode kernel (only the spy layer runs XLA attention) and with
     per-row key_valid masks (batched right-padded text).
+
+    read_len (STATIC): phased-cache prefix width — attention reads only
+    cache slots [0, read_len) while the cache keeps its full capacity (one
+    allocation for every phase; llama.forward docstring). One compiled
+    program per (bucket, block, read_len); the final phase passes None and
+    shares the unphased program.
     """
     total = state.cache.k.shape[1]
+    w_keys = read_len if read_len is not None else total
+    if key_valid is not None and read_len is not None:
+        key_valid = key_valid[:, :read_len]
     b = state.logits.shape[0]
     n_utt = state.done.shape[0]
     d = params["speech_emb"]["w"].shape[1]
@@ -434,8 +452,8 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
         emb = emb[:, None, :]
         pos_id = jnp.full((b, 1), p_len - pad_len + s.i, jnp.int32)
         cache_pos = p_len + s.i
-        lmask = (jnp.arange(total)[None, None, :] <= cache_pos) & \
-                (jnp.arange(total)[None, None, :] >= pad_len)
+        lmask = (jnp.arange(w_keys)[None, None, :] <= cache_pos) & \
+                (jnp.arange(w_keys)[None, None, :] >= pad_len)
         if key_valid is not None:
             lmask = lmask & key_valid[:, None, :]
         if align_layer is not None:
@@ -443,11 +461,11 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                 params["llama"], emb.astype(dtype), pos_id, lmask,
                 cache=s.cache, cache_pos=cache_pos, cfg=cfg.llama, dtype=dtype,
                 flash_decode=use_flash, flash_start=pad_len, flash_hole=hole,
-                collect_attn_layer=align_layer)
+                collect_attn_layer=align_layer, read_len=read_len)
             # per-row text window [text_start, text_start + text_len[row])
             # masked out of the full attention row — text_start/text_len are
             # traced, so one program per bucket serves every text length
-            kidx = jnp.arange(total)
+            kidx = jnp.arange(w_keys)
             in_text = ((kidx[None, :] >= text_start)
                        & (kidx[None, :] < text_start + text_len[:, None]))
             trow = arow[:n_utt] * in_text
@@ -476,7 +494,7 @@ def decode_block(params, state: DecodeState, key, sp: SamplingParams, top_p, lim
                                        lmask, cache=s.cache, cache_pos=cache_pos,
                                        cfg=cfg.llama, dtype=dtype,
                                        flash_decode=use_flash, flash_start=pad_len,
-                                       flash_hole=hole)
+                                       flash_hole=hole, read_len=read_len)
             align2 = s.align
         logits = L.linear(params["speech_head"], hh[:, -1], jnp.float32)
         return Carry(DecodeState(cache2, logits, counts, s.i + 1, done, align2),
@@ -510,28 +528,40 @@ _PHASED_MIN_CAP = 600
 _PHASED_PHASE_LEN = 256
 
 
+_phased_env_warned = False
+
+
 def _phased_cache_k(gen_cap: int = 0) -> int:
-    """Phase count for the batched XLA decode's cache growth. The XLA
+    """Phase count for the batched XLA decode's prefix reads. The XLA
     attention reads the WHOLE static cache capacity every step while the
     live prefix grows from p_len to cap — at the product's default
     1000-token cap the average live/cap ratio is ~40%, and batched decode
     is KV-bandwidth bound (PERF_NOTES). With K phases the request decodes
-    against K successively larger caches (64-aligned), migrating via ONE
-    zero-pad between phases; EOS early-exit means short generations never
-    touch the large caches at all. Cost: K compiled (cache-size, block)
-    decode programs per bucket instead of one.
+    through K compiled programs whose attention statically slices
+    successively longer prefixes (64-aligned) of ONE full-capacity cache —
+    no reallocation, no migration; EOS early-exit means short generations
+    never reach the long-prefix programs at all. Cost: K compiled
+    (read_len, block) decode programs per bucket instead of one.
 
     CHATTERBOX_PHASED_CACHE always wins (0/1 = single-capacity everywhere,
     K >= 2 forced); unset derives ~256-token phases for long caps
     (gen_cap >= _PHASED_MIN_CAP; K=4 at the default 1000-token cap) and
-    single-capacity below (q4s/q4ag tables in PERF_NOTES). Trace-time
-    binding like the other decode knobs."""
+    single-capacity below (q4s/q4ag tables in PERF_NOTES). An unparseable
+    value warns ONCE and falls back to the derivation (a typo'd env var
+    must not silently cost the -28%/step win). Trace-time binding like the
+    other decode knobs."""
     raw = os.getenv("CHATTERBOX_PHASED_CACHE", "").strip()
     if raw:
         try:
             return int(raw)
         except ValueError:
-            return 0
+            global _phased_env_warned
+            if not _phased_env_warned:
+                _phased_env_warned = True
+                import warnings
+                warnings.warn(
+                    f"CHATTERBOX_PHASED_CACHE={raw!r} is not an integer; "
+                    f"falling back to the derived phase count")
     if gen_cap < _PHASED_MIN_CAP:
         return 0
     return -(-gen_cap // _PHASED_PHASE_LEN)
@@ -658,7 +688,8 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # at 2/8 rows and loses at 32 (its chunk walk is invocation-overhead
     # bound once the VMEM cap shrinks the slabs); large fused batches keep
     # the XLA attention, which wins per-utterance throughput at 16 utts
-    use_flash = _use_pallas_decode() and n_utt <= FLASH_DECODE_MAX_UTTERANCES
+    use_flash = (_use_pallas_decode() and mesh is None
+                 and n_utt <= FLASH_DECODE_MAX_UTTERANCES)
     # monolithic weight-streaming step: subsumes the flash attention kernel
     # (attention runs in-kernel); requires the plain [pad, pos] mask — ragged
     # text / alignment / mesh fall back to the per-op paths below
@@ -683,14 +714,18 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         text_len = jnp.asarray(lens_np)
     total = -(-cap // 256) * 256 if (use_flash or use_fused) else cap
 
-    # Phased cache growth (_phased_cache_k docstring): the XLA batched
-    # decode starts against a small cache and migrates to larger ones as
-    # the live prefix grows. flash/fused walk [start, pos] slabs and read
-    # no dead capacity (phasing buys nothing there); mesh caches carry
-    # sharding layouts a host-side grow has not been validated against.
+    # Phased cache reads (_phased_cache_k docstring): the XLA batched
+    # decode allocates the FULL-capacity cache once at prefill and runs
+    # early phases as programs that statically slice a shorter key prefix
+    # into the attention dots (read_len) — per-step KV bandwidth tracks the
+    # live prefix, with NO migration (the round-4 grow_cache zero-pad held
+    # old+new caches live at each boundary, the q4ah b32/1000-cap crash
+    # vector). flash/fused walk [start, pos] slabs and read no dead
+    # capacity (phasing buys nothing there). Mesh-compatible: the static
+    # slice rides GSPMD (rows stay sharded on dp; tests/test_parallel.py).
     phase_totals = [total]
     k_ph = _phased_cache_k(cap - p_len)
-    if (k_ph >= 2 and not use_flash and not use_fused and mesh is None
+    if (k_ph >= 2 and not use_flash and not use_fused
             and cap - p_len > 64):
         per = -(-(cap - p_len) // k_ph)
         phase_len = -(-per // 64) * 64
@@ -699,7 +734,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         while t < cap:
             t = min(t + phase_len, cap)
             phase_totals.append(t)
-        total = phase_totals[0]
+    read0 = phase_totals[0] if len(phase_totals) > 1 else None
 
     key_valid = None
     hole = None
@@ -744,7 +779,7 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         context, key_valid = shard_generation_inputs(mesh, context, key_valid)
         use_flash = False  # the Pallas kernel is single-chip only
         state = prefill(params, context, cfg, total, pad, cfg_on, dtype,
-                        key_valid, kv_int8)
+                        key_valid, kv_int8, read0)
     else:
         # ONE program for cond-embed + context + prefill (an eager context
         # build costs ~10 per-op dispatches on remote backends), with the
@@ -752,10 +787,8 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
         # dispatch) and pad as a traced operand: one compiled program per
         # (bucket, rows) pair serves every text length
         tb = jnp.asarray(np.pad(tt_np, ((0, 0), (pad, 0))))
-        kv_prefill = (key_valid[:, :total] if key_valid is not None
-                      and len(phase_totals) > 1 else key_valid)
-        state = _context_prefill(params, cond, tb, kv_prefill, jnp.int32(pad),
-                                 cfg, total, cfg_on, dtype, kv_int8)
+        state = _context_prefill(params, cond, tb, key_valid, jnp.int32(pad),
+                                 cfg, total, cfg_on, dtype, kv_int8, read0)
     info = dict(p_len=p_len, pad=pad, cfg_on=cfg_on, use_flash=use_flash,
                 key_valid=key_valid, align_layer=align_layer,
                 text_start=text_start, text_len=text_len, hole=hole,
@@ -809,28 +842,29 @@ def generate_stream(params, cond: T3Cond, text_tokens: np.ndarray, *,
     phase_i = 0
     while produced < max_new_tokens:
         blk = int(block)
-        kv_now = info["key_valid"]
+        read_len = None
         if len(phases) > 1:
-            # phased cache growth: decode only up to this phase's capacity,
-            # then migrate (ONE zero-pad) to the next phase's cache and its
-            # own compiled program. produced == state.i (each executed body
-            # step emits exactly one token), so no extra device fetch.
+            # phased cache reads: decode only up to this phase's prefix,
+            # then step to the next phase's compiled program (same cache
+            # buffer — read_len is a static slice, there is NO migration).
+            # produced == state.i (each executed body step emits exactly one
+            # token), so no extra device fetch. The last phase passes None
+            # and shares the unphased program.
             room = phases[phase_i] - info["p_len"] - produced
             if room <= 0:
                 phase_i += 1
-                state = state._replace(
-                    cache=llama.grow_cache(state.cache, phases[phase_i]))
                 room = phases[phase_i] - info["p_len"] - produced
             blk = min(blk, int(room))
-            if kv_now is not None:
-                kv_now = kv_now[:, :phases[phase_i]]
+            if phase_i < len(phases) - 1:
+                read_len = phases[phase_i]
         state, tokens, n_new = decode_block(
             params, state, key, sp, top_p_v, limit, cfg, blk,
             info["p_len"], info["pad"], info["cfg_on"], use_top_p, stop_on_eos,
-            info["use_flash"], dtype, kv_now,
+            info["use_flash"], dtype, info["key_valid"],
             align_layer=info["align_layer"], text_start=info["text_start"],
             text_len=info["text_len"], hole=info["hole"],
-            use_fused=info["use_fused"], fused=info["fused"])
+            use_fused=info["use_fused"], fused=info["fused"],
+            read_len=read_len)
         n = int(n_new)
         if n > 0:
             out = np.asarray(tokens)[:n]

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--cell-k", type=int, default=2,
                     help="cache stride the --cfg-steps cells compose with")
     ap.add_argument("--smoke", action="store_true", help="tiny config on CPU")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint dir with s3gen.safetensors — gate the "
+                         "DEPLOYED weights instead of random ones "
+                         "(scripts/verify_on_network_host.py stage D)")
     args = ap.parse_args()
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -88,7 +92,12 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    s3_params = init_on_cpu(s3gen_mod.init, jax.random.PRNGKey(1), s3cfg)
+    if args.ckpt:
+        from chatterbox_embed_tpu.utils import weights as W
+        s3_sd = W.load_safetensors(f"{args.ckpt}/s3gen.safetensors")
+        s3_params = W.convert_s3gen(s3_sd, cfg=s3cfg)
+    else:
+        s3_params = init_on_cpu(s3gen_mod.init, jax.random.PRNGKey(1), s3cfg)
     if dtype == jnp.bfloat16:
         s3_params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == np.float32 else x,
@@ -173,7 +182,7 @@ def main():
     result = {
         "rows": b,
         "tokens": args.tokens,
-        "weights": "random",
+        "weights": "checkpoint" if args.ckpt else "random",
         "per_k": per_k,
         "pass_ks": [k for k, v in per_k.items() if v["pass"]],
         "per_cfg_steps": per_cfg,

@@ -34,13 +34,42 @@ Stage B (Perth):
      importable (so deployed services satisfy the contract automatically),
   3. documents the expected NON-compatibility of the offline fallback mark
      (Perth must NOT detect it, and vice versa).
+
+Stages C-E close the other real-deployment question (round-4 verdict item
+3): "are the promoted TPU perf defaults safe on REAL weights?" — every
+default was gated on full-size RANDOM weights in the build container.
+All three need the real checkpoint; it is downloaded from
+`ResembleAI/chatterbox` automatically (or pass --ckpt DIR with
+ve/t3_cfg/s3gen.safetensors + tokenizer.json + conds.pt):
+
+  C. int8 T3 weights (DEFAULT ON for TPU) + int8 KV cache (default for the
+     batched XLA decode): scripts/int8_quality_gate.py --ckpt ... --kv 1 —
+     margin-conditioned top-1 >= 97%, median KL < 0.02, mel cos >= 0.995,
+     prefill-logit cosine + first-divergence for the KV cache.
+  D. CFM DeepCache K=2 (default at >= 8 live rows/dispatch):
+     scripts/cfm_cache_gate.py --ckpt ... --ks 2 — mel cosine >= 0.995,
+     rel L2 < 0.10 per row vs the exact solver on the deployed weights.
+  E. Streaming C/M window render: synthesizes the SAME text through
+     stream_generate (default CHATTERBOX_STREAM_CTX/VOC_CTX geometry) and
+     the non-streamed path on real weights, writes both wavs next to the
+     checkpoint for the final LISTENING check PERF_NOTES round-4 q4i
+     defers (window sufficiency is unmeasurable on random weights), and
+     reports their rel-L2 for the record (advisory, not a hard bound —
+     the streamed path is windowed by design).
 """
 from __future__ import annotations
 
 import argparse
+import json
+import os
+import subprocess
 import sys
 
 import numpy as np
+
+REPO_ID = "ResembleAI/chatterbox"
+CKPT_FILES = ["ve.safetensors", "t3_cfg.safetensors", "s3gen.safetensors",
+              "tokenizer.json", "conds.pt"]
 
 
 def _synthetic_speech(sr: int, seconds: float = 3.0, seed: int = 0) -> np.ndarray:
@@ -172,12 +201,124 @@ def verify_perth() -> bool:
     return True
 
 
+def _resolve_ckpt(ckpt: str | None) -> str | None:
+    """Local checkpoint dir, downloading from HF when not given."""
+    if ckpt:
+        missing = [f for f in CKPT_FILES
+                   if not os.path.exists(os.path.join(ckpt, f))]
+        if missing:
+            print(f"FAIL: --ckpt {ckpt} is missing {missing}")
+            return None
+        return ckpt
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError:
+        print("FAIL: huggingface_hub unavailable and no --ckpt given.\n"
+              "      pip install huggingface_hub")
+        return None
+    path = None
+    for f in CKPT_FILES:
+        path = hf_hub_download(repo_id=REPO_ID, filename=f)
+    print(f"  checkpoint: {os.path.dirname(path)}")
+    return os.path.dirname(path)
+
+
+def _run_gate(script: str, extra: list[str], want) -> bool:
+    """Run a gate script as a subprocess and evaluate its JSON verdict."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    cmd = [sys.executable, os.path.join(repo, "scripts", script)] + extra
+    print(f"  $ {' '.join(cmd[1:])}")
+    p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    sys.stderr.write(p.stderr[-4000:])
+    if p.returncode != 0:
+        print(f"FAIL: {script} exited {p.returncode}")
+        return False
+    try:
+        result = json.loads(p.stdout.strip().splitlines()[-1])
+    except (json.JSONDecodeError, IndexError):
+        print(f"FAIL: {script} printed no JSON verdict")
+        return False
+    ok = want(result)
+    print(f"  {script}: {json.dumps(result)[:400]}")
+    return bool(ok)
+
+
+def verify_int8_defaults(ckpt: str) -> bool:
+    print("=== Stage C: int8 weight + int8-KV quality gate on the real "
+          "checkpoint ===")
+    ok = _run_gate("int8_quality_gate.py", ["--ckpt", ckpt, "--kv", "1"],
+                   lambda r: r.get("pass")
+                   and r.get("kv_int8", {}).get("pass"))
+    print("PASS: int8 defaults hold on deployed weights" if ok
+          else "FAIL: int8 gate — set CHATTERBOX_INT8=0 / CHATTERBOX_INT8_KV=0 "
+               "until resolved")
+    return ok
+
+
+def verify_cfm_cache(ckpt: str) -> bool:
+    print("=== Stage D: CFM DeepCache K=2 mel gate on the real checkpoint ===")
+    ok = _run_gate("cfm_cache_gate.py", ["--ckpt", ckpt, "--ks", "2"],
+                   lambda r: "2" in r.get("pass_ks", []))
+    print("PASS: CFM K=2 cache holds on deployed weights" if ok
+          else "FAIL: CFM gate — set CHATTERBOX_CFM_CACHE=0 until resolved")
+    return ok
+
+
+def verify_streaming_render(ckpt: str, out_dir: str | None) -> bool:
+    """Stage E: render the streamed and non-streamed paths on real weights
+    for the final listening check (PERF_NOTES q4i defers C/M window
+    sufficiency to exactly this)."""
+    print("=== Stage E: streaming C/M window render (listening check) ===")
+    from scipy.io import wavfile as sf_wav
+    from chatterbox_embed_tpu.tts import ChatterboxTTS
+
+    tts = ChatterboxTTS.from_local(ckpt)
+    if tts.conds is None:
+        print("FAIL: conds.pt missing — stage E needs the builtin voice")
+        return False
+    text = ("The quick brown fox jumps over the lazy dog, "
+            "and keeps on running through the quiet morning streets.")
+    chunks = list(tts.stream_generate(text, temperature=0.7, cfg_weight=0.5,
+                                      seed=3))
+    streamed = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    batch = np.asarray(tts.generate(text, temperature=0.7, cfg_weight=0.5,
+                                    seed=3)).reshape(-1)
+    out_dir = out_dir or (ckpt if os.access(ckpt, os.W_OK) else ".")
+    p_s = os.path.join(out_dir, "verify_stream.wav")
+    p_b = os.path.join(out_dir, "verify_batch.wav")
+    sf_wav.write(p_s, tts.sr, np.clip(streamed, -1, 1).astype(np.float32))
+    sf_wav.write(p_b, tts.sr, np.clip(batch, -1, 1).astype(np.float32))
+    n = min(streamed.size, batch.size)
+    rel = (float(np.linalg.norm(streamed[:n] - batch[:n])
+                 / (np.linalg.norm(batch[:n]) + 1e-12)) if n else 1.0)
+    rms = float(np.sqrt(np.mean(streamed**2))) if streamed.size else 0.0
+    print(f"  streamed {streamed.size / tts.sr:.2f}s vs batch "
+          f"{batch.size / tts.sr:.2f}s, overlap rel-L2 {rel:.3f} (advisory), "
+          f"stream rms {rms:.4f}")
+    print(f"  LISTEN to both: {p_s}  |  {p_b}")
+    ok = streamed.size > tts.sr // 2 and rms > 1e-4
+    print("PASS: streamed render is live audio — do the listen" if ok
+          else "FAIL: streamed render is empty/silent")
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--wav", default=None,
                     help="real speech wav for the tokenizer parity check")
+    ap.add_argument("--ckpt", default=None,
+                    help="dir with the real checkpoint files (downloaded "
+                         "from HF when omitted)")
+    ap.add_argument("--out-dir", default=None,
+                    help="where stage E writes the listening wavs")
     ap.add_argument("--skip-tokenizer", action="store_true")
     ap.add_argument("--skip-perth", action="store_true")
+    ap.add_argument("--skip-int8", action="store_true")
+    ap.add_argument("--skip-cfm", action="store_true")
+    ap.add_argument("--skip-stream", action="store_true")
     args = ap.parse_args()
 
     ok = True
@@ -185,6 +326,17 @@ def main():
         ok = verify_s3tokenizer(args.wav) and ok
     if not args.skip_perth:
         ok = verify_perth() and ok
+    if not (args.skip_int8 and args.skip_cfm and args.skip_stream):
+        ckpt = _resolve_ckpt(args.ckpt)
+        if ckpt is None:
+            ok = False
+        else:
+            if not args.skip_int8:
+                ok = verify_int8_defaults(ckpt) and ok
+            if not args.skip_cfm:
+                ok = verify_cfm_cache(ckpt) and ok
+            if not args.skip_stream:
+                ok = verify_streaming_render(ckpt, args.out_dir) and ok
     print("\nALL CHECKS PASSED" if ok else "\nVERIFICATION FAILED")
     sys.exit(0 if ok else 1)
 

@@ -40,6 +40,32 @@ def test_dp_sharded_batch_matches_single_device(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_dp_sharded_phased_cache_matches_single_device(rng, monkeypatch):
+    """Phased prefix reads under a dp mesh (VERDICT r4 #6): the per-phase
+    read_len is a STATIC slice inside the compiled program, so it rides
+    GSPMD over dp-sharded rows with no host-side cache surgery — the
+    decode must engage >= 2 phases and stay bit-identical to both the
+    single-device phased run and the unphased mesh run."""
+    assert len(jax.devices()) >= 4
+    params = t3.init(jax.random.PRNGKey(0), TINY)
+    texts = rng.integers(1, 50, (4, 10)).astype(np.int32)
+    texts[:, 0] = 5
+    cond = _cond(rng)
+    kw = dict(max_new_tokens=90, cfg_weight=0.4, seed=11, cfg=TINY)
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "0")
+    base = t3.generate_batch(params, cond, texts, **kw)
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "3")
+    single = t3.generate_batch(params, cond, texts, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) >= 2
+    mesh = make_dp_mesh(4)
+    sharded = t3.generate_batch(params, cond, texts, mesh=mesh, **kw)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) >= 2
+    assert t3.LAST_GENERATION_INFO["mesh"] == {"dp": 4}
+    for a, b, c in zip(base, single, sharded):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
 def test_dp_tp_combined_batch(rng):
     """Combined serving mesh (VERDICT r3 #7): rows over dp AND Megatron
     weights over tp in one generate_batch call. tp psums reassociate, so

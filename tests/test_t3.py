@@ -228,9 +228,10 @@ def test_batched_flash_decode_matches_xla(tiny_t3, rng, monkeypatch):
 
 
 def test_phased_cache_matches_unphased(tiny_t3, rng, monkeypatch):
-    """CHATTERBOX_PHASED_CACHE=K (batched XLA decode against K successively
-    larger caches, migrated by zero-pad) must produce the identical token
-    stream to the single-capacity decode: padded cache slots are never
+    """CHATTERBOX_PHASED_CACHE=K (batched XLA decode through K programs
+    whose attention statically slices successively longer prefixes of ONE
+    full-capacity cache) must produce the identical token stream to the
+    single-capacity decode: slots beyond the live prefix are never
     attended, so the phase boundary is invisible to the numerics. Covers
     ragged rows (key_valid slicing per phase) and K that does not divide
     the step count."""
@@ -256,8 +257,8 @@ def test_phased_cache_matches_unphased(tiny_t3, rng, monkeypatch):
 
 
 def test_phased_cache_matches_unphased_int8_kv(tiny_t3, rng, monkeypatch):
-    """Phase migration must also zero-pad the int8 KV slabs AND their
-    per-slot scale planes coherently."""
+    """Phased prefix reads must slice the int8 KV slabs AND their per-slot
+    scale planes coherently."""
     rows = np.stack([np.r_[5, rng.integers(1, 50, 9)].astype(np.int32)] * 2)
     cond = _cond(rng)
     kw = dict(max_new_tokens=40, cfg_weight=0.5, temperature=0.7, seed=5,
@@ -292,8 +293,13 @@ def test_phased_cache_default_derivation(monkeypatch):
     assert t3._phased_cache_k(1000) == 1   # < 2 disables at the call site
     monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "4")
     assert t3._phased_cache_k(100) == 4
+    # a typo'd env var must NOT silently disable the derived win: it warns
+    # once and falls back to the derivation (round-4 advisor finding)
     monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "junk")
-    assert t3._phased_cache_k(1000) == 0
+    t3._phased_env_warned = False
+    with pytest.warns(UserWarning, match="CHATTERBOX_PHASED_CACHE"):
+        assert t3._phased_cache_k(1000) == 4
+    assert t3._phased_cache_k(1000) == 4   # warning is one-time
     monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "")
     assert t3._phased_cache_k(1000) == 4   # empty = unset (derive)
 
