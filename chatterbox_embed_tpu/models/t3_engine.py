@@ -398,6 +398,12 @@ class ContinuousDecoder:
         self.retain_results = retain_results
         self._results: Dict[int, np.ndarray] = {}
         self._next_rid = 0
+        # per-block partial outputs: {rid: this block's new ids} for every
+        # request that advanced in the LAST step() — finished requests are
+        # trimmed at EOS/limit. Streaming consumers (serving/continuous.py
+        # streamed requests) read this to synthesise audio incrementally
+        # while the request is still decoding.
+        self.last_block_tokens: Dict[int, np.ndarray] = {}
         self.blocks_run = 0
         # host-side stage timers (exposed for probes/ops): refill covers the
         # per-request prefill + insert dispatches, decode covers the block
@@ -493,9 +499,11 @@ class ContinuousDecoder:
         nj = int(n_h)
         eos = self.cfg.stop_speech_token
         out: Dict[int, np.ndarray] = {}
+        self.last_block_tokens = {}
         for s_idx, sl in enumerate(self._slots):
             if sl.rid is None:
                 continue
+            prev = sl.count
             sl.buf.append(tokens_h[:nj, s_idx])
             sl.count += nj
             if bool(done_h[s_idx]):
@@ -507,9 +515,14 @@ class ContinuousDecoder:
                 # genuine EOS (always within the limit) stays included
                 end = min(end, sl.limit)
                 out[sl.rid] = seq[:end]
+                self.last_block_tokens[sl.rid] = seq[prev:end]
                 if self.retain_results:
                     self._results[sl.rid] = out[sl.rid]
                 self._slots[s_idx] = _Slot()
+            else:
+                # a live (not done) row's block tokens are all real samples
+                # (an EOS would have flipped done)
+                self.last_block_tokens[sl.rid] = tokens_h[:nj, s_idx]
         return out
 
     def drain(self) -> Dict[int, np.ndarray]:

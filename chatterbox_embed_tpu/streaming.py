@@ -175,6 +175,163 @@ def first_chunk(t3_params, s3_params, cond, text_tokens: np.ndarray, *,
     return fc, resume
 
 
+class WindowedSynth:
+    """Incremental flow + vocoder tail over a stream of speech-token blocks.
+
+    Exactly the windowed synthesis loop of ChatterboxTTS.stream_generate
+    (which now delegates here), factored out so ANY token source can stream
+    audio — the lock-step decode or a continuous-batching engine slot
+    (serving/continuous.py streamed requests, round-5 VERDICT item 4):
+    - the flow runs on [prompt; last C tokens; new tokens] with mu pinned
+      over already-emitted frames and CFM noise indexed at absolute frame
+      positions (s3gen.flow_to_mel_window);
+    - the vocoder synthesises [M context mel frames; new frames] with a
+      phase-continuous harmonic source (hifigan.stream_synthesize);
+    - synthesis groups follow the doubling schedule block_tokens ->
+      throughput_block_tokens, so identical feeds produce identical windows
+      (and identical audio) regardless of how the tokens were batched in.
+
+    feed() takes a raw decoded block (EOS/invalid ids are filtered here) and
+    returns the wav chunks that became emittable; finish() flushes the final
+    window (lookahead included). seed_from_fused() resumes from the fused
+    first-chunk program's carries, exactly as stream_generate's fused path.
+    """
+
+    def __init__(self, s3gen_params, prompt_token, prompt_feat, embedding, *,
+                 phase_key, cfg: ChatterboxConfig = ChatterboxConfig(),
+                 dtype=jnp.float32, block_tokens: int = 25,
+                 throughput_block_tokens: int = 300,
+                 ctx_tokens: int | None = None, voc_ctx: int | None = None):
+        self.p = s3gen_params
+        self.prompt_token = prompt_token
+        self.prompt_feat = prompt_feat
+        self.embedding = embedding
+        self.cfg = cfg
+        self.dtype = dtype
+        self.phase_key = phase_key
+        self.C = STREAM_CTX_TOKENS if ctx_tokens is None else ctx_tokens
+        self.M = STREAM_VOC_CTX_MEL if voc_ctx is None else voc_ctx
+        s3c = cfg.s3gen
+        self.r = s3c.flow.token_mel_ratio
+        self.look = s3c.flow.pre_lookahead_len
+        self.pin = self.r * (self.C - self.look)
+        self.nmel = s3c.mel_num
+        self.up = s3c.hift.total_upsample
+        nh = s3c.hift.nb_harmonics + 1
+        # static shape buckets: one compiled (flow, vocoder) program pair per
+        # group size in the doubling schedule block_tokens -> throughput cap
+        self.sizes = [block_tokens]
+        while self.sizes[-1] < throughput_block_tokens:
+            self.sizes.append(min(2 * self.sizes[-1], throughput_block_tokens))
+        self.throughput_cap = throughput_block_tokens
+        self.target = block_tokens
+        self.pending = np.zeros((0,), np.int32)
+        self.n = 0                                   # tokens consumed
+        self.recent = np.zeros((0,), np.int32)       # last <= C tokens
+        self.mu_pin = jnp.zeros((1, self.pin, self.nmel), jnp.float32)
+        self.mel_tail = np.zeros((1, 0, self.nmel), np.float32)
+        self.phase = jnp.zeros((1, nh), jnp.float32)
+        self.first_voc = True
+        self.vidx = 0
+
+    def seed_from_fused(self, valid_tokens: np.ndarray, mu_tail, mel_tail,
+                        phase_carry) -> None:
+        """Resume after streaming.first_chunk synthesised the first group."""
+        self.n = len(valid_tokens)
+        self.recent = np.asarray(valid_tokens, np.int32)[-self.C:]
+        self.mu_pin = mu_tail
+        self.mel_tail = np.asarray(mel_tail, np.float32)
+        self.phase = phase_carry
+        self.first_voc = False
+        self.vidx = 1
+        self.target = min(2 * self.sizes[0], self.throughput_cap)
+
+    def _bucket_group(self, n: int) -> int:
+        for s in self.sizes:
+            if n <= s:
+                return s
+        return self.sizes[-1]
+
+    def _synthesize(self, group: np.ndarray, final: bool):
+        """Run one flow+vocoder window over `group` new tokens."""
+        r, look, C, M = self.r, self.look, self.C, self.M
+        first = self.n == 0
+        if first and len(group) == 0:
+            return None
+        ctx = self.recent if not first else np.zeros((0,), np.int32)
+        gbkt = self._bucket_group(max(len(group), 1))
+        width = len(ctx) + gbkt
+        win = np.zeros((1, width), np.int32)
+        filled = np.concatenate([ctx, group])
+        win[0, :len(filled)] = filled
+        vlen = len(filled)
+        n0 = self.n - len(ctx)
+        mel_gen, mu_tail = s3gen_mod.flow_to_mel_window(
+            self.p, jnp.asarray(win), jnp.asarray([vlen]),
+            self.prompt_token, self.prompt_feat, self.embedding, self.mu_pin,
+            pin_frames=0 if first else self.pin, noise_off=r * n0,
+            finalize=final, cfg=self.cfg.s3gen, dtype=self.dtype)
+        self.mu_pin = mu_tail
+        # newly emittable frames of this window's generated region
+        lo = r * max(len(ctx) - look, 0)
+        hi = r * (vlen if final else vlen - look)
+        self.n += len(group)
+        self.recent = filled[-C:]
+        if hi <= lo:
+            return None
+        mel_new = np.asarray(mel_gen[:, lo:hi])
+
+        # vocoder window: [M emitted context frames; new frames], padded to
+        # the bucket width so programs are reused across calls
+        valid_new = mel_new.shape[1]
+        new_cap = r * (gbkt + look)  # final windows add the held-back lookahead
+        m_eff = self.mel_tail.shape[1]
+        mel_win = np.zeros((1, m_eff + new_cap, self.nmel), np.float32)
+        mel_win[:, :m_eff] = self.mel_tail
+        mel_win[:, m_eff:m_eff + valid_new] = mel_new
+        # phase carry is read at the start of the NEXT window, which is this
+        # window's valid end minus the next context width
+        m_next = min(M, m_eff + valid_new)
+        carry_idx = max((m_eff + valid_new - m_next) * self.up - 1, 0)
+        wav_win, carry = hift_mod.stream_synthesize(
+            self.p["hift"], jnp.asarray(mel_win), self.phase_key,
+            jax.random.fold_in(self.phase_key, self.vidx), self.phase,
+            carry_idx, cfg=self.cfg.s3gen.hift, dtype=self.dtype)
+        self.phase = carry
+        self.vidx += 1
+        self.mel_tail = mel_win[:, max(m_eff + valid_new - M, 0):
+                                m_eff + valid_new]
+        chunk = np.asarray(
+            wav_win[0, m_eff * self.up: (m_eff + valid_new) * self.up]).copy()
+        if self.first_voc:
+            fade = s3gen_mod.trim_fade()
+            chunk[: fade.shape[0]] *= fade
+            self.first_voc = False
+        return chunk
+
+    def feed(self, block: np.ndarray) -> list[np.ndarray]:
+        """Consume one decoded token block; return newly emittable chunks."""
+        from .config import SPEECH_VOCAB_SIZE
+        block = np.asarray(block, np.int32).reshape(-1)
+        block = block[block < SPEECH_VOCAB_SIZE]
+        self.pending = np.concatenate([self.pending, block])
+        chunks = []
+        while len(self.pending) >= self.target:
+            group, self.pending = (self.pending[:self.target],
+                                   self.pending[self.target:])
+            chunk = self._synthesize(group, final=False)
+            self.target = min(2 * self.target, self.throughput_cap)
+            if chunk is not None and chunk.size:
+                chunks.append(chunk)
+        return chunks
+
+    def finish(self) -> list[np.ndarray]:
+        """Flush the final window (lookahead included)."""
+        chunk = self._synthesize(self.pending, final=True)
+        self.pending = np.zeros((0,), np.int32)
+        return [chunk] if chunk is not None and chunk.size else []
+
+
 def continue_tokens(t3_params, fc: FirstChunk, resume: dict, *,
                     cfg: ChatterboxConfig = ChatterboxConfig(),
                     dtype=jnp.float32):

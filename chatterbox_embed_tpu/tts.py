@@ -912,7 +912,6 @@ class ChatterboxTTS:
         does not support).
         """
         assert self.conds is not None, "prepare conditionals first"
-        from .models import hifigan as hift_mod
         from . import streaming
 
         # streaming is single-chip: on a mesh-enabled instance use the
@@ -932,23 +931,16 @@ class ChatterboxTTS:
 
         C = self.STREAM_CTX_TOKENS
         M = self.STREAM_VOC_CTX_MEL
-        r = self.cfg.s3gen.flow.token_mel_ratio
-        look = self.cfg.s3gen.flow.pre_lookahead_len
-        pin = r * (C - look)
-        nmel = self.cfg.s3gen.mel_num
-        nh = self.cfg.s3gen.hift.nb_harmonics + 1
         up = self.cfg.s3gen.hift.total_upsample
-        phase_key = jax.random.PRNGKey(seed)
-
-        state = {
-            "n": 0,                                   # tokens consumed
-            "recent": np.zeros((0,), np.int32),       # last <=C tokens
-            "mu_pin": jnp.zeros((1, pin, nmel), jnp.float32),
-            "mel_tail": np.zeros((1, 0, nmel), np.float32),
-            "phase": jnp.zeros((1, nh), jnp.float32),
-            "first_voc": True,
-            "vidx": 0,
-        }
+        # the windowed flow/vocoder tail, shared with the continuous engine's
+        # streamed requests (streaming.WindowedSynth — the synthesis loop
+        # that used to live inline here, bit-for-bit)
+        synth = streaming.WindowedSynth(
+            self.s3gen_params, prompt_token, prompt_feat, embedding,
+            phase_key=jax.random.PRNGKey(seed), cfg=self.cfg,
+            dtype=self.dtype, block_tokens=block_tokens,
+            throughput_block_tokens=throughput_block_tokens,
+            ctx_tokens=C, voc_ctx=M)
 
         fused = (np.asarray(cfg_weight, np.float32).size == 1
                  and float(np.asarray(cfg_weight, np.float32)) > 0.0
@@ -976,11 +968,9 @@ class ChatterboxTTS:
             if n_valid_mel > 0:
                 # seed the windowed loop exactly where the fused program
                 # left off
-                state.update(
-                    n=len(valid), recent=valid[-C:],
-                    mu_pin=fc.mu_tail,
-                    mel_tail=mel_tail_h[:, :min(M, n_valid_mel)],
-                    phase=fc.phase_carry, first_voc=False, vidx=1)
+                synth.seed_from_fused(valid, fc.mu_tail,
+                                      mel_tail_h[:, :min(M, n_valid_mel)],
+                                      fc.phase_carry)
                 first_wav = wav_h[0, : n_valid_mel * up].copy()
             else:
                 # Degenerate short utterance: EOS (or the max_new_tokens
@@ -1002,98 +992,19 @@ class ChatterboxTTS:
                 min_p=min_p, top_p=top_p, seed=seed, block=block_tokens,
                 cfg=self.cfg.t3, dtype=self.dtype)
 
-        # static shape buckets: one compiled (flow, vocoder) program pair per
-        # group size in the doubling schedule block_tokens -> throughput cap
-        sizes = [block_tokens]
-        while sizes[-1] < throughput_block_tokens:
-            sizes.append(min(2 * sizes[-1], throughput_block_tokens))
-
-        def _bucket_group(n: int) -> int:
-            for s in sizes:
-                if n <= s:
-                    return s
-            return sizes[-1]
-
-        def synthesize(group: np.ndarray, final: bool):
-            """Run one flow+vocoder window over `group` new tokens."""
-            first = state["n"] == 0
-            if first and len(group) == 0:
-                return None
-            ctx = state["recent"] if not first else np.zeros((0,), np.int32)
-            gbkt = _bucket_group(max(len(group), 1))
-            width = len(ctx) + gbkt
-            win = np.zeros((1, width), np.int32)
-            filled = np.concatenate([ctx, group])
-            win[0, :len(filled)] = filled
-            vlen = len(filled)
-            n0 = state["n"] - len(ctx)
-            mel_gen, mu_tail = s3gen_mod.flow_to_mel_window(
-                self.s3gen_params, jnp.asarray(win), jnp.asarray([vlen]),
-                prompt_token, prompt_feat, embedding, state["mu_pin"],
-                pin_frames=0 if first else pin, noise_off=r * n0,
-                finalize=final, cfg=self.cfg.s3gen, dtype=self.dtype)
-            state["mu_pin"] = mu_tail
-            # newly emittable frames of this window's generated region
-            lo = r * max(len(ctx) - look, 0)
-            hi = r * (vlen if final else vlen - look)
-            state["n"] += len(group)
-            state["recent"] = filled[-C:]
-            if hi <= lo:
-                return None
-            mel_new = np.asarray(mel_gen[:, lo:hi])
-
-            # vocoder window: [M emitted context frames; new frames], padded
-            # to the bucket width so programs are reused across calls
-            valid_new = mel_new.shape[1]
-            new_cap = r * (gbkt + look)  # final windows add the held-back lookahead
-            m_eff = state["mel_tail"].shape[1]
-            mel_win = np.zeros((1, m_eff + new_cap, nmel), np.float32)
-            mel_win[:, :m_eff] = state["mel_tail"]
-            mel_win[:, m_eff:m_eff + valid_new] = mel_new
-            # phase carry is read at the start of the NEXT window, which is
-            # this window's valid end minus the next context width
-            m_next = min(M, m_eff + valid_new)
-            carry_idx = max((m_eff + valid_new - m_next) * up - 1, 0)
-            wav_win, carry = hift_mod.stream_synthesize(
-                self.s3gen_params["hift"], jnp.asarray(mel_win), phase_key,
-                jax.random.fold_in(phase_key, state["vidx"]), state["phase"],
-                carry_idx, cfg=self.cfg.s3gen.hift, dtype=self.dtype)
-            state["phase"] = carry
-            state["vidx"] += 1
-            state["mel_tail"] = mel_win[:, max(m_eff + valid_new - M, 0):
-                                        m_eff + valid_new]
-            chunk = np.asarray(
-                wav_win[0, m_eff * up: (m_eff + valid_new) * up]).copy()
-            if state["first_voc"]:
-                fade = s3gen_mod.trim_fade()
-                chunk[: fade.shape[0]] *= fade
-                state["first_voc"] = False
-            return chunk
-
-        pending = np.zeros((0,), np.int32)
         if fused and leftover is None:
             # the fused program already consumed (and synthesised) the first
-            # group — later groups follow the doubling schedule from there
-            target = min(2 * block_tokens, throughput_block_tokens)
+            # group — seed_from_fused advanced the doubling schedule
             if first_wav is not None and first_wav.size:
                 yield first_wav
-        else:
-            target = block_tokens      # first group is small (TTFA)
-            if leftover is not None:
-                pending = leftover     # degenerate fused case: re-synthesise
+        elif leftover is not None:
+            # degenerate fused case: re-synthesise through the windowed loop
+            # (the final flush reproduces the unfused first window exactly)
+            yield from synth.feed(leftover)
         for block in token_stream:
-            block = block[block < SPEECH_VOCAB_SIZE]
-            pending = np.concatenate([pending, block])
-            while len(pending) >= target:
-                group, pending = pending[:target], pending[target:]
-                chunk = synthesize(group, final=False)
-                target = min(2 * target, throughput_block_tokens)
-                if chunk is not None and chunk.size:
-                    yield chunk
+            yield from synth.feed(block)
         # final flush (lookahead included)
-        chunk = synthesize(pending, final=True)
-        if chunk is not None and chunk.size:
-            yield chunk
+        yield from synth.finish()
 
     def _generate_with_prepared_conditionals(self, text: str, conditionals: Conditionals,
                                              exaggeration=None, repetition_penalty=1.2,

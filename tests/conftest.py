@@ -51,3 +51,50 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (round-5 VERDICT item 7): the full suite crossed 38 min of
+# single-process CPU time, past the point where it gets run routinely (the
+# q4ad bench outlier came from a concurrent full sweep). The torch-parity
+# files and the full-pipeline e2e are a `parity` tier, deselected by
+# default; `pytest --tier full` (or CHATTERBOX_TEST_TIER=full) runs
+# everything, `--tier parity` runs only that tier. Individual slow tests
+# can join the tier with @pytest.mark.parity.
+# ---------------------------------------------------------------------------
+
+PARITY_FILES = {
+    "test_parity_s3gen.py",
+    "test_parity_speaker_vocoder.py",
+    "test_parity_t3.py",
+    "test_s3tokenizer_parity.py",
+    "test_from_local_e2e.py",
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--tier", default=os.getenv("CHATTERBOX_TEST_TIER", "fast"),
+        choices=["fast", "parity", "full"],
+        help="fast (default): everything except the torch-parity/e2e tier; "
+             "parity: only that tier; full: the whole suite")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "parity: torch-parity / full-size e2e tier "
+                   "(deselected unless --tier parity/full)")
+
+
+def pytest_collection_modifyitems(config, items):
+    tier = config.getoption("--tier")
+    if tier == "full":
+        return
+    keep, drop = [], []
+    for it in items:
+        in_parity = (it.fspath.basename in PARITY_FILES
+                     or it.get_closest_marker("parity") is not None)
+        (keep if in_parity == (tier == "parity") else drop).append(it)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep

@@ -240,6 +240,66 @@ def test_continuous_server_multi_voice(tiny_tts, tmp_path):
     assert all(np.isfinite(w).all() and w.size > 0 for w in wavs.values())
 
 
+def test_streamed_request_matches_stream_generate(tiny_tts, monkeypatch):
+    """submit(stream=True): the request's audio is synthesised incrementally
+    from its slot's per-block tokens through the SAME WindowedSynth loop
+    stream_generate runs — at near-greedy temperature the engine's token
+    stream equals the lock-step stream (t3.generate parity), so the streamed
+    chunks concatenate BIT-IDENTICALLY to stream_generate's output, and the
+    completed wav pump() returns equals that concatenation."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    monkeypatch.setenv("CHATTERBOX_FUSED_FIRST_CHUNK", "0")
+    text = "Hello streaming world."
+    kw = dict(temperature=1e-4, cfg_weight=0.5, seed=7)
+    ref = np.concatenate(list(tiny_tts.stream_generate(
+        text, block_tokens=8, max_new_tokens=16, **kw)))
+    srv = ContinuousServer(tiny_tts, slots=2, text_bucket=32,
+                           max_new_tokens=16, block=8, vocode_batch=2)
+    rid = srv.submit(text, stream=True, max_new_tokens=16, **kw)
+    chunks, finished = [], {}
+    saw_early_chunk = False
+    while not srv.idle:
+        finished.update(srv.pump())
+        new = srv.take_stream(rid)
+        if new and rid not in finished:
+            saw_early_chunk = True       # audio BEFORE the request completed
+        chunks.extend(new)
+    chunks.extend(srv.take_stream(rid))
+    assert not srv.failed
+    assert saw_early_chunk, "no chunk arrived before completion"
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(finished[rid], ref)
+    # buffers are released after the post-completion take
+    assert rid not in srv._schunks
+
+
+def test_streamed_request_under_traffic(tiny_tts):
+    """A streamed request's audio is independent of surrounding traffic
+    (request isolation extends through the windowed tail)."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+
+    def run(extra: int):
+        srv = ContinuousServer(tiny_tts, slots=2, text_bucket=32,
+                               max_new_tokens=16, block=8, vocode_batch=2)
+        rid = srv.submit("Isolated stream target.", stream=True,
+                         temperature=0.7, cfg_weight=0.5, seed=11,
+                         max_new_tokens=16)
+        for i in range(extra):
+            srv.submit(f"Background req {i}.", temperature=0.8,
+                       cfg_weight=0.5, seed=100 + i, max_new_tokens=16)
+        chunks = []
+        while not srv.idle:
+            srv.pump()
+            chunks.extend(srv.take_stream(rid))
+        chunks.extend(srv.take_stream(rid))
+        return np.concatenate(chunks)
+
+    alone = run(0)
+    busy = run(3)
+    np.testing.assert_array_equal(alone, busy)
+
+
 def test_continuous_first_pass_gate(tiny_tts, monkeypatch):
     """CHATTERBOX_CONTINUOUS=1 routes the batched chunk first pass through
     the slot-refill engine; the {row: wav} contract (and the callers'
