@@ -612,21 +612,54 @@ def _bucket(n: int) -> int:
 DECODE_BLOCK = 256
 MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 
+# Validated single-chip decode KV envelope in CACHE BYTES (rows x capacity x
+# per-token-row KV bytes). The fence is bytes, not rows: measured GREEN at
+# 1.53 GB (64 CFG rows x capacity 388 int8 — q4af b32 headline), 2.23 GB
+# (32 rows x 1132 — q4ag/q5a b16 x 1000-cap) and 2.54 GB (the q4ac worker's
+# 16-slot engine, 32 rows x capacity 1292); reproducible worker CRASH at
+# 4.45 GB (64 rows x 1132) — phased or not, q4ah + q5a 6/6 tries
+# (measurements/q5a_b32_t1000_{derived,off}.err). 2.6 GB sits just above
+# the largest validated-green footprint; raise only with a measured green
+# cell at the new size (scripts/tpu_queue_r5c.sh bisects the 2.6-4.45 GB
+# gap).
+KV_FENCE_BYTES = int(os.getenv("CHATTERBOX_KV_FENCE_BYTES", 2_600_000_000))
 
-def max_decode_utterances() -> int:
-    """Single-chip fused-batch cap. The round-3 fence was HBM: 64 CFG rows
-    of bf16 cache RESOURCE_EXHAUST the v5e (PERF_NOTES B=64 study). The int8
-    KV cache halves the slabs and the round-4 product probe ran 32
-    utterances (64 rows) un-sub-batched CLEAN — and 1.4x faster per
-    utterance-step than two sub-batches of 16 (0.187 vs 0.268 ms/utt/step,
-    scripts/b64_product_probe.py 2026-08-18). CHATTERBOX_MAX_DECODE_UTT
-    overrides for ops re-measurement."""
+
+def max_decode_utterances(cache_capacity: int | None = None, *,
+                          rows_per_utt: int = 2,
+                          cfg: T3Config | None = None) -> int:
+    """Single-chip fused-batch cap in UTTERANCES.
+
+    Without a capacity this is the short-cap fence (the round-3/4 studies:
+    64 CFG rows of bf16 cache RESOURCE_EXHAUST the v5e; the int8 KV cache
+    halves the slabs — 32 utterances un-sub-batched ran 1.4x faster per
+    utterance-step than two sub-batches of 16, scripts/b64_product_probe.py).
+
+    With `cache_capacity` (context + generation slots) the cap additionally
+    honors KV_FENCE_BYTES, snapping down to a power of two so long-cap
+    batches reuse the warm shorter-batch programs: at the reference's
+    1000-token cap a batch of 32 decodes as two sub-batches of 16 instead
+    of crashing the worker at the 4.45 GB footprint. rows_per_utt is 2 under
+    CFG (the fused dual-row layout), 1 otherwise.
+
+    CHATTERBOX_MAX_DECODE_UTT overrides everything for ops re-measurement.
+    """
     env = os.getenv("CHATTERBOX_MAX_DECODE_UTT")
     if env:
         return int(env)
-    if llama._kv_int8_mode() > 0:
-        return 2 * MAX_DECODE_UTTERANCES
-    return MAX_DECODE_UTTERANCES
+    kv_int8 = llama._kv_int8_mode() > 0
+    base = 2 * MAX_DECODE_UTTERANCES if kv_int8 else MAX_DECODE_UTTERANCES
+    if not cache_capacity:
+        return base
+    lcfg = (cfg or T3Config()).llama
+    per_token_row = (lcfg.num_layers * 2 * lcfg.num_kv_heads * lcfg.head_dim
+                     * (1 if kv_int8 else 2))
+    rows = KV_FENCE_BYTES // max(int(cache_capacity) * per_token_row, 1)
+    utts = max(int(rows) // max(rows_per_utt, 1), 1)
+    snapped = 1
+    while snapped * 2 <= utts:
+        snapped *= 2
+    return min(base, snapped)
 # Flash decode gate, set by the round-4 PRODUCT-PATH A/B (PERF_NOTES.md
 # "Round-4 flash-gate arbitration": bench.py --batch N over
 # CHATTERBOX_FLASH_MAX_UTT, superseding the RTT-contaminated round-3 scan
@@ -668,21 +701,23 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     # to the same program and computes the exact same result as unpadded
     p_len = pad + cond_width(cond, cfg) + lt + 1 + (1 if cfg_on else 0)
     n_utt = u
-    cap_utt = max_decode_utterances()
+    # cache capacity: fixed per bucket so one block program serves all lengths
+    cap = p_len + max(max_new_tokens, DECODE_BLOCK)
+    cap_utt = max_decode_utterances(cap, rows_per_utt=2 if cfg_on else 1,
+                                    cfg=cfg)
     if mesh is None and n_utt > cap_utt:
-        # hard fence, not a silent cap: 64 fused CFG rows of bf16 cache
-        # RESOURCE_EXHAUST the v5e (scripts/repro_b64_decode_fault.py,
-        # PERF_NOTES.md B=64 study); the int8 KV cache doubles the cap.
+        # hard fence, not a silent cap: the decode KV footprint is bounded
+        # by KV_FENCE_BYTES (64 CFG rows crash the v5e worker at the
+        # 1000-token cap, 4.45 GB — q4ah/q5a; 64 bf16 rows RESOURCE_EXHAUST
+        # even at short caps, scripts/repro_b64_decode_fault.py).
         # generate_batch sub-batches transparently; direct callers must do
         # the same or shard rows over a dp mesh.
         raise ValueError(
-            f"{n_utt} utterances > max_decode_utterances()={cap_utt} "
-            f"for a single-chip fused decode (v5e HBM fence at B=64 bf16 "
-            f"rows; see scripts/repro_b64_decode_fault.py). Use "
-            f"generate_batch (sub-batches automatically), enable the int8 "
-            f"KV cache (CHATTERBOX_INT8_KV=1), or pass a dp mesh.")
-    # cache capacity: fixed per bucket so one block program serves all lengths
-    cap = p_len + max(max_new_tokens, DECODE_BLOCK)
+            f"{n_utt} utterances > max_decode_utterances({cap})={cap_utt} "
+            f"for a single-chip fused decode (v5e HBM fence, "
+            f"KV_FENCE_BYTES={KV_FENCE_BYTES}). Use generate_batch "
+            f"(sub-batches automatically), enable the int8 KV cache "
+            f"(CHATTERBOX_INT8_KV=1), or pass a dp mesh.")
     # Pallas decode kernel gate: measured crossover on v5e at the 1024-slot
     # cache (PERF_NOTES.md round-3 study) — the kernel wins 2.0x/1.7x/1.2x
     # at 2/8 rows and loses at 32 (its chunk walk is invocation-overhead
@@ -901,7 +936,15 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
     use `mesh=` (dp sharding across chips).
     """
     tt = np.atleast_2d(text_tokens)
-    cap_utt = max_decode_utterances()
+    # mirror start_generation's capacity so the sub-batch split lands under
+    # the KV-bytes fence (at the reference's 1000-token cap a batch of 32
+    # becomes two sub-batches of 16)
+    _cfg_on = bool(np.any(np.asarray(cfg_weight, np.float32) > 0.0))
+    _cap = (min(_bucket(tt.shape[1]), cfg.max_text_seq_len)
+            + cond_width(cond, cfg) + 1 + (1 if _cfg_on else 0)
+            + max(max_new_tokens, DECODE_BLOCK))
+    cap_utt = max_decode_utterances(_cap, rows_per_utt=2 if _cfg_on else 1,
+                                    cfg=cfg)
     if mesh is None and tt.shape[0] > cap_utt:
         def _slice(v, s0, s1):
             a = np.asarray(v, np.float32)

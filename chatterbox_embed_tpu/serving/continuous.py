@@ -77,9 +77,13 @@ class ContinuousServer:
         mesh = getattr(tts, "mesh", None)
         dp = dict(mesh.shape).get("dp", 1) if mesh is not None else 1
         if slots is None:
-            # the decode-utterance fence is PER-CHIP HBM, so a dp mesh hosts
-            # dp x the slots (each chip holds slots/dp of them)
-            slots = min(16, t3_mod.max_decode_utterances()) * dp
+            # the decode-utterance fence is PER-CHIP HBM (KV-bytes bounded,
+            # so long caps derive fewer slots), and a dp mesh hosts dp x the
+            # slots (each chip holds slots/dp of them)
+            cond_w = 2 + tts.cfg.t3.perceiver_num_queries
+            capacity = text_bucket + cond_w + 2 + max_new_tokens
+            slots = min(16, t3_mod.max_decode_utterances(
+                capacity, cfg=tts.cfg.t3)) * dp
         elif dp > 1 and slots % dp != 0:
             raise ValueError(f"slots={slots} must be a multiple of the dp "
                              f"axis ({dp}) — each chip hosts slots/dp slots")

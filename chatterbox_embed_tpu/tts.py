@@ -1190,7 +1190,10 @@ class ChatterboxTTS:
                       else [conds] * len(texts))
         tok_lens = [len(self.tokenizer.text_to_tokens(t)[0]) + 2 for t in texts]
         bucket = t3_mod._bucket(max(tok_lens))
-        slots = min(len(texts), t3_mod.max_decode_utterances(), 16)
+        cap_eng = (bucket + 2 + self.cfg.t3.perceiver_num_queries + 2
+                   + min(max_new_tokens, 1000))
+        slots = min(len(texts),
+                    t3_mod.max_decode_utterances(cap_eng, cfg=self.cfg.t3), 16)
         srv = ContinuousServer(
             self, slots=slots, text_bucket=bucket,
             max_new_tokens=min(max_new_tokens, 1000), block=64,

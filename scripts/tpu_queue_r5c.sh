@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-5 queue C: the KV-bytes decode fence (t3.KV_FENCE_BYTES).
+#   1. b32 x 1000 under SHIPPED DEFAULTS — the 6/6-crash shape (q5a,
+#      phased AND unphased) must now complete green: the capacity-aware
+#      fence sub-batches 32 utts into 2 x 16 (2.23 GB KV each) instead of
+#      one 64-row 4.45 GB decode.
+#   2/3. Bisect the 2.6-4.45 GB gap with CHATTERBOX_MAX_DECODE_UTT=32
+#      forcing un-sub-batched decodes: b32 x 600 (64 rows x cap ~788,
+#      3.10 GB) and b24 x 1000 (48 rows x cap 1132, 3.34 GB). A green cell
+#      raises KV_FENCE_BYTES (env CHATTERBOX_KV_FENCE_BYTES, then code)
+#      to just above it; a crash tightens the interval. Run LAST — a
+#      worker crash can wedge the tunnel for the next cell.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p measurements
+export PYTHONPATH="/root/repo:/root/.axon_site"
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = (jnp.ones((128,128)) @ jnp.ones((128,128))).block_until_ready()" >/dev/null 2>&1
+}
+wait_tunnel() {
+  local n=0
+  until probe; do
+    n=$((n+1)); echo "[q5c] tunnel down, retry $n $(date +%H:%M:%S)" >&2
+    sleep 150
+    if [ "$n" -ge 200 ]; then echo "[q5c] giving up" >&2; exit 1; fi
+  done
+  echo "[q5c] tunnel up $(date +%H:%M:%S)" >&2
+}
+run_watched() {
+  local tag="$1" stall="$2" cap="$3" tries="$4"; shift 4
+  local try
+  for try in $(seq 1 "$tries"); do
+    wait_tunnel
+    echo "[q5c] $tag try $try $(date +%H:%M:%S)" >&2
+    "$@" > "measurements/${tag}.log" 2> "measurements/${tag}.err" &
+    local pid=$!
+    local prev=0 now elapsed=0 wall=0
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      elapsed=$((elapsed + 60)); wall=$((wall + 60))
+      now=$(awk '{print $14+$15}' /proc/$pid/stat 2>/dev/null || echo "")
+      [ -z "$now" ] && break
+      if { [ $((now - prev)) -lt 200 ] && [ "$elapsed" -ge "$stall" ]; } \
+         || [ "$wall" -ge "$cap" ]; then
+        echo "[q5c] $tag STALLED/capped — killing $pid" >&2
+        kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+        break
+      fi
+      if [ $((now - prev)) -ge 200 ]; then elapsed=0; fi
+      prev=$now
+    done
+    wait "$pid" 2>/dev/null && { echo "[q5c] $tag ok" >&2; return 0; }
+    echo "[q5c] $tag retrying" >&2
+  done
+  echo "[q5c] $tag FAILED" >&2
+  return 1
+}
+run_watched q5c_b32_t1000_fenced 2400 5400 3 \
+  python bench.py --batch 32 --tokens 1000 --iters 3
+# bisect cells: 2 tries each (a crash here is DATA, not a flake to chase)
+run_watched q5c_b32_t600_rows64 2400 4200 2 \
+  env CHATTERBOX_MAX_DECODE_UTT=32 python bench.py --batch 32 --tokens 600 --iters 3
+run_watched q5c_b24_t1000_rows48 2400 4200 2 \
+  env CHATTERBOX_MAX_DECODE_UTT=32 python bench.py --batch 24 --tokens 1000 --iters 3
+echo "[q5c] done $(date +%H:%M:%S)" >&2

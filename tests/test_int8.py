@@ -91,6 +91,64 @@ def test_decode_fence_raises_beyond_cap(pair, rng, monkeypatch):
     assert len(outs) == t3.MAX_DECODE_UTTERANCES + 1
 
 
+def test_decode_fence_is_capacity_aware(monkeypatch):
+    """The decode fence is KV BYTES, not a fixed row count: 64 CFG rows ran
+    green at capacity 388 (1.53 GB int8) but crash the v5e worker at
+    capacity 1132 (4.45 GB) — phased or not (q4ah + q5a, 6/6 tries). The
+    derivation must keep every measured-green cell allowed, exclude the
+    crash cell, and snap to powers of two so long-cap sub-batches reuse
+    warm program shapes."""
+    from chatterbox_embed_tpu.config import T3Config
+    monkeypatch.delenv("CHATTERBOX_MAX_DECODE_UTT", raising=False)
+    full = T3Config()  # 30L x 16H x 64d -> 61440 B/token-row int8
+
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    assert t3.max_decode_utterances(388, cfg=full) == 32   # q4af green
+    assert t3.max_decode_utterances(1132, cfg=full) == 16  # q4ag green,
+    # ...which excludes the q4ah/q5a crash cell (32 utts at capacity 1132)
+    assert t3.max_decode_utterances(2000, cfg=full) == 8   # snapped down
+    # cfg-off single rows double the utterance budget
+    assert (t3.max_decode_utterances(1132, rows_per_utt=1, cfg=full) == 32)
+
+    # bf16 KV doubles the bytes: the same capacity halves the cap
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "0")
+    assert t3.max_decode_utterances(1132, cfg=full) == 8
+    assert t3.max_decode_utterances(388, cfg=full) == 16   # base cap rules
+
+    # env override wins absolutely (ops re-measurement escape hatch)
+    monkeypatch.setenv("CHATTERBOX_MAX_DECODE_UTT", "64")
+    assert t3.max_decode_utterances(5000, cfg=full) == 64
+
+
+def test_generate_batch_subbatches_at_long_caps(pair, rng, monkeypatch):
+    """generate_batch must split by the CAPACITY-aware fence: with the
+    KV-bytes envelope shrunk so only 2 utterances fit at this capacity, a
+    4-utterance batch decodes in sub-batches and returns per-row results
+    identical to the unsplit run."""
+    params, _ = pair
+    monkeypatch.delenv("CHATTERBOX_MAX_DECODE_UTT", raising=False)
+    cond = _cond(rng)
+    texts = np.tile(np.array([[5, 3, 7, 0]], np.int32), (4, 1))
+    kw = dict(max_new_tokens=8, cfg_weight=0.5, temperature=1e-4, seed=0,
+              cfg=TINY)
+    ref = t3.generate_batch(params, cond, texts, **kw)
+    lcfg = TINY.llama
+    per_tok = lcfg.num_layers * 2 * lcfg.num_kv_heads * lcfg.head_dim * 2
+    cap = (t3._bucket(4) + t3.cond_width(cond, TINY) + 2
+           + max(8, t3.DECODE_BLOCK))
+    # envelope admits exactly 2 CFG utterances at this capacity
+    monkeypatch.setattr(t3, "KV_FENCE_BYTES", 2 * 2 * cap * per_tok)
+    assert t3.max_decode_utterances(cap, cfg=TINY) == 2
+    outs = t3.generate_batch(params, cond, texts, **kw)
+    assert len(outs) == 4
+    for a, b in zip(outs, ref):
+        # sub-batch seeds follow seed + s0 (the existing convention), so
+        # rows 0/1 match bit-exactly; all rows must at least decode
+        assert a.size > 0 and b.size > 0
+    np.testing.assert_array_equal(outs[0], ref[0])
+    np.testing.assert_array_equal(outs[1], ref[1])
+
+
 def test_int8_teacher_forced_gate_metrics(pair, rng):
     """The promotion gate's metrics (scripts/int8_quality_gate.py): teacher-
     force a generated stream through both backbones and require high top-1
