@@ -618,10 +618,11 @@ MAX_DECODE_UTTERANCES = 16  # single-chip fused-batch cap (see PERF_NOTES.md)
 # (32 rows x 1132 — q4ag/q5a b16 x 1000-cap) and 2.54 GB (the q4ac worker's
 # 16-slot engine, 32 rows x capacity 1292); reproducible worker CRASH at
 # 4.45 GB (64 rows x 1132) — phased or not, q4ah + q5a 6/6 tries
-# (measurements/q5a_b32_t1000_{derived,off}.err). 2.6 GB sits just above
-# the largest validated-green footprint; raise only with a measured green
-# cell at the new size (scripts/tpu_queue_r5c.sh bisects the 2.6-4.45 GB
-# gap).
+# (measurements/q5a_b32_t1000_{derived,off}.err). The q5c bisect brackets
+# the wall: 3.10 GB (64 rows x 732) and 3.34 GB (48 rows x 1132) BOTH
+# crash, so the device limit sits in (2.54, 3.10] GB and 2.6 GB is within
+# ~18% of it — do not raise without a measured green cell
+# (scripts/tpu_queue_r5c.sh pattern).
 KV_FENCE_BYTES = int(os.getenv("CHATTERBOX_KV_FENCE_BYTES", 2_600_000_000))
 
 

@@ -84,6 +84,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "parity: torch-parity / full-size e2e tier "
                    "(deselected unless --tier parity/full)")
+    config.addinivalue_line(
+        "markers", "slow: heavy integration tests (>= ~20 s each on the "
+                   "throttled container CPU) — deselected from the default "
+                   "fast tier, run under --tier full")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -94,7 +98,11 @@ def pytest_collection_modifyitems(config, items):
     for it in items:
         in_parity = (it.fspath.basename in PARITY_FILES
                      or it.get_closest_marker("parity") is not None)
-        (keep if in_parity == (tier == "parity") else drop).append(it)
+        if tier == "parity":
+            sel = in_parity
+        else:   # fast: neither parity-tier nor slow-marked
+            sel = not in_parity and it.get_closest_marker("slow") is None
+        (keep if sel else drop).append(it)
     if drop:
         config.hook.pytest_deselected(items=drop)
         items[:] = keep

@@ -78,6 +78,7 @@ def test_create_voice_clone_error_callback(monkeypatch, tmp_path, vc):
     assert "error" in body
 
 
+@pytest.mark.slow
 def test_inference_from_text(vc, ref_voice_wav):
     vc.set_target_voice(ref_voice_wav)
     ref_dict = vc.ref_dict

@@ -198,6 +198,7 @@ def tiny_tts(tmp_path_factory):
     return tts
 
 
+@pytest.mark.slow
 def test_continuous_server_end_to_end(tiny_tts):
     """Three requests through a 2-slot server: all produce finite audio of
     the vocode-contract length (2 * cleaned_tokens * 480 samples)."""
@@ -240,6 +241,7 @@ def test_continuous_server_multi_voice(tiny_tts, tmp_path):
     assert all(np.isfinite(w).all() and w.size > 0 for w in wavs.values())
 
 
+@pytest.mark.slow
 def test_streamed_request_matches_stream_generate(tiny_tts, monkeypatch):
     """submit(stream=True): the request's audio is synthesised incrementally
     from its slot's per-block tokens through the SAME WindowedSynth loop

@@ -1,6 +1,7 @@
 """Multi-chip paths on the 8-virtual-CPU-device mesh: dp-sharded batched
 inference and dp x tp training steps."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def test_dp_sharded_phased_cache_matches_single_device(rng, monkeypatch):
         np.testing.assert_array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_dp_tp_combined_batch(rng):
     """Combined serving mesh (VERDICT r3 #7): rows over dp AND Megatron
     weights over tp in one generate_batch call. tp psums reassociate, so
@@ -162,6 +164,7 @@ def _pp_batch(rng, b=4):
     }
 
 
+@pytest.mark.slow
 def test_pp_pipeline_loss_matches_single_device(rng):
     """Pipeline-parallel T3 loss over 4 stages x 2 microbatches must equal
     the plain single-device t3.loss (same math, scheduled across a pp mesh)

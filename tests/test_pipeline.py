@@ -295,6 +295,7 @@ def test_watermark_roundtrip():
     assert np.abs(marked - wav).max() < 0.02
 
 
+@pytest.mark.slow
 def test_vc_generate(ref_voice_wav, tmp_path):
     from chatterbox_embed_tpu.vc import ChatterboxVC
     import chatterbox_embed_tpu.vc as vcmod
@@ -308,6 +309,7 @@ def test_vc_generate(ref_voice_wav, tmp_path):
     assert abs(out.shape[1] - 24_000) < 2000
 
 
+@pytest.mark.slow
 def test_vc_clone_pipeline(ref_voice_wav, tmp_path, monkeypatch):
     from chatterbox_embed_tpu.vc import ChatterboxVC
     monkeypatch.setenv("CHATTERBOX_LOCAL_STORAGE", str(tmp_path / "store"))
@@ -344,6 +346,7 @@ def test_worker_in_memory(tmp_path, monkeypatch):
     assert status["status"] == "done"
 
 
+@pytest.mark.slow
 def test_worker_mesh_integration(ref_voice_wav, tmp_path, monkeypatch):
     """Worker-level multi-chip serving (VERDICT r3 #7): a real TTS job goes
     in, the decode runs over a combined dp x tp mesh (WORKER_MESH env), and
@@ -485,6 +488,7 @@ def test_generate_batch_multivoice(tts, ref_voice_wav, tmp_path):
     assert k in tts._gen_dev_multi
 
 
+@pytest.mark.slow
 def test_vc_tts_and_clean_audio(ref_voice_wav, tmp_path):
     """VC profile-based TTS (punc_norm -> T3 -> S3Gen -> watermark -> -1 dBFS
     peak norm) and the clean_audio denoise chain."""
@@ -511,6 +515,7 @@ def test_vc_tts_and_clean_audio(ref_voice_wav, tmp_path):
     assert np.abs(cw).max() <= 10 ** (-3 / 20) + 0.02  # -3 dB peak norm
 
 
+@pytest.mark.slow
 def test_stream_windows_bounded(tts, ref_voice_wav, tmp_path, monkeypatch):
     """The windowed streaming path must do O(prompt + window) device work per
     chunk — window widths are bounded by the throughput cap and never grow
@@ -538,6 +543,7 @@ def test_stream_windows_bounded(tts, ref_voice_wav, tmp_path, monkeypatch):
     assert np.isfinite(total).all() and total.size % 480 == 0
 
 
+@pytest.mark.slow
 def test_generate_chunks_batched_first_pass(tts, ref_voice_wav, monkeypatch):
     """Multi-chunk stories run their first attempts as ONE lock-step batch
     with per-chunk adaptive params (per-row vectors)."""
@@ -572,6 +578,7 @@ def test_generate_chunks_batched_first_pass(tts, ref_voice_wav, monkeypatch):
     assert len(segments2) == len(chunks)
 
 
+@pytest.mark.slow
 def test_warmup_compiles_and_restores_state(tts):
     """warmup() with no prepared conditionals builds throwaway ones, runs the
     standard shapes, and restores the conditional-cache state."""
@@ -675,6 +682,7 @@ def test_generate_chunks_multi_pools(tts, ref_voice_wav, tmp_path, monkeypatch):
             assert seg.ndim == 1 and np.isfinite(seg).all() and seg.size > 0
 
 
+@pytest.mark.slow
 def test_worker_dynamic_batch(ref_voice_wav, tmp_path, monkeypatch):
     """WORKER_MAX_BATCH > 1 drains waiting TTS jobs into one pooled decode;
     every job keeps its own status, result payload, and stored audio."""
@@ -727,6 +735,7 @@ def test_worker_dynamic_batch(ref_voice_wav, tmp_path, monkeypatch):
     assert len(client.delivered[key]) == 3 and len(client.acked[key]) == 3
 
 
+@pytest.mark.slow
 def test_worker_dynamic_batch_isolates_bad_job(ref_voice_wav, tmp_path,
                                                monkeypatch):
     """A malformed job in a dynamic batch gets its own error + DLQ entry;
@@ -786,6 +795,7 @@ def _continuous_worker_env(monkeypatch, tmp_path):
     monkeypatch.setenv("WORKER_MAX_NEW_TOKENS", "16")
 
 
+@pytest.mark.slow
 def test_worker_continuous_serving(ref_voice_wav, tmp_path, monkeypatch):
     """Arrival-driven serving: jobs stream through one persistent
     slot-refill engine (run_continuous); the per-job status, result payload,
@@ -834,6 +844,7 @@ def test_worker_continuous_serving(ref_voice_wav, tmp_path, monkeypatch):
     assert tts_inst.get_conditional_cache_stats()["misses"] <= 2
 
 
+@pytest.mark.slow
 def test_worker_continuous_fallback_and_dlq(ref_voice_wav, tmp_path,
                                             monkeypatch):
     """A job the engine cannot admit (missing voice profile) falls back to
@@ -978,6 +989,7 @@ def test_sanitizer_equations_scoped_per_sentence():
     assert out == "x equals 1 minus 2 plus 3"
 
 
+@pytest.mark.slow
 def test_worker_continuous_nonblocking_poll(ref_voice_wav, tmp_path,
                                             monkeypatch):
     """While the engine has live jobs, run_continuous must poll with
@@ -1022,6 +1034,7 @@ def test_worker_continuous_nonblocking_poll(ref_voice_wav, tmp_path,
     assert None in client.blocks and 0 not in client.blocks
 
 
+@pytest.mark.slow
 def test_worker_continuous_pump_failure_fails_jobs(ref_voice_wav, tmp_path,
                                                    monkeypatch):
     """A persistently failing pump must FAIL in-flight jobs visibly (status

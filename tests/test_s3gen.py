@@ -53,6 +53,7 @@ def test_conformer_upsamples_2x(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_conformer_padding_invariance(rng):
     """Output at valid positions must not depend on pad content."""
     params = conformer.init(jax.random.PRNGKey(0), TINY_CONF)

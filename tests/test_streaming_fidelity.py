@@ -105,6 +105,7 @@ def test_single_window_equals_oneshot(s3, ref, rng_mod):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_mu_tail_slice_arithmetic(s3, ref, rng_mod):
     """mu_tail must be EXACTLY mu[tail_start : tail_start+pin] with
     tail_start = prompt_mel + r*(vlen - C): the frames the next window pins
@@ -177,6 +178,7 @@ def _collect_stream(tts, monkeypatch_ctx, **kw):
     return chunks, flows, vocs
 
 
+@pytest.mark.slow
 def test_stream_seam_invariants(tts, monkeypatch):
     """Every window join must be seamless by construction:
     - the mu pin chain: window k's mu_pin IS window k-1's mu_tail;
@@ -247,6 +249,7 @@ def test_stream_seam_invariants(tts, monkeypatch):
                                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stream_first_chunk_single_dispatch(tts, monkeypatch):
     """stream_generate's FIRST yielded chunk must come from the fused
     one-dispatch program: none of the separate prefill / decode / flow /
@@ -282,6 +285,7 @@ def test_stream_first_chunk_single_dispatch(tts, monkeypatch):
     assert np.isfinite(total).all() and total.size % 480 == 0
 
 
+@pytest.mark.slow
 def test_stream_fused_degenerate_equals_unfused(tts, monkeypatch):
     """Degenerate short utterance: when the decode ends within the first
     `look` (pre-lookahead) tokens, the fused first-chunk program emits NO
@@ -300,6 +304,7 @@ def test_stream_fused_degenerate_equals_unfused(tts, monkeypatch):
     np.testing.assert_allclose(fused[0], plain[0], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_fused_equals_unfused(tts, monkeypatch):
     """The fused first chunk must be numerically equivalent to the unfused
     loop: same tokens, same windows, same noise draws — chunk for chunk."""

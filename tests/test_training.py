@@ -1,6 +1,7 @@
 """Training steps actually learn: loss decreases over a few steps on a tiny
 overfit batch (single device + sharded variants)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def _t3_batch(rng, b=4):
     }
 
 
+@pytest.mark.slow
 def test_t3_training_loss_decreases(rng):
     mesh = make_mesh(4)
     params = t3.init(jax.random.PRNGKey(0), TINY)
@@ -47,6 +49,7 @@ def test_t3_training_loss_decreases(rng):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+@pytest.mark.slow
 def test_flow_training_loss_decreases(rng):
     mesh = make_mesh(4)
     dec = FlowDecoderConfig(in_channels=32, out_channels=8, channels=16,
