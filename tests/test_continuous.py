@@ -198,6 +198,25 @@ def tiny_tts(tmp_path_factory):
     return tts
 
 
+def test_continuous_server_slots_honor_kv_fence(tiny_tts, monkeypatch):
+    """Default slot derivation is CAPACITY-aware (round-5 fence): with the
+    KV-bytes envelope shrunk so only 4 CFG slots fit at this engine
+    geometry, ContinuousServer(slots=None) must build a 4-slot engine
+    instead of the short-cap 16."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    import chatterbox_embed_tpu.models.t3 as t3
+    monkeypatch.delenv("CHATTERBOX_MAX_DECODE_UTT", raising=False)
+    cfg = tiny_tts.cfg.t3
+    lcfg = cfg.llama
+    bucket, cap_new = 32, 16
+    capacity = bucket + 2 + cfg.perceiver_num_queries + 2 + cap_new
+    per_tok = lcfg.num_layers * 2 * lcfg.num_kv_heads * lcfg.head_dim * 2
+    monkeypatch.setattr(t3, "KV_FENCE_BYTES", 4 * 2 * capacity * per_tok)
+    srv = ContinuousServer(tiny_tts, text_bucket=bucket,
+                           max_new_tokens=cap_new, block=8)
+    assert srv.decoder.slots == 4
+
+
 @pytest.mark.slow
 def test_continuous_server_end_to_end(tiny_tts):
     """Three requests through a 2-slot server: all produce finite audio of
