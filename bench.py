@@ -272,6 +272,7 @@ def main():
             "batch": u,
             "tokens": tokens,
             "kv_int8": gen_info.get("kv_int8"),
+            "decode_sub_batches": gen_info.get("decode_sub_batches", 1),
             "s3gen_sub_batch": int(stage.get("s3gen_sub", 0)),
             "cfm_cache": int(stage.get("cfm_cache", 0)),
         }

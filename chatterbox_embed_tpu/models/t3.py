@@ -975,6 +975,10 @@ def generate_batch(params, cond: T3Cond, text_tokens: np.ndarray, *,
                 stop_on_eos=stop_on_eos, seed=seed + s0,
                 text_lens=None if text_lens is None else np.asarray(text_lens)[s0:s1],
                 alignment=alignment, block=block, cfg=cfg, dtype=dtype))
+        # observability: the fence split must be visible in bench JSONs (an
+        # unobserved sub-batching is indistinguishable from one big decode)
+        LAST_GENERATION_INFO["decode_sub_batches"] = -(-tt.shape[0] // cap_utt)
+        LAST_GENERATION_INFO["decode_sub_batch_utts"] = cap_utt
         return outs
     blocks = list(generate_stream(
         params, cond, text_tokens, max_new_tokens=max_new_tokens,
