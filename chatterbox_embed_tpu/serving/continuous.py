@@ -137,6 +137,16 @@ class ContinuousServer:
         (default: the engine block size — first audio after one block)."""
         conds = conds if conds is not None else self.tts.conds
         assert conds is not None, "prepare conditionals (or pass conds=)"
+        if stream and getattr(self.tts, "mesh", None) is not None:
+            # the windowed flow/vocoder tail is single-chip (same constraint
+            # as stream_generate, which clones an unmeshed instance); a
+            # mesh-enabled server must route streamed requests to a
+            # dedicated single-chip process instead
+            raise ValueError(
+                "submit(stream=True) is not supported on a mesh-enabled "
+                "server — streaming synthesis is single-chip "
+                "(tts.stream_generate docstring); run streamed requests on "
+                "an unmeshed ContinuousServer")
         sot = self.tts.cfg.t3.start_text_token
         eot = self.tts.cfg.t3.stop_text_token
         tok = self.tts.tokenizer.text_to_tokens(text)[0]

@@ -481,6 +481,10 @@ def test_continuous_server_on_mesh(tiny_tts):
     assert srv.decoder.mesh is tts2.mesh
     rids = [srv.submit(t, seed=5 + i) for i, t in
             enumerate(["Hello mesh.", "Second row."])]
+    # streaming synthesis is single-chip: a mesh server rejects stream=True
+    # loudly instead of failing inside the windowed tail
+    with pytest.raises(ValueError, match="mesh-enabled"):
+        srv.submit("No stream on mesh.", stream=True)
     wavs = srv.drain()
     assert not srv.failed and set(rids) == set(wavs)
     for w in wavs.values():
