@@ -180,6 +180,15 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32) ->
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+def _defer_kv_enabled() -> bool:
+    """CHATTERBOX_DEFER_KV=1: the deferred stacked KV insert (parity-kept
+    diagnostic path, measured never-better — forward() docstring). Phased
+    prefix reads require the eager insert, so t3.start_generation consults
+    this to skip the phase derivation under defer."""
+    import os
+    return os.getenv("CHATTERBOX_DEFER_KV", "") == "1"
+
+
 def _spy_row(w, lcache: int, cache_pos, defer: bool):
     """Head-mean attention row over CACHE coordinates for the alignment spy.
     Under deferred insert the current token rides an appended column — fold
@@ -264,9 +273,7 @@ def forward(params, x: jnp.ndarray, pos_ids: jnp.ndarray,
     # and the stacked-cache kernel operand adds full-cache copies
     # (copy.615/616, ~275 us/step), so the 434 us of in-place per-layer
     # inserts it removes come back as ~670 us of copies.
-    import os
-    defer = (t == 1 and cache is not None
-             and os.getenv("CHATTERBOX_DEFER_KV", "") == "1")
+    defer = t == 1 and cache is not None and _defer_kv_enabled()
     # Per-row cache positions (continuous batching): cache_pos may be a (B,)
     # vector when rows sit at DIFFERENT generation depths (slot-refill decode,
     # models/t3_engine.py). Each row's k/v lands in its own sequence column

@@ -628,7 +628,8 @@ KV_FENCE_BYTES = int(os.getenv("CHATTERBOX_KV_FENCE_BYTES", 2_600_000_000))
 
 def max_decode_utterances(cache_capacity: int | None = None, *,
                           rows_per_utt: int = 2,
-                          cfg: T3Config | None = None) -> int:
+                          cfg: T3Config | None = None,
+                          kv_int8: bool | None = None) -> int:
     """Single-chip fused-batch cap in UTTERANCES.
 
     Without a capacity this is the short-cap fence (the round-3/4 studies:
@@ -643,12 +644,16 @@ def max_decode_utterances(cache_capacity: int | None = None, *,
     of crashing the worker at the 4.45 GB footprint. rows_per_utt is 2 under
     CFG (the fused dual-row layout), 1 otherwise.
 
+    kv_int8 overrides the env-derived cache dtype — callers that pin their
+    own cache mode (ContinuousDecoder's kv_int8 argument) must size against
+    the cache they actually allocate, not the ambient default.
     CHATTERBOX_MAX_DECODE_UTT overrides everything for ops re-measurement.
     """
     env = os.getenv("CHATTERBOX_MAX_DECODE_UTT")
     if env:
         return int(env)
-    kv_int8 = llama._kv_int8_mode() > 0
+    if kv_int8 is None:
+        kv_int8 = llama._kv_int8_mode() > 0
     base = 2 * MAX_DECODE_UTTERANCES if kv_int8 else MAX_DECODE_UTTERANCES
     if not cache_capacity:
         return base
@@ -762,6 +767,11 @@ def start_generation(params, cond: T3Cond, text_tokens: np.ndarray, *,
     phase_totals = [total]
     k_ph = _phased_cache_k(cap - p_len)
     if (k_ph >= 2 and not use_flash and not use_fused
+            # the deferred stacked insert reads the whole cache plus an
+            # appended column — prefix reads require the eager insert, so
+            # CHATTERBOX_DEFER_KV=1 decodes unphased instead of tripping
+            # the read_len assert in llama.forward
+            and not llama._defer_kv_enabled()
             and cap - p_len > 64):
         per = -(-(cap - p_len) // k_ph)
         phase_len = -(-per // 64) * 64

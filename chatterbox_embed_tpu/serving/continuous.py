@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SPEECH_VOCAB_SIZE
+from ..models import llama, t3_engine
 from ..models import t3 as t3_mod
 from ..models.t3_engine import ContinuousDecoder
 
@@ -79,11 +80,16 @@ class ContinuousServer:
         if slots is None:
             # the decode-utterance fence is PER-CHIP HBM (KV-bytes bounded,
             # so long caps derive fewer slots), and a dp mesh hosts dp x the
-            # slots (each chip holds slots/dp of them)
-            cond_w = 2 + tts.cfg.t3.perceiver_num_queries
-            capacity = text_bucket + cond_w + 2 + max_new_tokens
+            # slots (each chip holds slots/dp of them). Size against the
+            # cache the engine will ACTUALLY allocate: an explicit kv_int8
+            # argument must override the ambient env-derived mode.
+            eff_int8 = (llama._kv_int8_mode() > 0 if kv_int8 is None
+                        else kv_int8)
+            _, capacity = t3_engine.engine_geometry(
+                tts.cfg.t3, text_bucket,
+                2 + tts.cfg.t3.perceiver_num_queries, max_new_tokens)
             slots = min(16, t3_mod.max_decode_utterances(
-                capacity, cfg=tts.cfg.t3)) * dp
+                capacity, cfg=tts.cfg.t3, kv_int8=eff_int8)) * dp
         elif dp > 1 and slots % dp != 0:
             raise ValueError(f"slots={slots} must be a multiple of the dp "
                              f"axis ({dp}) — each chip hosts slots/dp slots")
@@ -113,6 +119,13 @@ class ContinuousServer:
         self._schunks: Dict[int, List[np.ndarray]] = {}  # ext -> chunks
         self._staken: Dict[int, int] = {}
         self._sdone: set = set()
+        # requests whose consumer has actually called take_stream: only
+        # their chunk buffers survive completion (for the final take); a
+        # pump()-only consumer gets the full wav from pump's return and its
+        # buffers are freed at completion — otherwise a run-forever worker
+        # would retain every streamed request's audio (host-memory leak,
+        # the retain_wavs=False failure class)
+        self._stouched: set = set()
 
     # -- submission -----------------------------------------------------
 
@@ -178,7 +191,11 @@ class ContinuousServer:
     def take_stream(self, ext: int) -> List[np.ndarray]:
         """New audio chunks of a streamed request since the last call (empty
         when nothing new). After the request completes, the final call
-        returns the remaining chunks and releases the buffers."""
+        returns the remaining chunks and releases the buffers. Consumers
+        that never call this before the request completes (pump-only) get
+        the full wav from pump()'s return instead — their chunk buffers are
+        freed at completion, so a late first take_stream returns []."""
+        self._stouched.add(ext)
         ch = self._schunks.get(ext)
         if ch is None:
             return []
@@ -188,6 +205,7 @@ class ContinuousServer:
             self._schunks.pop(ext, None)
             self._staken.pop(ext, None)
             self._sdone.discard(ext)
+            self._stouched.discard(ext)
         else:
             self._staken[ext] = len(ch)
         return new
@@ -225,12 +243,20 @@ class ContinuousServer:
             if rid in done:
                 self._schunks[ext].extend(synth.finish())
                 del self._streams[rid]
-                self._sdone.add(ext)
                 self._meta.pop(rid, None)
                 self._ext_of.pop(rid, None)
                 chunks = self._schunks[ext]
                 wav = (np.concatenate(chunks) if chunks
                        else np.zeros((0,), np.float32))
+                if ext in self._stouched:
+                    # an active take_stream consumer: keep the untaken tail
+                    # for their final call (which releases the buffers)
+                    self._sdone.add(ext)
+                else:
+                    # pump()-only consumer: the full wav is delivered via
+                    # the return value below — free the chunk buffers now
+                    self._schunks.pop(ext, None)
+                    self._staken.pop(ext, None)
                 if wav.size == 0:
                     self._failed[ext] = "empty streamed decode"
                 else:

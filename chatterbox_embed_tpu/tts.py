@@ -1190,8 +1190,10 @@ class ChatterboxTTS:
                       else [conds] * len(texts))
         tok_lens = [len(self.tokenizer.text_to_tokens(t)[0]) + 2 for t in texts]
         bucket = t3_mod._bucket(max(tok_lens))
-        cap_eng = (bucket + 2 + self.cfg.t3.perceiver_num_queries + 2
-                   + min(max_new_tokens, 1000))
+        from .models.t3_engine import engine_geometry
+        _, cap_eng = engine_geometry(
+            self.cfg.t3, bucket, 2 + self.cfg.t3.perceiver_num_queries,
+            min(max_new_tokens, 1000))
         slots = min(len(texts),
                     t3_mod.max_decode_utterances(cap_eng, cfg=self.cfg.t3), 16)
         srv = ContinuousServer(

@@ -217,8 +217,14 @@ def _resolve_ckpt(ckpt: str | None) -> str | None:
               "      pip install huggingface_hub")
         return None
     path = None
-    for f in CKPT_FILES:
-        path = hf_hub_download(repo_id=REPO_ID, filename=f)
+    try:
+        for f in CKPT_FILES:
+            path = hf_hub_download(repo_id=REPO_ID, filename=f)
+    except Exception as e:  # noqa: BLE001 — any download failure is a FAIL verdict
+        print(f"FAIL: could not download {REPO_ID} ({type(e).__name__}: {e}).\n"
+              "      Check network access or pass --ckpt DIR with the files "
+              f"{CKPT_FILES}")
+        return None
     print(f"  checkpoint: {os.path.dirname(path)}")
     return os.path.dirname(path)
 

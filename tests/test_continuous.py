@@ -198,6 +198,75 @@ def tiny_tts(tmp_path_factory):
     return tts
 
 
+def test_streamed_buffers_freed_for_pump_only_consumers(tiny_tts):
+    """A consumer that only reads pump()'s returned wav (the run-forever
+    worker pattern) must not leak the streamed chunk buffers: at completion
+    the full wav is delivered via pump's return and the per-chunk store is
+    freed; a late first take_stream returns []."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    srv = ContinuousServer(tiny_tts, slots=2, text_bucket=32,
+                           max_new_tokens=16, block=8, vocode_batch=2)
+    rid = srv.submit("Pump only consumer.", stream=True, seed=3,
+                     max_new_tokens=16)
+    finished = {}
+    while not srv.idle:
+        finished.update(srv.pump())
+    assert rid in finished and finished[rid].size > 0
+    assert rid not in srv._schunks and rid not in srv._sdone
+    assert srv.take_stream(rid) == []
+
+
+def test_phased_derivation_skipped_under_defer_kv(tiny_t3, rng, monkeypatch):
+    """CHATTERBOX_DEFER_KV=1 (the parity-kept stacked-insert path) cannot
+    run phased prefix reads — the derivation must fall back to the
+    single-capacity decode instead of tripping llama.forward's read_len
+    assert at trace time."""
+    params, cond = tiny_t3, _cond(rng)
+    monkeypatch.setenv("CHATTERBOX_DEFER_KV", "1")
+    # force a long enough cap for the tiny config to derive K >= 2
+    monkeypatch.setenv("CHATTERBOX_PHASED_CACHE", "2")
+    out = t3.generate_batch(params, cond,
+                            np.array([[5, 3, 7, 0]], np.int32),
+                            max_new_tokens=80, cfg_weight=0.5,
+                            temperature=1e-4, seed=0, cfg=TINY)
+    assert out[0].size > 0
+    assert t3.LAST_GENERATION_INFO["phase_totals"] == [
+        t3.LAST_GENERATION_INFO["cache_total"]]
+    # and the forced-K run WITHOUT defer does phase (the gate is defer,
+    # not the env K)
+    monkeypatch.delenv("CHATTERBOX_DEFER_KV")
+    t3.generate_batch(params, cond, np.array([[5, 3, 7, 0]], np.int32),
+                      max_new_tokens=80, cfg_weight=0.5,
+                      temperature=1e-4, seed=0, cfg=TINY)
+    assert len(t3.LAST_GENERATION_INFO["phase_totals"]) >= 2
+
+
+def test_slot_derivation_honors_explicit_kv_int8(tiny_tts, monkeypatch):
+    """An explicit kv_int8 argument must size the default slots against the
+    cache the engine actually allocates, not the ambient env mode."""
+    from chatterbox_embed_tpu.serving.continuous import ContinuousServer
+    import chatterbox_embed_tpu.models.t3 as t3
+    from chatterbox_embed_tpu.models.t3_engine import engine_geometry
+    monkeypatch.delenv("CHATTERBOX_MAX_DECODE_UTT", raising=False)
+    cfg = tiny_tts.cfg.t3
+    bucket, cap_new = 32, 16
+    _, capacity = engine_geometry(cfg, bucket,
+                                  2 + cfg.perceiver_num_queries, cap_new)
+    lcfg = cfg.llama
+    per_tok_bf16 = lcfg.num_layers * 2 * lcfg.num_kv_heads * lcfg.head_dim * 2
+    # envelope: 8 CFG slots of int8 cache, only 4 of bf16
+    monkeypatch.setattr(t3, "KV_FENCE_BYTES", 4 * 2 * capacity * per_tok_bf16)
+    monkeypatch.setenv("CHATTERBOX_INT8_KV", "1")
+    srv_bf16 = ContinuousServer(tiny_tts, text_bucket=bucket,
+                                max_new_tokens=cap_new, block=8,
+                                kv_int8=False)
+    assert srv_bf16.decoder.slots == 4     # NOT the int8-derived 8
+    srv_int8 = ContinuousServer(tiny_tts, text_bucket=bucket,
+                                max_new_tokens=cap_new, block=8,
+                                kv_int8=True)
+    assert srv_int8.decoder.slots == 8
+
+
 def test_continuous_server_slots_honor_kv_fence(tiny_tts, monkeypatch):
     """Default slot derivation is CAPACITY-aware (round-5 fence): with the
     KV-bytes envelope shrunk so only 4 CFG slots fit at this engine
