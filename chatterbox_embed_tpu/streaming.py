@@ -195,6 +195,12 @@ class WindowedSynth:
     returns the wav chunks that became emittable; finish() flushes the final
     window (lookahead included). seed_from_fused() resumes from the fused
     first-chunk program's carries, exactly as stream_generate's fused path.
+
+    Reference parity anchors: the upstream flow exposes the same windowed
+    hooks but leaves them unwired (finalize/pre-lookahead handling in
+    /root/reference/src/chatterbox/models/s3gen/flow.py:262-263; vocoder
+    cache_source carry in .../s3gen/hifigan.py:470-472) — this class is the
+    TPU-native composition of those hooks with static shape buckets.
     """
 
     def __init__(self, s3gen_params, prompt_token, prompt_feat, embedding, *,
