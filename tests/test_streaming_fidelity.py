@@ -319,3 +319,35 @@ def test_stream_fused_equals_unfused(tts, monkeypatch):
     for a, b in zip(fused, plain):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_synth_block_split_invariance(s3, ref):
+    """The WindowedSynth docstring's core claim, pinned directly: identical
+    token feeds produce IDENTICAL audio regardless of how the tokens were
+    batched into feed() calls — the doubling schedule groups by its own
+    targets, so [6,6,6,6,...] blocks and one [all] block must emit
+    bit-equal chunk streams (this is what lets the continuous engine's
+    block boundaries differ from the lock-step stream's without changing
+    the audio)."""
+    from chatterbox_embed_tpu.streaming import WindowedSynth
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, 6561, (40,)).astype(np.int32)
+
+    def run(splits):
+        synth = WindowedSynth(
+            s3, ref["prompt_tokens"], ref["prompt_feat"], ref["embedding"],
+            phase_key=jax.random.PRNGKey(3), cfg=TINY, block_tokens=6,
+            throughput_block_tokens=24)
+        chunks = []
+        i = 0
+        for n in splits:
+            chunks.extend(synth.feed(toks[i:i + n]))
+            i += n
+        chunks.extend(synth.finish())
+        return np.concatenate(chunks)
+
+    a = run([6] * 6 + [4])          # engine-block-sized feeds
+    b = run([40])                   # one bulk feed
+    c = run([1] * 40)               # token-at-a-time
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
